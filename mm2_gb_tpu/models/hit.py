@@ -1,0 +1,415 @@
+"""Hit post-processing: chains → mapping records, primary selection, MAPQ.
+
+Semantics-exact reimplementation of hit.c / esterr.c:
+- mm_gen_regs      (hit.c:52-88)    chains → regions, hash-randomized order
+- mm_set_parent    (hit.c:125-185)  primary/secondary overlap resolution
+- mm_select_sub    (hit.c:255-283)  secondary filtering
+- mm_est_err       (esterr.c:30-64) per-region divergence estimate
+- mm_set_mapq      (hit.c:421-466)  mapping quality model
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from mm2_gb_tpu.utils import ksort, native
+from mm2_gb_tpu.utils.hashkit import hash64_full
+
+MM_PARENT_UNSET = -1
+MM_PARENT_TMP_PRI = -2
+
+
+@dataclass
+class Region:
+    """One candidate mapping (mm_reg1_t analog, minimap.h:105-124)."""
+    id: int = 0
+    cnt: int = 0
+    rid: int = 0
+    score: int = 0
+    qs: int = 0
+    qe: int = 0
+    rs: int = 0
+    re: int = 0
+    parent: int = MM_PARENT_UNSET
+    subsc: int = 0
+    as_: int = 0            # offset into the anchor array
+    mlen: int = 0
+    blen: int = 0
+    n_sub: int = 0
+    score0: int = 0
+    mapq: int = 0
+    split: int = 0
+    rev: bool = False
+    inv: bool = False
+    sam_pri: bool = False
+    proper_frag: bool = False
+    seg_split: bool = False
+    seg_id: int = 0
+    split_inv: bool = False
+    is_alt: bool = False
+    strand_retained: bool = False
+    hash: int = 0
+    div: float = -1.0
+    # alignment extension (mm_extra_t analog); None until base alignment runs
+    p: "AlnExtra | None" = None
+
+
+@dataclass
+class AlnExtra:
+    """Base-alignment details (mm_extra_t, minimap.h:96-103)."""
+    dp_score: int = 0
+    dp_max: int = 0
+    dp_max2: int = 0
+    n_ambi: int = 0
+    trans_strand: int = 0
+    cigar: np.ndarray = field(default_factory=lambda: np.empty(0, np.uint32))
+
+
+def _set_coor(r: Region, qlen: int, ax: np.ndarray, ay: np.ndarray,
+              is_qstrand: bool) -> None:
+    """mm_reg_set_coor (hit.c:23-39); requires r.as_/r.cnt set."""
+    k = r.as_
+    q_span = int((ay[k] >> np.uint64(32)) & np.uint64(0xFF))
+    r.rev = bool(ax[k] >> np.uint64(63))
+    r.rid = int((ax[k] << np.uint64(1)) >> np.uint64(33))
+    rs = int(ax[k] & np.uint64(0xFFFFFFFF))
+    r.rs = rs + 1 - q_span if rs + 1 > q_span else 0
+    r.re = int(ax[k + r.cnt - 1] & np.uint64(0xFFFFFFFF)) + 1
+    y0 = int(ay[k] & np.uint64(0xFFFFFFFF))
+    y1 = int(ay[k + r.cnt - 1] & np.uint64(0xFFFFFFFF))
+    if not r.rev or is_qstrand:
+        r.qs = y0 + 1 - q_span
+        r.qe = y1 + 1
+    else:
+        r.qs = qlen - (y1 + 1)
+        r.qe = qlen - (y0 + 1 - q_span)
+    _cal_fuzzy_len(r, ax, ay)
+
+
+def _cal_fuzzy_len(r: Region, ax: np.ndarray, ay: np.ndarray) -> None:
+    """mm_cal_fuzzy_len (hit.c:8-21): seeded match/block lengths."""
+    r.mlen = r.blen = 0
+    if r.cnt <= 0:
+        return
+    k = r.as_
+    span0 = int((ay[k] >> np.uint64(32)) & np.uint64(0xFF))
+    r.mlen = r.blen = span0
+    if r.cnt == 1:
+        return
+    sl = slice(k, k + r.cnt)
+    tx = (ax[sl] & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    ty = (ay[sl] & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    span = ((ay[sl] >> np.uint64(32)) & np.uint64(0xFF)).astype(np.int64)
+    tl = np.diff(tx)
+    ql = np.diff(ty)
+    r.blen += int(np.maximum(tl, ql).sum())
+    both_over = (tl > span[1:]) & (ql > span[1:])
+    r.mlen += int(np.where(both_over, span[1:], np.minimum(tl, ql)).sum())
+
+
+def gen_regs(hash_: int, qlen: int, u: np.ndarray, ax: np.ndarray,
+             ay: np.ndarray, is_qstrand: bool = False) -> list[Region]:
+    """Chains → regions, sorted by hash-randomized score (hit.c:52-88)."""
+    n_u = u.shape[0]
+    if n_u == 0:
+        return []
+    counts = (u & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    h = hash64_full((hash64_full(ax[starts]) + hash64_full(ay[starts]))
+                    ^ np.uint64(hash_)).astype(np.uint32)
+    zx = u ^ h.astype(np.uint64)      # score<<32 | (count ^ hash_low)
+    perm = (native.radix_perm64(zx) if native.available()
+            else ksort.radix_perm64(zx))
+    perm = perm[::-1]                  # larger score first
+    regs: list[Region] = []
+    for i, j in enumerate(perm):
+        r = Region(id=i, parent=MM_PARENT_UNSET)
+        r.score = r.score0 = int(zx[j] >> np.uint64(32))
+        r.hash = int(zx[j] & np.uint64(0xFFFFFFFF))
+        r.cnt = int(counts[j])
+        r.as_ = int(starts[j])
+        r.div = -1.0
+        _set_coor(r, qlen, ax, ay, is_qstrand)
+        regs.append(r)
+    return regs
+
+
+def _alt_score(score: int, alt_diff_frac: float) -> int:
+    if score < 0:
+        return score
+    score = int(score * (1.0 - alt_diff_frac) + 0.499)
+    return score if score > 0 else 1
+
+
+def set_parent(regs: list[Region], mask_level: float, mask_len: int,
+               sub_diff: int, hard_mask_level: bool, alt_diff_frac: float
+               ) -> None:
+    """Primary/secondary marking by query-interval overlap (hit.c:125-185)."""
+    n = len(regs)
+    if n <= 0:
+        return
+    for i, r in enumerate(regs):
+        r.id = i
+    w = [0]
+    regs[0].parent = 0
+    for i in range(1, n):
+        ri = regs[i]
+        si, ei = ri.qs, ri.qe
+        uncov_len = 0
+        if not hard_mask_level:
+            cov = []
+            for pj in w:
+                rp = regs[pj]
+                sj, ej = rp.qs, rp.qe
+                if ej <= si or sj >= ei:
+                    continue
+                cov.append((max(sj, si), min(ej, ei)))
+            if cov:
+                cov.sort()
+                x = si
+                for (cs, ce) in cov:
+                    if cs > x:
+                        uncov_len += cs - x
+                    x = max(ce, x)
+                if ei > x:
+                    uncov_len += ei - x
+        placed = False
+        for pj in w:
+            rp = regs[pj]
+            sj, ej = rp.qs, rp.qe
+            if ej <= si or sj >= ei:
+                continue
+            min_l = min(ej - sj, ei - si)
+            max_l = max(ej - sj, ei - si)
+            if si < sj:
+                ol = 0 if ei < sj else (ei - sj if ei < ej else ej - sj)
+            else:
+                ol = 0 if ej < si else (ej - si if ej < ei else ei - si)
+            # float32 comparison, as in hit.c:166
+            if (np.float32(ol) / np.float32(min_l)
+                    - np.float32(uncov_len) / np.float32(max_l)
+                    > np.float32(mask_level) and uncov_len <= mask_len):
+                cnt_sub = 0
+                sci = ri.score
+                ri.parent = rp.parent
+                if not rp.is_alt and ri.is_alt:
+                    sci = _alt_score(sci, alt_diff_frac)
+                rp.subsc = max(rp.subsc, sci)
+                if ri.cnt >= rp.cnt:
+                    cnt_sub = 1
+                if (rp.p is not None and ri.p is not None
+                        and (rp.rid != ri.rid or rp.rs != ri.rs
+                             or rp.re != ri.re or ol != min_l)):
+                    sci = ri.p.dp_max
+                    if not rp.is_alt and ri.is_alt:
+                        sci = _alt_score(sci, alt_diff_frac)
+                    rp.p.dp_max2 = max(rp.p.dp_max2, sci)
+                    if rp.p.dp_max - ri.p.dp_max <= sub_diff:
+                        cnt_sub = 1
+                if cnt_sub:
+                    rp.n_sub += 1
+                placed = True
+                break
+        if not placed:
+            w.append(i)
+            ri.parent = i
+            ri.n_sub = 0
+
+
+def set_sam_pri(regs: list[Region]) -> int:
+    n_pri = 0
+    for r in regs:
+        if r.id == r.parent:
+            n_pri += 1
+            r.sam_pri = n_pri == 1
+        else:
+            r.sam_pri = False
+    return n_pri
+
+
+def sync_regs(regs: list[Region]) -> None:
+    """Re-number ids and remap parents after removals (hit.c:231-253)."""
+    if not regs:
+        return
+    max_id = max(r.id for r in regs)
+    tmp = [-1] * (max_id + 1)
+    for i, r in enumerate(regs):
+        if r.id >= 0:
+            tmp[r.id] = i
+    for i, r in enumerate(regs):
+        r.id = i
+        if r.parent == MM_PARENT_TMP_PRI:
+            r.parent = i
+        elif r.parent >= 0 and tmp[r.parent] >= 0:
+            r.parent = tmp[r.parent]
+        else:
+            r.parent = MM_PARENT_UNSET
+    set_sam_pri(regs)
+
+
+def select_sub(regs: list[Region], pri_ratio: float, min_diff: int,
+               best_n: int, check_strand: bool, min_strand_sc: int
+               ) -> list[Region]:
+    """Drop weak secondary hits (mm_select_sub, hit.c:255-283)."""
+    if pri_ratio <= 0.0 or not regs:
+        return regs
+    out: list[Region] = []
+    n_2nd = 0
+    for r in regs:
+        pidx = r.parent
+        rp = regs[pidx] if 0 <= pidx < len(regs) else None
+        if pidx == r.id or r.inv:
+            out.append(r)
+        elif ((np.float32(r.score) >= np.float32(rp.score) * np.float32(pri_ratio)
+               or r.score + min_diff >= rp.score) and n_2nd < best_n):
+            if not (r.qs == rp.qs and r.qe == rp.qe and r.rid == rp.rid
+                    and r.rs == rp.rs and r.re == rp.re):
+                out.append(r)
+                n_2nd += 1
+        elif (check_strand and n_2nd < best_n and r.score > min_strand_sc
+              and r.rev != rp.rev):
+            r.strand_retained = True
+            out.append(r)
+            n_2nd += 1
+    if len(out) != len(regs):
+        sync_regs(out)
+    return out
+
+
+def filter_strand_retained(regs: list[Region]) -> list[Region]:
+    """hit.c:285-296."""
+    out = []
+    for r in regs:
+        p = regs[r.parent] if 0 <= r.parent < len(regs) else r
+        if (not r.strand_retained or r.div < p.div * 5.0 or r.div < 0.01):
+            out.append(r)
+    return out
+
+
+def est_err(index, qlen: int, regs: list[Region], ax: np.ndarray,
+            ay: np.ndarray, mini_pos: np.ndarray) -> None:
+    """Divergence estimate from seed survival (esterr.c:30-64)."""
+    n = mini_pos.shape[0]
+    if n == 0:
+        return
+    spans = (mini_pos >> np.uint64(32)) & np.uint64(0xFF)
+    avg_k = np.float32(float(spans.sum(dtype=np.uint64)) / n)
+    mp_low = (mini_pos & np.uint64(0xFFFFFFFF)).astype(np.int64)
+
+    def for_qpos(k: int) -> int:
+        x = int(ay[k] & np.uint64(0xFFFFFFFF))
+        q_span = int((ay[k] >> np.uint64(32)) & np.uint64(0xFF))
+        if ax[k] >> np.uint64(63):
+            x = qlen - 1 - (x + 1 - q_span)
+        return x
+
+    for r in regs:
+        r.div = -1.0
+        if r.cnt == 0:
+            continue
+        first = r.as_ + r.cnt - 1 if r.rev else r.as_
+        x0 = for_qpos(first)
+        # binary search in mini_pos (esterr.c:16-28)
+        idx = np.searchsorted(mp_low, x0)
+        if idx >= n or mp_low[idx] != x0:
+            continue
+        st = en = int(idx)
+        n_match = 1
+        k = 1
+        j = st + 1
+        while j < n and k < r.cnt:
+            ki = r.as_ + r.cnt - 1 - k if r.rev else r.as_ + k
+            if for_qpos(ki) == int(mp_low[j]):
+                k += 1
+                en = j
+                n_match += 1
+            j += 1
+        n_tot = en - st + 1
+        l_ref = int(index.lens[r.rid])
+        if r.qs > avg_k and r.rs > avg_k:
+            n_tot += 1
+        # NB: esterr.c:61 uses qs (not qe) in the tail-extension test
+        if qlen - r.qs > avg_k and l_ref - r.re > avg_k:
+            n_tot += 1
+        if n_match >= n_tot:
+            r.div = 0.0
+        else:
+            r.div = float(np.float32(
+                1.0 - math.pow(n_match / n_tot, 1.0 / float(avg_k))))
+
+
+def _logf(x: float) -> float:
+    """float32 natural log with float64 evaluation then rounding (≈ glibc logf)."""
+    return float(np.float32(math.log(x)))
+
+
+def set_mapq(regs: list[Region], min_chain_sc: int, match_sc: int,
+             rep_len: int, is_sr: bool) -> None:
+    """MAPQ model (mm_set_mapq, hit.c:421-466)."""
+    if not regs:
+        return
+    q_coef = 40.0
+    sum_sc = sum(r.score for r in regs if r.parent == r.id)
+    uniq_ratio = (np.float32(sum_sc) / np.float32(sum_sc + rep_len)
+                  if (sum_sc + rep_len) else np.float32(0))
+    for r in regs:
+        if r.inv:
+            r.mapq = 0
+        elif r.parent == r.id:
+            pen_s1 = (np.float32(1.0) if r.score > 100
+                      else np.float32(0.01) * np.float32(r.score)) * uniq_ratio
+            pen_cm = (np.float32(1.0) if r.cnt > 10
+                      else np.float32(0.1) * np.float32(r.cnt))
+            pen_cm = min(np.float32(pen_s1), pen_cm)
+            subsc = max(r.subsc, min_chain_sc)
+            if r.p is not None and r.p.dp_max2 > 0 and r.p.dp_max > 0:
+                identity = np.float32(r.mlen) / np.float32(r.blen)
+                x = (np.float32(r.p.dp_max2) * np.float32(subsc)
+                     / np.float32(r.p.dp_max) / np.float32(r.score0))
+                mapq = int(identity * pen_cm * np.float32(q_coef)
+                           * (np.float32(1.0) - x * x)
+                           * np.float32(_logf(np.float32(r.p.dp_max) / np.float32(match_sc))))
+                if not is_sr:
+                    mapq_alt = int(np.float32(6.02) * identity * identity
+                                   * np.float32(r.p.dp_max - r.p.dp_max2)
+                                   / np.float32(match_sc) + np.float32(0.499))
+                    mapq = min(mapq, mapq_alt)
+            else:
+                x = (np.float32(subsc) / np.float32(r.score0)
+                     if r.score0 else np.float32(0))
+                if r.p is not None:
+                    identity = np.float32(r.mlen) / np.float32(r.blen)
+                    mapq = int(identity * pen_cm * np.float32(q_coef)
+                               * (np.float32(1.0) - x)
+                               * np.float32(_logf(np.float32(r.p.dp_max) / np.float32(match_sc))))
+                else:
+                    mapq = int(pen_cm * np.float32(q_coef)
+                               * (np.float32(1.0) - x)
+                               * np.float32(_logf(r.score)))
+            mapq -= int(np.float32(4.343) * np.float32(_logf(r.n_sub + 1))
+                        + np.float32(0.499))
+            mapq = max(mapq, 0)
+            r.mapq = min(mapq, 60)
+            if r.p is not None and r.p.dp_max > r.p.dp_max2 and r.mapq == 0:
+                r.mapq = 1
+        else:
+            r.mapq = 0
+    _set_inv_mapq(regs)
+
+
+def _set_inv_mapq(regs: list[Region]) -> None:
+    """Inversion hits inherit flanking MAPQ (hit.c:394-419)."""
+    if len(regs) < 3 or not any(r.inv for r in regs):
+        return
+    aux = sorted(
+        ((r.rid << 32 | r.rs, i) for i, r in enumerate(regs)
+         if r.parent == i or r.parent < 0),
+    )
+    for k in range(1, len(aux) - 1):
+        inv = regs[aux[k][1]]
+        if inv.inv:
+            l, rr = regs[aux[k - 1][1]], regs[aux[k + 1][1]]
+            inv.mapq = min(l.mapq, rr.mapq)

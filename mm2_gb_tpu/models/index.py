@@ -1,0 +1,163 @@
+"""Minimizer index: sorted-table design.
+
+Replaces the reference's bucketed khash index (index.c:27-98) with a
+TPU/vector-friendly layout: one sorted array of (minimizer_hash, packed
+position) entries searched with vectorized binary search.  Lookup results
+are identical to the reference — per hash, hits come out sorted ascending
+by packed position (the reference sorts its p[] arrays the same way,
+index.c:253).
+
+Packed position value (same encoding as the reference's index entries):
+    pos_val = rid << 32 | last_base_pos << 1 | strand
+
+The index also retains the reference sequences as 2-bit-capable uint8 code
+arrays (A=0 C=1 G=2 T=3, ambiguous=4) for the alignment stage — equivalent
+to the reference's 4-bit packed mm_idx_t::S.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from mm2_gb_tpu.ops.sketch import sketch, _NT4
+from mm2_gb_tpu.utils.fastx import SeqRecord, read_fastx
+from mm2_gb_tpu.utils.opts import IndexOptions, MM_I_HPC
+
+INDEX_FORMAT_VERSION = 1
+
+
+class MinimizerIndex:
+    """Immutable minimizer index over a set of reference sequences."""
+
+    def __init__(self, k: int, w: int, flag: int, names: list[str],
+                 lens: np.ndarray, offsets: np.ndarray, seq_codes: np.ndarray,
+                 occ_hash: np.ndarray, occ_pos: np.ndarray,
+                 index_id: int = 0):
+        self.k = k
+        self.w = w
+        self.flag = flag
+        self.names = names                  # per-rid sequence names
+        self.lens = lens                    # uint32 per-rid lengths
+        self.offsets = offsets              # uint64 per-rid offset into seq_codes
+        self.seq_codes = seq_codes          # uint8 concatenated base codes
+        self.occ_hash = occ_hash            # uint64 sorted minimizer hashes (one per hit)
+        self.occ_pos = occ_pos              # uint64 packed positions, grouped by hash
+        self.index_id = index_id            # multi-part index ordinal
+        self.n_seq = len(names)
+        self.n_alt = 0
+        self.alt_mask = np.zeros(self.n_seq, dtype=bool)
+
+    # ---------------------------------------------------------------- build
+    @classmethod
+    def build(cls, records: list[SeqRecord], opts: IndexOptions,
+              index_id: int = 0) -> "MinimizerIndex":
+        names = [r.name for r in records]
+        lens = np.array([r.length for r in records], dtype=np.uint32)
+        offsets = np.zeros(len(records), dtype=np.uint64)
+        total = 0
+        for i, r in enumerate(records):
+            offsets[i] = total
+            total += r.length
+        seq_codes = np.empty(total, dtype=np.uint8)
+        for i, r in enumerate(records):
+            raw = r.seq.encode() if isinstance(r.seq, str) else r.seq
+            seq_codes[int(offsets[i]):int(offsets[i]) + r.length] = \
+                _NT4[np.frombuffer(raw, dtype=np.uint8)]
+
+        chunks = []
+        is_hpc = bool(opts.flag & MM_I_HPC)
+        for i, r in enumerate(records):
+            if r.length == 0:
+                continue
+            mm = sketch(r.seq, opts.w, opts.k, i, is_hpc)
+            if mm.shape[0]:
+                chunks.append(mm)
+        if chunks:
+            allmm = np.concatenate(chunks)
+            # key = hash only (span excluded), exactly like the reference's
+            # bucket hash key (index.c:240 groups by x>>8)
+            h = allmm[:, 0] >> np.uint64(8)
+            pos = allmm[:, 1]
+            order = np.lexsort((pos, h))
+            occ_hash = np.ascontiguousarray(h[order])
+            occ_pos = np.ascontiguousarray(pos[order])
+        else:
+            occ_hash = np.empty(0, dtype=np.uint64)
+            occ_pos = np.empty(0, dtype=np.uint64)
+        return cls(opts.k, opts.w, opts.flag, names, lens, offsets, seq_codes,
+                   occ_hash, occ_pos, index_id)
+
+    @classmethod
+    def from_fasta(cls, path: str, opts: IndexOptions | None = None) -> "MinimizerIndex":
+        opts = opts or IndexOptions()
+        return cls.build(list(read_fastx(path)), opts)
+
+    @classmethod
+    def from_strings(cls, seqs: list[str], opts: IndexOptions | None = None,
+                     names: list[str] | None = None) -> "MinimizerIndex":
+        """mm_idx_str analog (index.c:409-457)."""
+        opts = opts or IndexOptions()
+        recs = [SeqRecord(rid=i, name=(names[i] if names else str(i)), seq=s)
+                for i, s in enumerate(seqs)]
+        return cls.build(recs, opts)
+
+    # --------------------------------------------------------------- lookup
+    def lookup(self, qhashes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Vectorized point lookup (mm_idx_get analog, index.c:81-98).
+
+        `qhashes` are raw minimizer hashes (x >> 8 of sketch output).
+        Returns (start, count) int64 arrays into self.occ_pos.
+        """
+        q = np.asarray(qhashes, dtype=np.uint64)
+        lo = np.searchsorted(self.occ_hash, q, side="left")
+        hi = np.searchsorted(self.occ_hash, q, side="right")
+        return lo.astype(np.int64), (hi - lo).astype(np.int64)
+
+    def cal_max_occ(self, frac: float) -> int:
+        """Occurrence threshold at quantile 1-frac (index.c:186-207)."""
+        if frac <= 0.0 or self.occ_hash.shape[0] == 0:
+            return 2**31 - 1
+        _, counts = np.unique(self.occ_hash, return_counts=True)
+        n = counts.shape[0]
+        kk = int((1.0 - frac) * n)
+        if kk >= n:
+            kk = n - 1
+        return int(np.partition(counts.astype(np.uint32), kk)[kk]) + 1
+
+    # ------------------------------------------------------------ sequences
+    def get_seq(self, rid: int, st: int, en: int, rev: bool = False) -> np.ndarray:
+        """Base codes of reference rid in [st, en); reverse-complemented when rev."""
+        off = int(self.offsets[rid])
+        s = self.seq_codes[off + st: off + en]
+        if rev:
+            s = np.where(s < 4, 3 - s, s)[::-1]
+        return s
+
+    # ----------------------------------------------------------------- dump
+    def save(self, path: str) -> None:
+        np.savez_compressed(
+            path,
+            version=np.int32(INDEX_FORMAT_VERSION),
+            k=np.int32(self.k), w=np.int32(self.w), flag=np.int32(self.flag),
+            names=np.array(self.names, dtype=object),
+            lens=self.lens, offsets=self.offsets, seq_codes=self.seq_codes,
+            occ_hash=self.occ_hash, occ_pos=self.occ_pos,
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "MinimizerIndex":
+        z = np.load(path, allow_pickle=True)
+        return cls(int(z["k"]), int(z["w"]), int(z["flag"]),
+                   [str(n) for n in z["names"]], z["lens"], z["offsets"],
+                   z["seq_codes"], z["occ_hash"], z["occ_pos"])
+
+    def stats(self) -> dict:
+        uniq, counts = (np.unique(self.occ_hash, return_counts=True)
+                        if self.occ_hash.size else (np.empty(0), np.empty(0)))
+        return {
+            "n_seq": self.n_seq,
+            "total_len": int(self.lens.sum()) if self.n_seq else 0,
+            "distinct_minimizers": int(uniq.shape[0]),
+            "total_occurrences": int(self.occ_hash.shape[0]),
+            "singleton_frac": float((counts == 1).mean()) if uniq.size else 0.0,
+        }

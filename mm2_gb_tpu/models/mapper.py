@@ -1,0 +1,203 @@
+"""Per-read mapping orchestration (the mm_map_frag pipeline, map.c:638-792).
+
+This is the host-side reference pipeline: seed → chain → post-process.
+The TPU batch pipeline (mm2_gb_tpu/models/pipeline.py) produces identical
+results by running the chaining stage on-device for batches of reads and
+falling back to this path for reads that miss a batch (the reference uses
+the same CPU-fallback strategy, map.c:1030-1035).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from mm2_gb_tpu.models import hit as hitmod
+from mm2_gb_tpu.models.hit import Region
+from mm2_gb_tpu.models.index import MinimizerIndex
+from mm2_gb_tpu.ops import chain as chain_ops
+from mm2_gb_tpu.ops import chain_rmq as rmq_ops
+from mm2_gb_tpu.ops import seed as seed_ops
+from mm2_gb_tpu.ops.sketch import sketch
+from mm2_gb_tpu.utils import ksort, native
+from mm2_gb_tpu.utils.hashkit import read_order_hash
+from mm2_gb_tpu.utils.opts import (MapOptions, MM_F_ALL_CHAINS, MM_F_CIGAR,
+                                   MM_F_HARD_MLEVEL, MM_F_NO_HASH_NAME,
+                                   MM_F_NO_LJOIN, MM_F_QSTRAND, MM_F_RMQ,
+                                   MM_F_SPLICE, MM_F_SR, MM_I_HPC)
+
+INT32_MAX = 2**31 - 1
+
+
+@dataclass
+class MapResult:
+    """Result of mapping one read/fragment."""
+    regs: list[Region]
+    rep_len: int
+    frag_gap: int
+    # anchors kept for the alignment stage
+    ax: np.ndarray = field(default_factory=lambda: np.empty(0, np.uint64))
+    ay: np.ndarray = field(default_factory=lambda: np.empty(0, np.uint64))
+
+
+def collect_minimizers(index: MinimizerIndex, opt: MapOptions,
+                       seqs: list[str]) -> np.ndarray:
+    """Query sketch over fragment segments (collect_minimizers, map.c:186-199)."""
+    chunks = []
+    total = 0
+    for sid, s in enumerate(seqs):
+        if len(s) == 0:
+            total += len(s)
+            continue
+        mm = sketch(s, index.w, index.k, sid, bool(index.flag & MM_I_HPC))
+        if total:
+            mm = mm.copy()
+            mm[:, 1] += np.uint64(total << 1)
+        chunks.append(mm)
+        total += len(s)
+    if not chunks:
+        return np.empty((0, 2), dtype=np.uint64)
+    return np.concatenate(chunks) if len(chunks) > 1 else chunks[0]
+
+
+def _chain_gaps(opt: MapOptions, qlen_sum: int) -> tuple[int, int]:
+    """max chaining gaps on query/reference (map.c:678-689)."""
+    is_sr = bool(opt.flag & MM_F_SR)
+    max_gap_qry = max(qlen_sum, opt.max_gap) if is_sr else opt.max_gap
+    if opt.max_gap_ref > 0:
+        max_gap_ref = opt.max_gap_ref
+    elif opt.max_frag_len > 0:
+        max_gap_ref = max(opt.max_frag_len - qlen_sum, opt.max_gap)
+    else:
+        max_gap_ref = opt.max_gap
+    return max_gap_qry, max_gap_ref
+
+
+def chain_anchors(index: MinimizerIndex, opt: MapOptions, qlen_sum: int,
+                  n_segs: int, ax: np.ndarray, ay: np.ndarray
+                  ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Chaining dispatch incl. the long-join rescue (map.c:690-707).
+
+    Returns (u, ax_out, ay_out) — the final chain set for this read.
+    """
+    max_gap_qry, max_gap_ref = _chain_gaps(opt, qlen_sum)
+    is_splice = bool(opt.flag & MM_F_SPLICE)
+    chn_pen_gap = np.float32(float(np.float32(opt.chain_gap_scale)) * 0.01 * index.k)
+    chn_pen_skip = np.float32(float(np.float32(opt.chain_skip_scale)) * 0.01 * index.k)
+
+    if opt.flag & MM_F_RMQ:
+        u, cx, cy = rmq_ops.chain_rmq(
+            ax, ay, opt.max_gap, opt.rmq_inner_dist, opt.bw,
+            opt.max_chain_skip, opt.rmq_size_cap, opt.min_cnt,
+            opt.min_chain_score, chn_pen_gap, chn_pen_skip)
+    else:
+        u, cx, cy = chain_ops.chain_dp(
+            ax, ay, max_gap_ref, max_gap_qry, opt.bw, opt.max_chain_skip,
+            opt.max_chain_iter, opt.min_cnt, opt.min_chain_score,
+            chn_pen_gap, chn_pen_skip, is_splice, n_segs)
+
+    # long-join rescue with RMQ chaining over the compacted anchors
+    if (opt.bw_long > opt.bw
+            and (opt.flag & (MM_F_SPLICE | MM_F_SR | MM_F_NO_LJOIN)) == 0
+            and n_segs == 1 and u.shape[0] > 1):
+        cnt0 = int(u[0] & np.uint64(0xFFFFFFFF))
+        st = int(cy[0] & np.uint64(0xFFFFFFFF))
+        en = int(cy[cnt0 - 1] & np.uint64(0xFFFFFFFF))
+        if (qlen_sum - (en - st) > opt.rmq_rescue_size
+                or en - st > qlen_sum * opt.rmq_rescue_ratio):
+            perm = (native.radix_perm64(cx) if native.available()
+                    else ksort.radix_perm64(cx))
+            cx, cy = cx[perm], cy[perm]
+            u, cx, cy = rmq_ops.chain_rmq(
+                cx, cy, opt.max_gap, opt.rmq_inner_dist, opt.bw_long,
+                opt.max_chain_skip, opt.rmq_size_cap, opt.min_cnt,
+                opt.min_chain_score, chn_pen_gap, chn_pen_skip)
+    return u, cx, cy
+
+
+def map_frag(index: MinimizerIndex, opt: MapOptions, seqs: list[str],
+             qname: str | None = None) -> MapResult:
+    """Map one read (or multi-segment fragment); returns candidate regions.
+
+    Single-segment version of mm_map_frag (map.c:638-792); multi-segment
+    splitting (mm_seg_gen) is handled by the caller for frag mode.
+    """
+    n_segs = len(seqs)
+    qlens = [len(s) for s in seqs]
+    qlen_sum = sum(qlens)
+    if qlen_sum == 0 or n_segs <= 0 or n_segs > 255:
+        return MapResult([], 0, 0)
+    if opt.max_qlen > 0 and qlen_sum > opt.max_qlen:
+        return MapResult([], 0, 0)
+    is_sr = bool(opt.flag & MM_F_SR)
+
+    hash_ = read_order_hash(qname, qlen_sum, opt.seed,
+                            bool(opt.flag & MM_F_NO_HASH_NAME))
+
+    mv = collect_minimizers(index, opt, seqs)
+    if opt.q_occ_frac > 0.0:
+        mv = seed_ops.seed_mz_flt(mv, opt.mid_occ, opt.q_occ_frac)
+    ax, ay, rep_len, mini_pos = seed_ops.collect_seed_hits(
+        index, opt, opt.mid_occ, mv, qlen_sum, qname)
+
+    u, cx, cy = chain_anchors(index, opt, qlen_sum, n_segs, ax, ay)
+
+    # re-chain with a higher occurrence cutoff, mostly for short reads
+    # (map.c:708-731)
+    if (opt.max_occ > opt.mid_occ and rep_len > 0
+            and not (opt.flag & MM_F_RMQ)):
+        rechain = False
+        if u.shape[0] > 0:
+            counts = (u & np.uint64(0xFFFFFFFF)).astype(np.int64)
+            scores = (u >> np.uint64(32)).astype(np.int64)
+            max_i = int(np.argmax(scores))
+            off = int(counts[:max_i].sum())
+            seg_ids = (cy[off:off + int(counts[max_i])]
+                       & seed_ops.MM_SEED_SEG_MASK)
+            n_chained = int((seg_ids[1:] != seg_ids[:-1]).sum()) + 1
+            rechain = n_chained < n_segs
+        else:
+            rechain = True
+        if rechain:
+            ax, ay, rep_len, mini_pos = seed_ops.collect_seed_hits(
+                index, opt, opt.max_occ, mv, qlen_sum, qname)
+            max_gap_qry, max_gap_ref = _chain_gaps(opt, qlen_sum)
+            chn_pen_gap = np.float32(float(np.float32(opt.chain_gap_scale)) * 0.01 * index.k)
+            chn_pen_skip = np.float32(float(np.float32(opt.chain_skip_scale)) * 0.01 * index.k)
+            u, cx, cy = chain_ops.chain_dp(
+                ax, ay, max_gap_ref, max_gap_qry, opt.bw, opt.max_chain_skip,
+                opt.max_chain_iter, opt.min_cnt, opt.min_chain_score,
+                chn_pen_gap, chn_pen_skip, bool(opt.flag & MM_F_SPLICE), n_segs)
+
+    _, max_gap_ref = _chain_gaps(opt, qlen_sum)
+    regs = hitmod.gen_regs(hash_, qlen_sum, u, cx, cy,
+                           bool(opt.flag & MM_F_QSTRAND))
+    regs = post_process(index, opt, qlen_sum, n_segs, qlens, regs, cx, cy,
+                        mini_pos, rep_len)
+    return MapResult(regs, rep_len, max_gap_ref, cx, cy)
+
+
+def post_process(index: MinimizerIndex, opt: MapOptions, qlen_sum: int,
+                 n_segs: int, qlens: list[int], regs: list[Region],
+                 cx: np.ndarray, cy: np.ndarray, mini_pos: np.ndarray,
+                 rep_len: int) -> list[Region]:
+    """chain_post + est_err + mapq (map.c:737-773, single-segment path)."""
+    is_sr = bool(opt.flag & MM_F_SR)
+    if not (opt.flag & MM_F_ALL_CHAINS):
+        hitmod.set_parent(regs, opt.mask_level, opt.mask_len,
+                          opt.a * 2 + opt.b, bool(opt.flag & MM_F_HARD_MLEVEL),
+                          opt.alt_drop)
+        if n_segs <= 1:
+            regs = hitmod.select_sub(regs, opt.pri_ratio, index.k * 2,
+                                     opt.best_n, True, int(opt.max_gap * 0.8))
+        # multi-segment selection handled in the frag-mode pipeline
+    if not is_sr and not (opt.flag & MM_F_QSTRAND):
+        hitmod.est_err(index, qlen_sum, regs, cx, cy, mini_pos)
+        regs = hitmod.filter_strand_retained(regs)
+    if n_segs == 1:
+        if opt.flag & MM_F_CIGAR:
+            from mm2_gb_tpu.ops import align as align_ops
+            regs = align_ops.align_regs(index, opt, qlen_sum, None, regs, cx, cy)
+        hitmod.set_mapq(regs, opt.min_chain_score, opt.a, rep_len, is_sr)
+    return regs

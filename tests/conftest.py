@@ -1,0 +1,27 @@
+import os
+import sys
+
+# force CPU + a virtual 8-device mesh for sharding tests BEFORE jax import
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest  # noqa: E402
+
+REF_TEST_DIR = "/root/reference/test"
+
+
+@pytest.fixture(scope="session")
+def ref_test_dir():
+    if not os.path.isdir(REF_TEST_DIR):
+        pytest.skip("reference test data not available")
+    return REF_TEST_DIR
+
+
+def golden_path(name: str) -> str:
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "golden", name)
