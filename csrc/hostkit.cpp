@@ -1,0 +1,318 @@
+// hostkit: native implementations of the sequential host-side components.
+//
+// The TPU owns the chaining/alignment compute path; these routines cover the
+// remaining host work that is too branchy/sequential for vector units:
+//   - mmt_sketch:        (w,k)-minimizer sketch (semantics of sketch.c:77-143)
+//   - mmt_radix_perm64:  the permutation of the reference's unstable MSD
+//                        radix sort on a 64-bit key (ksort.h), needed for
+//                        byte-exact tie ordering
+//   - mmt_chain_dp:      backward chain DP scores/predecessors
+//                        (mg_lchain_dp core, lchain.c:169-207) with
+//                        max_skip = infinity — the host fallback for
+//                        segments that exceed device capacity
+//
+// Exposed with C linkage and called from Python via ctypes
+// (mm2_gb_tpu/utils/native.py).  Each function is cross-checked against the
+// pure-Python oracles in tests/.
+
+#include <cstdint>
+#include <cstring>
+#include <cmath>
+#include <algorithm>
+#include <vector>
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// minimizer sketch
+// ---------------------------------------------------------------------------
+
+constexpr uint64_t U64MAX = ~0ULL;
+
+inline uint64_t mix64(uint64_t key, uint64_t mask) {
+    key = (~key + (key << 21)) & mask;
+    key ^= key >> 24;
+    key = (key + (key << 3) + (key << 8)) & mask;
+    key ^= key >> 14;
+    key = (key + (key << 2) + (key << 4)) & mask;
+    key ^= key >> 28;
+    key = (key + (key << 31)) & mask;
+    return key;
+}
+
+const int8_t* base_code_table() {
+    static int8_t tbl[256];
+    static bool init = false;
+    if (!init) {
+        std::memset(tbl, 4, sizeof(tbl));
+        tbl['A'] = tbl['a'] = 0;
+        tbl['C'] = tbl['c'] = 1;
+        tbl['G'] = tbl['g'] = 2;
+        tbl['T'] = tbl['t'] = 3;
+        tbl['U'] = tbl['u'] = 3;
+        init = true;
+    }
+    return tbl;
+}
+
+struct MiniPair { uint64_t x, y; };
+
+}  // namespace
+
+extern "C" {
+
+// Returns the number of minimizers written (pairs), or -1 on overflow.
+// out receives x,y interleaved.
+int64_t mmt_sketch(const char* seq, int64_t len, int w, int k, uint32_t rid,
+                   int is_hpc, uint64_t* out, int64_t cap_words) {
+    const int8_t* tbl = base_code_table();
+    const uint64_t mask = (1ULL << (2 * k)) - 1;
+    const int shift1 = 2 * (k - 1);
+    int64_t n_out = 0;
+    auto emit = [&](const MiniPair& m) -> bool {
+        if (2 * n_out + 1 >= cap_words) return false;
+        out[2 * n_out] = m.x;
+        out[2 * n_out + 1] = m.y;
+        ++n_out;
+        return true;
+    };
+
+    std::vector<MiniPair> ring(w, {U64MAX, U64MAX});
+    MiniPair cur_min = {U64MAX, U64MAX};
+    int min_slot = 0, slot = 0;
+    uint64_t fwd = 0, rev = 0;
+    int run_len_q[32];  // HPC run-length queue (tiny ring, matches k<=28)
+    int q_front = 0, q_count = 0;
+    int l = 0, span = 0;
+    const uint64_t rid_hi = (uint64_t)rid << 32;
+
+    for (int64_t i = 0; i < len; ++i) {
+        int c = tbl[(uint8_t)seq[i]];
+        MiniPair info = {U64MAX, U64MAX};
+        if (c < 4) {
+            if (is_hpc) {
+                int run = 1;
+                if (i + 1 < len && tbl[(uint8_t)seq[i + 1]] == c) {
+                    for (run = 2; i + run < len; ++run)
+                        if (tbl[(uint8_t)seq[i + run]] != c) break;
+                    i += run - 1;
+                }
+                run_len_q[(q_front + q_count++) & 31] = run;
+                span += run;
+                if (q_count > k) {
+                    span -= run_len_q[q_front];
+                    q_front = (q_front + 1) & 31;
+                    --q_count;
+                }
+            } else {
+                span = l + 1 < k ? l + 1 : k;
+            }
+            fwd = ((fwd << 2) | c) & mask;
+            rev = (rev >> 2) | ((uint64_t)(3 ^ c) << shift1);
+            if (fwd == rev) continue;  // strand-symmetric k-mer
+            int strand = fwd < rev ? 0 : 1;
+            ++l;
+            if (l >= k && span < 256) {
+                info.x = mix64(strand ? rev : fwd, mask) << 8 | span;
+                info.y = rid_hi | (uint64_t)(uint32_t)i << 1 | strand;
+            }
+        } else {
+            l = 0;
+            q_front = q_count = 0;
+            span = 0;
+        }
+        ring[slot] = info;
+        if (l == w + k - 1 && cur_min.x != U64MAX) {
+            for (int j = slot + 1; j < w; ++j)
+                if (cur_min.x == ring[j].x && ring[j].y != cur_min.y)
+                    if (!emit(ring[j])) return -1;
+            for (int j = 0; j < slot; ++j)
+                if (cur_min.x == ring[j].x && ring[j].y != cur_min.y)
+                    if (!emit(ring[j])) return -1;
+        }
+        if (info.x <= cur_min.x) {
+            if (l >= w + k && cur_min.x != U64MAX)
+                if (!emit(cur_min)) return -1;
+            cur_min = info;
+            min_slot = slot;
+        } else if (slot == min_slot) {
+            if (l >= w + k - 1 && cur_min.x != U64MAX)
+                if (!emit(cur_min)) return -1;
+            cur_min.x = U64MAX;
+            for (int j = slot + 1; j < w; ++j)
+                if (cur_min.x >= ring[j].x) { cur_min = ring[j]; min_slot = j; }
+            for (int j = 0; j <= slot; ++j)
+                if (cur_min.x >= ring[j].x) { cur_min = ring[j]; min_slot = j; }
+            if (l >= w + k - 1 && cur_min.x != U64MAX) {
+                for (int j = slot + 1; j < w; ++j)
+                    if (cur_min.x == ring[j].x && cur_min.y != ring[j].y)
+                        if (!emit(ring[j])) return -1;
+                for (int j = 0; j <= slot; ++j)
+                    if (cur_min.x == ring[j].x && cur_min.y != ring[j].y)
+                        if (!emit(ring[j])) return -1;
+            }
+        }
+        if (++slot == w) slot = 0;
+    }
+    if (cur_min.x != U64MAX)
+        if (!emit(cur_min)) return -1;
+    return n_out;
+}
+
+// ---------------------------------------------------------------------------
+// radix permutation (ksort.h semantics on a 64-bit key)
+// ---------------------------------------------------------------------------
+
+namespace {
+
+constexpr int kRsMinSize = 64;
+
+void insertion_perm(const uint64_t* keys, int64_t* perm, int64_t lo, int64_t hi) {
+    for (int64_t i = lo + 1; i < hi; ++i) {
+        uint64_t ki = keys[perm[i]];
+        if (ki < keys[perm[i - 1]]) {
+            int64_t pi = perm[i], j = i;
+            for (; j > lo && ki < keys[perm[j - 1]]; --j) perm[j] = perm[j - 1];
+            perm[j] = pi;
+        }
+    }
+}
+
+void rs_sort_perm(const uint64_t* keys, int64_t* perm, int64_t lo, int64_t hi,
+                  int shift) {
+    int64_t cnt[256] = {0};
+    for (int64_t i = lo; i < hi; ++i)
+        ++cnt[(keys[perm[i]] >> shift) & 0xFF];
+    int64_t starts[256], ends[256], cur[256];
+    int64_t acc = lo;
+    for (int b = 0; b < 256; ++b) {
+        starts[b] = cur[b] = acc;
+        acc += cnt[b];
+        ends[b] = acc;
+    }
+    for (int b = 0; b < 256;) {
+        if (cur[b] == ends[b]) { ++b; continue; }
+        int tgt = (keys[perm[cur[b]]] >> shift) & 0xFF;
+        if (tgt == b) { ++cur[b]; continue; }
+        int64_t tmp = perm[cur[b]];
+        do {
+            int64_t swap = tmp;
+            tmp = perm[cur[tgt]];
+            perm[cur[tgt]++] = swap;
+            tgt = (keys[tmp] >> shift) & 0xFF;
+        } while (tgt != b);
+        perm[cur[b]++] = tmp;
+    }
+    if (shift) {
+        int nxt = shift > 8 ? shift - 8 : 0;
+        for (int b = 0; b < 256; ++b) {
+            if (cnt[b] > kRsMinSize)
+                rs_sort_perm(keys, perm, starts[b], ends[b], nxt);
+            else if (cnt[b] > 1)
+                insertion_perm(keys, perm, starts[b], ends[b]);
+        }
+    }
+}
+
+}  // namespace
+
+void mmt_radix_perm64(const uint64_t* keys, int64_t n, int64_t* perm) {
+    for (int64_t i = 0; i < n; ++i) perm[i] = i;
+    if (n <= kRsMinSize) insertion_perm(keys, perm, 0, n);
+    else rs_sort_perm(keys, perm, 0, n, 56);
+}
+
+// ---------------------------------------------------------------------------
+// chain DP (host fallback / oracle fast path), max_skip = infinity
+// ---------------------------------------------------------------------------
+
+namespace {
+
+inline float fast_log2f(float x) {  // mg_log2 (mmpriv.h:118-126)
+    union { float f; uint32_t i; } z = {x};
+    float lg = (float)(int)(((z.i >> 23) & 255) - 128);
+    z.i &= ~(255u << 23);
+    z.i += 127u << 23;
+    lg += (-0.34484843f * z.f + 2.02466578f) * z.f - 0.67487759f;
+    return lg;
+}
+
+inline int32_t pair_score(uint64_t axi, uint64_t ayi, uint64_t axj, uint64_t ayj,
+                          int32_t max_dist_x, int32_t max_dist_y, int32_t bw,
+                          float cg, float cs, int is_cdna, int n_seg) {
+    constexpr int32_t kMin = INT32_MIN;
+    int32_t dq = (int32_t)ayi - (int32_t)ayj;
+    int32_t sidi = (int32_t)((ayi >> 48) & 0xFF), sidj = (int32_t)((ayj >> 48) & 0xFF);
+    if (dq <= 0 || dq > max_dist_x) return kMin;
+    int32_t dr = (int32_t)(axi - axj);
+    bool same = sidi == sidj;
+    if (same && (dr == 0 || dq > max_dist_y)) return kMin;
+    int32_t dd = dr > dq ? dr - dq : dq - dr;
+    if (same && dd > bw) return kMin;
+    if (n_seg > 1 && !is_cdna && same && dr > max_dist_y) return kMin;
+    int32_t dg = dr < dq ? dr : dq;
+    int32_t q_span = (int32_t)(ayj >> 32 & 0xFF);
+    int32_t sc = q_span < dg ? q_span : dg;
+    if (dd || dg > q_span) {
+        float lin = cg * (float)dd + cs * (float)dg;
+        float lg = dd >= 1 ? fast_log2f((float)(dd + 1)) : 0.0f;
+        if (is_cdna || !same) {
+            if (!same && dr == 0) ++sc;
+            else if (dr > dq || !same) sc -= (int)(lin < lg ? lin : lg);
+            else sc -= (int)(lin + 0.5f * lg);
+        } else {
+            sc -= (int)(lin + 0.5f * lg);
+        }
+    }
+    return sc;
+}
+
+}  // namespace
+
+int64_t mmt_chain_dp(const uint64_t* ax, const uint64_t* ay, int64_t n,
+                     int max_dist_x, int max_dist_y, int bw, int max_skip,
+                     int max_iter, float cg, float cs, int is_cdna, int n_seg,
+                     int32_t* f, int64_t* p) {
+    (void)max_skip;  // infinity semantics (the byte-match contract)
+    int64_t st = 0, max_ii = -1;
+    for (int64_t i = 0; i < n; ++i) {
+        uint64_t xi = ax[i];
+        int32_t q_span = (int32_t)(ay[i] >> 32 & 0xFF);
+        int32_t max_f = q_span;
+        int64_t max_j = -1;
+        while (st < i && ((xi >> 32) != (ax[st] >> 32) || xi > ax[st] + (uint64_t)max_dist_x))
+            ++st;
+        int64_t st2 = st;
+        if (i - st2 > max_iter) st2 = i - max_iter;
+        for (int64_t j = i - 1; j >= st2; --j) {
+            int32_t sc = pair_score(xi, ay[i], ax[j], ay[j], max_dist_x,
+                                    max_dist_y, bw, cg, cs, is_cdna, n_seg);
+            if (sc == INT32_MIN) continue;
+            sc += f[j];
+            if (sc > max_f) { max_f = sc; max_j = j; }
+        }
+        int64_t end_j = st2 - 1;
+        if (max_ii < 0 || xi - ax[max_ii] > (uint64_t)max_dist_x) {
+            int32_t mx = INT32_MIN;
+            max_ii = -1;
+            for (int64_t j = i - 1; j >= st2; --j)
+                if (mx < f[j]) { mx = f[j]; max_ii = j; }
+        }
+        if (max_ii >= 0 && max_ii < end_j) {
+            int32_t tmp = pair_score(xi, ay[i], ax[max_ii], ay[max_ii],
+                                     max_dist_x, max_dist_y, bw, cg, cs,
+                                     is_cdna, n_seg);
+            if (tmp != INT32_MIN && max_f < tmp + f[max_ii]) {
+                max_f = tmp + f[max_ii];
+                max_j = max_ii;
+            }
+        }
+        f[i] = max_f;
+        p[i] = max_j;
+        if (max_ii < 0 || (xi - ax[max_ii] <= (uint64_t)max_dist_x && f[max_ii] < f[i]))
+            max_ii = i;
+    }
+    return n;
+}
+
+}  // extern "C"

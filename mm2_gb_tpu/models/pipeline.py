@@ -1,0 +1,147 @@
+"""Batched mapping pipeline with on-device chaining.
+
+The TPU analog of the reference's split pipeline (map.c worker_for under
+__AMD_SPLIT_KERNELS__, SURVEY.md §3.2): reads are seeded on the host,
+their anchors accumulated into a macro-batch, chain-scored on the TPU in
+one shot, then backtracked/post-processed on the host and written in
+input order.
+
+Differences from the reference's design, by intent:
+- no triple-buffer rotation: JAX's async dispatch overlaps host seeding of
+  batch N+1 with device scoring of batch N;
+- segments are cut at every zero-range anchor and packed into fixed-shape
+  buckets (recompile-free), instead of CUDA's dynamic grids;
+- capacity fallback: segments longer than the device cap chain on the
+  host (the reference falls back to CPU the same way, map.c:1030-1035).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+
+from mm2_gb_tpu.models import hit as hitmod
+from mm2_gb_tpu.models.index import MinimizerIndex
+from mm2_gb_tpu.models.mapper import _chain_gaps, post_process
+from mm2_gb_tpu.ops import chain as chain_ops
+from mm2_gb_tpu.ops import chain_rmq as rmq_ops
+from mm2_gb_tpu.ops import chain_tpu, seed as seed_ops
+from mm2_gb_tpu.ops.sketch import sketch
+from mm2_gb_tpu.utils import ksort, native
+from mm2_gb_tpu.utils.fastx import SeqRecord, read_batches
+from mm2_gb_tpu.utils.hashkit import read_order_hash
+from mm2_gb_tpu.utils.opts import (MapOptions, MM_F_NO_HASH_NAME,
+                                   MM_F_NO_LJOIN, MM_F_NO_PRINT_2ND,
+                                   MM_F_PAF_NO_HIT, MM_F_QSTRAND,
+                                   MM_F_SPLICE, MM_F_SR, MM_I_HPC)
+from mm2_gb_tpu.utils.paf import write_paf
+
+INT32_MAX = 2**31 - 1
+
+
+@dataclass
+class SeededRead:
+    rec: SeqRecord
+    ax: np.ndarray
+    ay: np.ndarray
+    rep_len: int
+    mini_pos: np.ndarray
+
+
+def seed_read(index: MinimizerIndex, opt: MapOptions, rec: SeqRecord
+              ) -> SeededRead:
+    """Host seeding stage (mm_map_seed analog, map.c:355-391)."""
+    mm = sketch(rec.seq, index.w, index.k, 0, bool(index.flag & MM_I_HPC))
+    if opt.q_occ_frac > 0.0:
+        mm = seed_ops.seed_mz_flt(mm, opt.mid_occ, opt.q_occ_frac)
+    ax, ay, rep_len, mini_pos = seed_ops.collect_seed_hits(
+        index, opt, opt.mid_occ, mm, rec.length, rec.name)
+    return SeededRead(rec, ax, ay, rep_len, mini_pos)
+
+
+def finish_read(index: MinimizerIndex, opt: MapOptions, sr: SeededRead,
+                f: np.ndarray, p: np.ndarray) -> list[hitmod.Region]:
+    """Backtrack device scores and run the standard post-chain path."""
+    qlen = sr.rec.length
+    max_drop = opt.bw if opt.bw < INT32_MAX else INT32_MAX
+    u, v = chain_ops.chain_backtrack(f, p, opt.min_cnt, opt.min_chain_score,
+                                     max_drop)
+    if u.shape[0] == 0:
+        u = np.empty(0, np.uint64)
+        cx = cy = np.empty(0, np.uint64)
+    else:
+        u, cx, cy = chain_ops.compact_chains(u, v, sr.ax, sr.ay)
+
+    chn_pen_gap = np.float32(float(np.float32(opt.chain_gap_scale)) * 0.01 * index.k)
+    chn_pen_skip = np.float32(float(np.float32(opt.chain_skip_scale)) * 0.01 * index.k)
+    # long-join rescue on the host (post_chaining_helper analog,
+    # map.c:428-484 — the reference also re-chains on the CPU after GPU)
+    if (opt.bw_long > opt.bw
+            and (opt.flag & (MM_F_SPLICE | MM_F_SR | MM_F_NO_LJOIN)) == 0
+            and u.shape[0] > 1):
+        cnt0 = int(u[0] & np.uint64(0xFFFFFFFF))
+        st = int(cy[0] & np.uint64(0xFFFFFFFF))
+        en = int(cy[cnt0 - 1] & np.uint64(0xFFFFFFFF))
+        if (qlen - (en - st) > opt.rmq_rescue_size
+                or en - st > qlen * opt.rmq_rescue_ratio):
+            perm = (native.radix_perm64(cx) if native.available()
+                    else ksort.radix_perm64(cx))
+            cx, cy = cx[perm], cy[perm]
+            u, cx, cy = rmq_ops.chain_rmq(
+                cx, cy, opt.max_gap, opt.rmq_inner_dist, opt.bw_long,
+                opt.max_chain_skip, opt.rmq_size_cap, opt.min_cnt,
+                opt.min_chain_score, chn_pen_gap, chn_pen_skip)
+
+    hash_ = read_order_hash(sr.rec.name, qlen, opt.seed,
+                            bool(opt.flag & MM_F_NO_HASH_NAME))
+    regs = hitmod.gen_regs(hash_, qlen, u, cx, cy,
+                           bool(opt.flag & MM_F_QSTRAND))
+    return post_process(index, opt, qlen, 1, [qlen], regs, cx, cy,
+                        sr.mini_pos, sr.rep_len)
+
+
+def map_batch_tpu(index: MinimizerIndex, opt: MapOptions,
+                  records: list[SeqRecord]) -> list[tuple[SeededRead, list]]:
+    """Seed + device-chain + finish one batch of reads."""
+    seeded = [seed_read(index, opt, rec) for rec in records]
+    bounds = np.zeros(len(seeded) + 1, dtype=np.int64)
+    for i, sr in enumerate(seeded):
+        bounds[i + 1] = bounds[i] + sr.ax.shape[0]
+    if bounds[-1] == 0:
+        return [(sr, []) for sr in seeded]
+    ax = np.concatenate([sr.ax for sr in seeded])
+    ay = np.concatenate([sr.ay for sr in seeded])
+
+    max_gap_qry, max_gap_ref = _chain_gaps(opt, 0)  # qlen-independent here
+    chn_pen_gap = np.float32(float(np.float32(opt.chain_gap_scale)) * 0.01 * index.k)
+    chn_pen_skip = np.float32(float(np.float32(opt.chain_skip_scale)) * 0.01 * index.k)
+    f, p = chain_tpu.chain_scores_device(
+        ax, ay, bounds, max_gap_ref, max_gap_qry, opt.bw,
+        opt.max_chain_iter, float(chn_pen_gap), float(chn_pen_skip))
+
+    out = []
+    for i, sr in enumerate(seeded):
+        s, e = int(bounds[i]), int(bounds[i + 1])
+        fp = f[s:e]
+        pp = np.where(p[s:e] >= 0, p[s:e] - s, -1)
+        regs = finish_read(index, opt, sr, fp, pp)
+        out.append((sr, regs))
+    return out
+
+
+def map_file_tpu(index: MinimizerIndex, opt: MapOptions,
+                 paths: list[str]) -> Iterator[str]:
+    """Stream PAF lines for query files, chaining on the TPU."""
+    for batch in read_batches(paths, opt.mini_batch_size):
+        for sr, regs in map_batch_tpu(index, opt, batch):
+            if regs:
+                for r in regs:
+                    if (opt.flag & MM_F_NO_PRINT_2ND) and r.id != r.parent:
+                        continue
+                    yield write_paf(r, sr.rec.name, sr.rec.length, index,
+                                    opt.flag, sr.rep_len, sr.rec.comment)
+            elif opt.flag & MM_F_PAF_NO_HIT:
+                yield write_paf(None, sr.rec.name, sr.rec.length, index,
+                                opt.flag, sr.rep_len)

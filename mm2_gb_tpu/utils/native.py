@@ -30,6 +30,16 @@ def _load():
     _TRIED = True
     path = _lib_path()
     if not os.path.exists(path):
+        # build on first use when a toolchain is available
+        import shutil
+        import subprocess
+        if shutil.which("make") and shutil.which("g++"):
+            try:
+                subprocess.run(["make", "-C", os.path.dirname(path)],
+                               capture_output=True, timeout=120, check=True)
+            except Exception:
+                return None
+    if not os.path.exists(path):
         return None
     try:
         lib = ctypes.CDLL(path)

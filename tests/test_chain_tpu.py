@@ -1,0 +1,110 @@
+"""Device chaining kernels vs the host oracle (interpret mode on CPU).
+
+Mirrors the reference's own GPU-vs-CPU validation strategy
+(gpu/debug.h:31-39 check_score/check_range): identical f[] scores and
+predecessors are required, which in turn guarantees byte-identical PAF.
+"""
+
+import numpy as np
+import pytest
+
+from mm2_gb_tpu.ops import chain as chain_ops
+from mm2_gb_tpu.ops import chain_tpu
+from mm2_gb_tpu.ops.chain_xla import chain_bucket_xla
+
+CG = float(np.float32(float(np.float32(0.8)) * 0.01 * 15))
+
+
+def _synthetic_anchors(n, seed, step_hi=12, jitter=6, rev_frac=0.0):
+    rng = np.random.default_rng(seed)
+    rpos = np.cumsum(rng.integers(1, step_hi, n))
+    qpos = rpos + rng.integers(-jitter, jitter + 1, n)
+    qpos = np.maximum.accumulate(np.maximum(qpos, 1))
+    ax = rpos.astype(np.uint64)
+    ay = (np.uint64(15) << np.uint64(32)) | qpos.astype(np.uint64)
+    return ax, ay
+
+
+def _device_vs_oracle(ax, ay, max_dist=5000, bw=500, max_iter=5000):
+    bounds = np.array([0, ax.shape[0]], dtype=np.int64)
+    fd, pd = chain_tpu.chain_scores_device(ax, ay, bounds, max_dist,
+                                           max_dist, bw, max_iter, CG, 0.0)
+    fo, po = chain_ops._chain_dp_scores(ax, ay, max_dist, max_dist, bw,
+                                        2**31 - 1, max_iter, np.float32(CG),
+                                        np.float32(0.0), False, 1)
+    assert np.array_equal(fo, fd)
+    assert np.array_equal(po, pd)
+
+
+def test_small_segments():
+    ax, ay = _synthetic_anchors(50, 0)
+    _device_vs_oracle(ax, ay)
+
+
+def test_medium_dense():
+    ax, ay = _synthetic_anchors(500, 1, step_hi=6)
+    _device_vs_oracle(ax, ay)
+
+
+def test_multi_segment_gaps():
+    """Anchors with >max_dist gaps produce several independent segments."""
+    chunks = []
+    base = 0
+    for s in range(5):
+        ax, ay = _synthetic_anchors(80, s + 2)
+        chunks.append((ax + np.uint64(base), ay))
+        base += int(ax[-1]) + 50000
+    ax = np.concatenate([c[0] for c in chunks])
+    ay = np.concatenate([c[1] for c in chunks])
+    rng = chain_tpu.compute_ranges(ax, np.array([0, ax.shape[0]], np.int64),
+                                   5000, 5000)
+    assert chain_tpu.cut_segments(rng).shape[0] > 5
+    _device_vs_oracle(ax, ay)
+
+
+def test_dense_repeat_long_ranges():
+    """A repeat cluster: many anchors within one window (flat-kernel path)."""
+    rng = np.random.default_rng(7)
+    n = 900
+    rpos = np.sort(rng.integers(0, 3000, n)).astype(np.uint64)
+    # enforce strictly monotone x by adding index (keeps ranges large)
+    rpos = rpos + np.arange(n, dtype=np.uint64)
+    qpos = (rpos + rng.integers(-200, 200, n).astype(np.int64)).clip(1)
+    ay = (np.uint64(15) << np.uint64(32)) | qpos.astype(np.uint64)
+    _device_vs_oracle(rpos, ay)
+
+
+def test_xla_fallback_matches_pallas_packing():
+    """chain_bucket_xla produces the same f/p as the oracle on one bucket."""
+    ax, ay = _synthetic_anchors(60, 9)
+    rngv = chain_tpu.compute_ranges(ax, np.array([0, 60], np.int64), 5000, 5000)
+    L = W = 64
+    X = np.zeros((L + W, 128), np.int32)
+    Y = np.zeros((L + W, 128), np.int32)
+    S = np.zeros((L + W, 128), np.int32)
+    R = np.zeros((L + W, 128), np.int32)
+    X[:60, 0] = (ax & np.uint64(0xFFFFFFFF)).astype(np.int32)
+    Y[:60, 0] = (ay & np.uint64(0xFFFFFFFF)).astype(np.int32)
+    S[:60, 0] = 15
+    R[:60, 0] = rngv
+    f, p = chain_bucket_xla(X, Y, S, R, L=L, W=W, max_dist_x=5000,
+                            max_dist_y=5000, bw=500, cg=CG, cs=0.0)
+    fo, po = chain_ops._chain_dp_scores(ax, ay, 5000, 5000, 500, 2**31 - 1,
+                                        5000, np.float32(CG), np.float32(0.0),
+                                        False, 1)
+    assert np.array_equal(np.asarray(f)[:60, 0], fo)
+    prel = np.asarray(p)[:60, 0].astype(np.int64)
+    pg = np.where(prel > 0, np.arange(60) - prel, -1)
+    assert np.array_equal(pg, po)
+
+
+def test_mg_log2_kernel_matches_host():
+    import jax
+    import jax.numpy as jnp
+    from mm2_gb_tpu.utils.hashkit import mg_log2
+    dd = np.concatenate([np.arange(1, 4096),
+                         np.random.default_rng(0).integers(1, 2**24, 5000)])
+    host = mg_log2((dd + 1).astype(np.float32))
+    dev = np.asarray(jax.jit(chain_tpu._mg_log2_f32)(
+        jnp.asarray((dd + 1).astype(np.float32))))
+    assert np.array_equal(host, dev)
