@@ -86,7 +86,7 @@ def apply_overrides(args, io: O.IndexOptions, mo: O.MapOptions) -> None:
     if args.rmq:
         mo.flag |= O.MM_F_RMQ
     if args.cigar:
-        mo.flag |= O.MM_F_CIGAR
+        mo.flag |= O.MM_F_CIGAR | O.MM_F_OUT_CG
     if args.sam:
         mo.flag |= O.MM_F_CIGAR | O.MM_F_OUT_SAM
     if args.secondary == "no":

@@ -413,3 +413,84 @@ def _set_inv_mapq(regs: list[Region]) -> None:
         if inv.inv:
             l, rr = regs[aux[k - 1][1]], regs[aux[k + 1][1]]
             inv.mapq = min(l.mapq, rr.mapq)
+
+
+def split_reg(r: Region, n: int, qlen: int, ax: np.ndarray, ay: np.ndarray,
+              is_qstrand: bool) -> "Region | None":
+    """Split a region at anchor n after a Z-drop (mm_split_reg, hit.c:106-123).
+
+    Mutates r in place and returns the tail region (or None)."""
+    import copy
+    if n <= 0 or n >= r.cnt:
+        return None
+    r2 = copy.copy(r)
+    r2.id = -1
+    r2.sam_pri = False
+    r2.p = None
+    r2.split_inv = False
+    r2.cnt = r.cnt - n
+    r2.score = int(np.float32(r.score * np.float32(r2.cnt / r.cnt)) + 0.499)
+    r2.as_ = r.as_ + n
+    if r.parent == r.id:
+        r2.parent = MM_PARENT_TMP_PRI
+    _set_coor(r2, qlen, ax, ay, is_qstrand)
+    r.cnt -= r2.cnt
+    r.score -= r2.score
+    _set_coor(r, qlen, ax, ay, is_qstrand)
+    r.split |= 1
+    r2.split |= 2
+    return r2
+
+
+def squeeze_a(regs: list[Region], ax: np.ndarray, ay: np.ndarray) -> int:
+    """Compact referenced anchors to a prefix of ax/ay, in target order
+    (mm_squeeze_a, hit.c:311-329).  Mutates ax/ay and regs[].as_."""
+    order = sorted(range(len(regs)), key=lambda i: (regs[i].as_, i))
+    as_ = 0
+    for i in order:
+        r = regs[i]
+        if r.as_ != as_:
+            ax[as_:as_ + r.cnt] = ax[r.as_:r.as_ + r.cnt]
+            ay[as_:as_ + r.cnt] = ay[r.as_:r.as_ + r.cnt]
+            r.as_ = as_
+        as_ += r.cnt
+    return as_
+
+
+def filter_regs(opt, qlen: int, regs: list[Region]) -> list[Region]:
+    """Drop low-support / low-identity regions (mm_filter_regs, hit.c:290-309)."""
+    out = []
+    for r in regs:
+        flt = False
+        if not r.inv and not r.seg_split and r.cnt < opt.min_cnt:
+            flt = True
+        if r.p is not None:
+            if r.mlen < opt.min_chain_score:
+                flt = True
+            elif r.p.dp_max < opt.min_dp_max:
+                flt = True
+            elif (r.qs > qlen * opt.max_clip_ratio
+                  and qlen - r.qe > qlen * opt.max_clip_ratio):
+                flt = True
+        if not flt:
+            out.append(r)
+    return out
+
+
+def hit_sort(regs: list[Region], alt_diff_frac: float) -> list[Region]:
+    """Sort by dp_max (or chain score), hash tie-broken, descending
+    (mm_hit_sort, hit.c:188-218).  Equal keys keep reversed input order,
+    matching the reference's stable radix sort + reversed copy-out."""
+    if len(regs) <= 1:
+        return regs
+    keep = [r for r in regs if r.inv or r.cnt > 0]
+    if not keep:
+        return []
+    keys = []
+    for r in keep:
+        score = r.p.dp_max if r.p is not None else r.score
+        if r.is_alt:
+            score = _alt_score(score, alt_diff_frac)
+        keys.append((score << 32 | r.hash))
+    order = np.argsort(np.array(keys, np.uint64), kind="stable")
+    return [keep[int(i)] for i in order[::-1]]

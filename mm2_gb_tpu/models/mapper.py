@@ -174,14 +174,14 @@ def map_frag(index: MinimizerIndex, opt: MapOptions, seqs: list[str],
     regs = hitmod.gen_regs(hash_, qlen_sum, u, cx, cy,
                            bool(opt.flag & MM_F_QSTRAND))
     regs = post_process(index, opt, qlen_sum, n_segs, qlens, regs, cx, cy,
-                        mini_pos, rep_len)
+                        mini_pos, rep_len, seqs)
     return MapResult(regs, rep_len, max_gap_ref, cx, cy)
 
 
 def post_process(index: MinimizerIndex, opt: MapOptions, qlen_sum: int,
                  n_segs: int, qlens: list[int], regs: list[Region],
                  cx: np.ndarray, cy: np.ndarray, mini_pos: np.ndarray,
-                 rep_len: int) -> list[Region]:
+                 rep_len: int, seqs: list[str] | None = None) -> list[Region]:
     """chain_post + est_err + mapq (map.c:737-773, single-segment path)."""
     is_sr = bool(opt.flag & MM_F_SR)
     if not (opt.flag & MM_F_ALL_CHAINS):
@@ -198,6 +198,18 @@ def post_process(index: MinimizerIndex, opt: MapOptions, qlen_sum: int,
     if n_segs == 1:
         if opt.flag & MM_F_CIGAR:
             from mm2_gb_tpu.ops import align as align_ops
-            regs = align_ops.align_regs(index, opt, qlen_sum, None, regs, cx, cy)
+            regs = align_ops.align_regs(index, opt, qlen_sum, seqs[0],
+                                        regs, cx, cy)
+            # re-pick primaries over the aligned set (align_regs wrapper,
+            # map.c:343-352)
+            if not (opt.flag & MM_F_ALL_CHAINS):
+                hitmod.set_parent(regs, opt.mask_level, opt.mask_len,
+                                  opt.a * 2 + opt.b,
+                                  bool(opt.flag & MM_F_HARD_MLEVEL),
+                                  opt.alt_drop)
+                regs = hitmod.select_sub(regs, opt.pri_ratio, index.k * 2,
+                                         opt.best_n, False,
+                                         int(opt.max_gap * 0.8))
+                hitmod.set_sam_pri(regs)
         hitmod.set_mapq(regs, opt.min_chain_score, opt.a, rep_len, is_sr)
     return regs

@@ -99,7 +99,7 @@ def finish_read(index: MinimizerIndex, opt: MapOptions, sr: SeededRead,
     regs = hitmod.gen_regs(hash_, qlen, u, cx, cy,
                            bool(opt.flag & MM_F_QSTRAND))
     return post_process(index, opt, qlen, 1, [qlen], regs, cx, cy,
-                        sr.mini_pos, sr.rep_len)
+                        sr.mini_pos, sr.rep_len, [sr.rec.seq])
 
 
 def map_batch_tpu(index: MinimizerIndex, opt: MapOptions,

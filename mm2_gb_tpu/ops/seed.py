@@ -23,6 +23,7 @@ from mm2_gb_tpu.utils import ksort, native
 from mm2_gb_tpu.utils.opts import (MapOptions, MM_F_NO_DIAG, MM_F_NO_DUAL,
                                    MM_F_FOR_ONLY, MM_F_REV_ONLY, MM_F_QSTRAND)
 
+MM_SEED_IGNORE = np.uint64(1 << 41)
 MM_SEED_TANDEM = np.uint64(1 << 42)
 MM_SEED_SELF = np.uint64(1 << 43)
 MM_SEED_LONG_JOIN = np.uint64(1 << 40)
