@@ -46,6 +46,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="run chaining on the TPU (analog of --gpu-chain)")
     p.add_argument("--tpu-cfg", default=None,
                    help="device batch config JSON (analog of --gpu-cfg)")
+    p.add_argument("--cs", nargs="?", const="short",
+                   choices=["short", "long"], default=None)
+    p.add_argument("--MD", action="store_true")
+    p.add_argument("--eqx", action="store_true")
+    p.add_argument("-R", dest="rg", default=None,
+                   help="SAM read group line (@RG\\tID:...)")
+    p.add_argument("--sam-hit-only", action="store_true")
     p.add_argument("--secondary", choices=["yes", "no"], default="yes")
     p.add_argument("--paf-no-hit", action="store_true")
     p.add_argument("--for-only", action="store_true")
@@ -89,6 +96,16 @@ def apply_overrides(args, io: O.IndexOptions, mo: O.MapOptions) -> None:
         mo.flag |= O.MM_F_CIGAR | O.MM_F_OUT_CG
     if args.sam:
         mo.flag |= O.MM_F_CIGAR | O.MM_F_OUT_SAM
+    if args.cs == "short":
+        mo.flag |= O.MM_F_OUT_CS | O.MM_F_CIGAR
+    elif args.cs == "long":
+        mo.flag |= O.MM_F_OUT_CS | O.MM_F_CIGAR | O.MM_F_OUT_CS_LONG
+    if args.MD:
+        mo.flag |= O.MM_F_OUT_MD | O.MM_F_CIGAR
+    if args.eqx:
+        mo.flag |= O.MM_F_EQX
+    if args.sam_hit_only:
+        mo.flag |= O.MM_F_SAM_HIT_ONLY
     if args.secondary == "no":
         mo.flag |= O.MM_F_NO_PRINT_2ND
     if args.paf_no_hit:
@@ -125,16 +142,39 @@ def main(argv: list[str] | None = None) -> int:
         for line in map_file_tpu(index, mo, args.query):
             out.write(line + "\n")
         return 0
+    is_sam = bool(mo.flag & O.MM_F_OUT_SAM)
+    rg_id = None
+    if is_sam:
+        from mm2_gb_tpu.utils.sam import write_sam_header
+        from mm2_gb_tpu import __version__
+        if args.rg:
+            rg = args.rg.replace("\\t", "\t")
+            rg_id = next((f[3:] for f in rg.split("\t")
+                          if f.startswith("ID:")), None)
+        out.write(write_sam_header(index, args.rg, __version__,
+                                   (argv if argv is not None
+                                    else sys.argv[1:])) + "\n")
     for path in args.query:
         for rec in read_fastx(path):
             res = map_frag(index, mo, [rec.seq], rec.name)
             if res.regs:
-                for r in res.regs:
+                for j, r in enumerate(res.regs):
                     if (mo.flag & O.MM_F_NO_PRINT_2ND) and r.id != r.parent:
                         continue
-                    out.write(write_paf(r, rec.name, rec.length, index,
-                                        mo.flag, res.rep_len, rec.comment) + "\n")
-            elif mo.flag & O.MM_F_PAF_NO_HIT:
+                    if is_sam:
+                        from mm2_gb_tpu.utils.sam import write_sam_record
+                        out.write(write_sam_record(
+                            index, rec, j, res.regs, mo.flag, res.rep_len,
+                            rg_id) + "\n")
+                    else:
+                        out.write(write_paf(r, rec.name, rec.length, index,
+                                            mo.flag, res.rep_len, rec.comment,
+                                            rec.seq) + "\n")
+            elif is_sam and not (mo.flag & O.MM_F_SAM_HIT_ONLY):
+                from mm2_gb_tpu.utils.sam import write_sam_record
+                out.write(write_sam_record(index, rec, -1, res.regs, mo.flag,
+                                           res.rep_len, rg_id) + "\n")
+            elif (mo.flag & O.MM_F_PAF_NO_HIT) and not is_sam:
                 out.write(write_paf(None, rec.name, rec.length, index,
                                     mo.flag, res.rep_len) + "\n")
     return 0

@@ -7,8 +7,9 @@ write_tags (format.c:274-300).
 from __future__ import annotations
 
 from mm2_gb_tpu.models.hit import Region
-from mm2_gb_tpu.utils.opts import (MM_F_OUT_CG, MM_F_OUT_CS, MM_F_OUT_MD,
-                                   MM_F_QSTRAND, MM_F_COPY_COMMENT)
+from mm2_gb_tpu.utils.opts import (MM_F_OUT_CG, MM_F_OUT_CS, MM_F_OUT_CS_LONG,
+                                   MM_F_OUT_MD, MM_F_QSTRAND,
+                                   MM_F_COPY_COMMENT)
 
 CIGAR_STR = "MIDNSHP=XB"
 
@@ -34,7 +35,8 @@ def _event_identity(r: Region) -> float:
 
 
 def write_paf(r: Region | None, qname: str, qlen: int, index,
-              opt_flag: int, rep_len: int, comment: str | None = None) -> str:
+              opt_flag: int, rep_len: int, comment: str | None = None,
+              qseq: str | None = None) -> str:
     """One PAF line (no trailing newline)."""
     if r is None:
         s = f"{qname}\t{qlen}\t0\t0\t*\t*\t0\t0\t0\t0\t0\t0"
@@ -62,6 +64,12 @@ def write_paf(r: Region | None, qname: str, qlen: int, index,
     if r.p is not None and (opt_flag & MM_F_OUT_CG):
         cg = "".join(f"{int(c) >> 4}{CIGAR_STR[int(c) & 0xF]}" for c in r.p.cigar)
         s += f"\tcg:Z:{cg}"
+    if r.p is not None and (opt_flag & (MM_F_OUT_CS | MM_F_OUT_MD)) \
+            and qseq is not None:
+        from mm2_gb_tpu.utils.sam import write_cs_or_md
+        s += write_cs_or_md(index, qseq, r, not (opt_flag & MM_F_OUT_CS_LONG),
+                            bool(opt_flag & MM_F_OUT_MD), True,
+                            bool(opt_flag & MM_F_QSTRAND))
     if (opt_flag & MM_F_COPY_COMMENT) and comment:
         s += f"\t{comment}"
     return s

@@ -31,3 +31,33 @@ def test_paf_byte_match(ref_test_dir, target, query, golden, capsys):
     with open(golden_path(golden)) as f:
         expected = f.read()
     assert out == expected
+
+
+CIGAR_PAIRS = [
+    ("t-inv.fa", "q-inv.fa", "t-inv.skipinf.c.paf"),
+    ("t2.fa", "q2.fa", "t2.skipinf.c.paf"),
+]
+
+
+@pytest.mark.parametrize("target,query,golden", CIGAR_PAIRS)
+def test_cigar_paf_byte_match(ref_test_dir, target, query, golden, capsys):
+    rc = main(["--max-chain-skip=2147483647", "-c",
+               os.path.join(ref_test_dir, target),
+               os.path.join(ref_test_dir, query)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    with open(golden_path(golden)) as f:
+        assert out == f.read()
+
+
+def test_sam_byte_match(ref_test_dir, capsys):
+    """SAM records match the reference; @PG differs by design (CL/VN)."""
+    rc = main(["--max-chain-skip=2147483647", "-a",
+               os.path.join(ref_test_dir, "t-inv.fa"),
+               os.path.join(ref_test_dir, "q-inv.fa")])
+    assert rc == 0
+    got = [l for l in capsys.readouterr().out.splitlines()
+           if not l.startswith("@PG")]
+    with open(golden_path("t-inv.skipinf.sam")) as f:
+        want = [l for l in f.read().splitlines() if not l.startswith("@PG")]
+    assert got == want
