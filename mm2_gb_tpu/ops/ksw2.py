@@ -21,9 +21,27 @@ ksw2_extz2_sse.c:31-312 and ksw2_extd2_sse.c:34-401.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 import numpy as np
+
+from mm2_gb_tpu.utils import native
+
+
+def _use_native() -> bool:
+    return native.available() and not os.environ.get("MM2TPU_NO_NATIVE")
+
+
+def _ez_from_native(scal: np.ndarray, cig: np.ndarray) -> "Extz":
+    ez = Extz()
+    (ez.score, ez.max, ez.max_q, ez.max_t, ez.mqe, ez.mqe_t, ez.mte,
+     ez.mte_q) = (int(scal[0]), int(scal[1]), int(scal[2]), int(scal[3]),
+                  int(scal[4]), int(scal[5]), int(scal[6]), int(scal[7]))
+    ez.zdropped = bool(scal[8])
+    ez.reach_end = bool(scal[9])
+    ez.cigar = cig
+    return ez
 
 KSW_NEG_INF = -0x40000000
 
@@ -211,6 +229,12 @@ def extz2(qseq: np.ndarray, tseq: np.ndarray, mat: np.ndarray, q: int,
           e: int, w: int, zdrop: int, end_bonus: int, flag: int,
           m: int = 5) -> Extz:
     """Single-gap-cost extension (ksw_extz2_sse, SSE4.1 semantics)."""
+    if _use_native() and not (flag & KSW_EZ_GENERIC_SC):
+        qv = np.ascontiguousarray(qseq, np.uint8)
+        tv = np.ascontiguousarray(tseq, np.uint8)
+        if qv.shape[0] and tv.shape[0]:
+            return _ez_from_native(*native.ksw_extz2(
+                qv, tv, mat, q, e, w, zdrop, end_bonus, flag))
     ez = Extz()
     qlen, tlen = len(qseq), len(tseq)
     if m <= 0 or qlen <= 0 or tlen <= 0:
@@ -384,6 +408,12 @@ def extd2(qseq: np.ndarray, tseq: np.ndarray, mat: np.ndarray, q: int,
           e: int, q2: int, e2: int, w: int, zdrop: int, end_bonus: int,
           flag: int, m: int = 5) -> Extz:
     """Dual-gap-cost extension (ksw_extd2_sse, SSE4.1 semantics)."""
+    if _use_native() and not (flag & KSW_EZ_GENERIC_SC):
+        qv = np.ascontiguousarray(qseq, np.uint8)
+        tv = np.ascontiguousarray(tseq, np.uint8)
+        if qv.shape[0] and tv.shape[0]:
+            return _ez_from_native(*native.ksw_extd2(
+                qv, tv, mat, q, e, q2, e2, w, zdrop, end_bonus, flag))
     ez = Extz()
     qlen, tlen = len(qseq), len(tseq)
     if m <= 1 or qlen <= 0 or tlen <= 0:
@@ -599,6 +629,10 @@ def sw_ll(qseq: np.ndarray, tseq: np.ndarray, mat: np.ndarray, gapo: int,
     including the striped padding lanes (scored 0) and the striped-order
     tie-breaking of the query end position.  Returns (score, qe, te).
     """
+    if _use_native() and len(qseq) and len(tseq):
+        return native.sw_ll(np.ascontiguousarray(qseq, np.uint8),
+                            np.ascontiguousarray(tseq, np.uint8),
+                            mat, gapo, gape)
     qlen, tlen = len(qseq), len(tseq)
     slen = (qlen + 7) // 8
     qlen8 = slen * 8

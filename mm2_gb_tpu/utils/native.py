@@ -64,6 +64,28 @@ def _load():
         ctypes.c_float, ctypes.c_float, ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
     ]
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i8p = ctypes.POINTER(ctypes.c_int8)
+    lib.mmt_ksw_extz2.restype = ctypes.c_int64
+    lib.mmt_ksw_extz2.argtypes = [
+        u8p, ctypes.c_int32, u8p, ctypes.c_int32, i8p, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, i32p, u32p, ctypes.c_int64,
+    ]
+    lib.mmt_ksw_extd2.restype = ctypes.c_int64
+    lib.mmt_ksw_extd2.argtypes = [
+        u8p, ctypes.c_int32, u8p, ctypes.c_int32, i8p, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        i32p, u32p, ctypes.c_int64,
+    ]
+    lib.mmt_sw_ll.restype = ctypes.c_int32
+    lib.mmt_sw_ll.argtypes = [
+        u8p, ctypes.c_int32, u8p, ctypes.c_int32, i8p, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, i32p, i32p,
+    ]
     _LIB = lib
     return _LIB
 
@@ -118,3 +140,63 @@ def chain_dp(ax: np.ndarray, ay: np.ndarray, max_dist_x: int, max_dist_y: int,
         p.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
     )
     return f, p
+
+
+def _u8(a):
+    import ctypes as _c
+    return a.ctypes.data_as(_c.POINTER(_c.c_uint8))
+
+
+def ksw_extz2(qseq, tseq, mat, q, e, w, zdrop, end_bonus, flag):
+    """Native extz2; returns (ez_scalars int32[10], cigar uint32[n])."""
+    lib = _load()
+    qseq = np.ascontiguousarray(qseq, np.uint8)
+    tseq = np.ascontiguousarray(tseq, np.uint8)
+    mat = np.ascontiguousarray(mat, np.int8)
+    ez = np.zeros(10, np.int32)
+    cap = qseq.shape[0] + tseq.shape[0] + 4
+    cig = np.empty(cap, np.uint32)
+    n = lib.mmt_ksw_extz2(
+        _u8(qseq), qseq.shape[0], _u8(tseq), tseq.shape[0],
+        mat.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)), 5,
+        q, e, w, zdrop, end_bonus, flag,
+        ez.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        cig.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), cap)
+    if n < 0:
+        raise RuntimeError("mmt_ksw_extz2: cigar capacity exceeded")
+    return ez, cig[:n].copy()
+
+
+def ksw_extd2(qseq, tseq, mat, q, e, q2, e2, w, zdrop, end_bonus, flag):
+    """Native extd2; returns (ez_scalars int32[10], cigar uint32[n])."""
+    lib = _load()
+    qseq = np.ascontiguousarray(qseq, np.uint8)
+    tseq = np.ascontiguousarray(tseq, np.uint8)
+    mat = np.ascontiguousarray(mat, np.int8)
+    ez = np.zeros(10, np.int32)
+    cap = qseq.shape[0] + tseq.shape[0] + 4
+    cig = np.empty(cap, np.uint32)
+    n = lib.mmt_ksw_extd2(
+        _u8(qseq), qseq.shape[0], _u8(tseq), tseq.shape[0],
+        mat.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)), 5,
+        q, e, q2, e2, w, zdrop, end_bonus, flag,
+        ez.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        cig.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), cap)
+    if n < 0:
+        raise RuntimeError("mmt_ksw_extd2: cigar capacity exceeded")
+    return ez, cig[:n].copy()
+
+
+def sw_ll(qseq, tseq, mat, gapo, gape):
+    """Native small SW; returns (score, qe, te)."""
+    lib = _load()
+    qseq = np.ascontiguousarray(qseq, np.uint8)
+    tseq = np.ascontiguousarray(tseq, np.uint8)
+    mat = np.ascontiguousarray(mat, np.int8)
+    qe = ctypes.c_int32()
+    te = ctypes.c_int32()
+    score = lib.mmt_sw_ll(
+        _u8(qseq), qseq.shape[0], _u8(tseq), tseq.shape[0],
+        mat.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)), 5, gapo, gape,
+        ctypes.byref(qe), ctypes.byref(te))
+    return int(score), int(qe.value), int(te.value)

@@ -34,6 +34,7 @@ def test_paf_byte_match(ref_test_dir, target, query, golden, capsys):
 
 
 CIGAR_PAIRS = [
+    ("MT-human.fa", "MT-orang.fa", "MT.skipinf.c.paf"),
     ("t-inv.fa", "q-inv.fa", "t-inv.skipinf.c.paf"),
     ("t2.fa", "q2.fa", "t2.skipinf.c.paf"),
 ]
@@ -61,3 +62,49 @@ def test_sam_byte_match(ref_test_dir, capsys):
     with open(golden_path("t-inv.skipinf.sam")) as f:
         want = [l for l in f.read().splitlines() if not l.startswith("@PG")]
     assert got == want
+
+
+MODE_CASES = [
+    (["--cs", "-c"], "MT.skipinf.cs.paf"),
+    (["-c", "--eqx"], "MT.skipinf.eqx.paf"),
+]
+
+
+@pytest.mark.parametrize("flags,golden", MODE_CASES)
+def test_output_modes_byte_match(ref_test_dir, flags, golden, capsys):
+    rc = main(["--max-chain-skip=2147483647", *flags,
+               os.path.join(ref_test_dir, "MT-human.fa"),
+               os.path.join(ref_test_dir, "MT-orang.fa")])
+    assert rc == 0
+    with open(golden_path(golden)) as f:
+        assert capsys.readouterr().out == f.read()
+
+
+def test_md_sam_byte_match(ref_test_dir, capsys):
+    rc = main(["--max-chain-skip=2147483647", "--MD", "-a",
+               os.path.join(ref_test_dir, "MT-human.fa"),
+               os.path.join(ref_test_dir, "MT-orang.fa")])
+    assert rc == 0
+    got = [l for l in capsys.readouterr().out.splitlines()
+           if not l.startswith("@PG")]
+    with open(golden_path("MT.skipinf.MD.sam")) as f:
+        want = [l for l in f.read().splitlines() if not l.startswith("@PG")]
+    assert got == want
+
+
+SIM_CASES = [
+    ([], "sim200.skipinf.paf.gz"),
+    (["--cs", "-c"], "sim200.skipinf.cs.paf.gz"),
+]
+
+
+@pytest.mark.parametrize("flags,golden", SIM_CASES)
+def test_sim200_byte_match(flags, golden, capsys):
+    """200 simulated ONT-like reads (0.5-20 kb, subs+indels) vs goldens
+    from the reference binary at -t 1 --max-chain-skip=2147483647."""
+    import gzip
+    rc = main(["--max-chain-skip=2147483647", *flags,
+               golden_path("simref.fa.gz"), golden_path("simreads.fa.gz")])
+    assert rc == 0
+    with gzip.open(golden_path(golden), "rt") as f:
+        assert capsys.readouterr().out == f.read()
