@@ -114,9 +114,10 @@ inline void push_cigar(std::vector<uint32_t> &cig, uint32_t op, uint32_t len) {
     else cig.push_back(len << 4 | op);
 }
 
-void backtrack(const uint8_t *p, const int32_t *off, const int32_t *off_end,
-               int n_col, int i0, int j0, bool rev_cigar,
-               std::vector<uint32_t> &cig) {
+void backtrack_core(const uint8_t *p, const int32_t *off,
+                    const int32_t *off_end, int n_col, int i0, int j0,
+                    bool rev_cigar, int min_intron_len,
+                    std::vector<uint32_t> &cig) {
     int i = i0, j = j0, state = 0;
     while (i >= 0 && j >= 0) {
         int r = i + j, force_state = -1;
@@ -128,15 +129,33 @@ void backtrack(const uint8_t *p, const int32_t *off, const int32_t *off_end,
         if (state == 0) state = tmp & 7;
         if (force_state >= 0) state = force_state;
         if (state == 0) { push_cigar(cig, 0, 1); --i; --j; }
-        else if (state == 1 || state == 3) { push_cigar(cig, 2, 1); --i; }
+        else if (state == 1 || (state == 3 && min_intron_len <= 0)) {
+            push_cigar(cig, 2, 1); --i;
+        } else if (state == 3) { push_cigar(cig, 3, 1); --i; }
         else { push_cigar(cig, 1, 1); --j; }
     }
-    if (i >= 0) push_cigar(cig, 2, i + 1);
+    if (i >= 0)
+        push_cigar(cig, (min_intron_len > 0 && i >= min_intron_len) ? 3 : 2,
+                   i + 1);
     if (j >= 0) push_cigar(cig, 1, j + 1);
     if (!rev_cigar) {
         for (size_t a = 0, b = cig.size(); a + 1 < b; ++a)
             std::swap(cig[a], cig[--b]);
     }
+}
+
+void backtrack(const uint8_t *p, const int32_t *off, const int32_t *off_end,
+               int n_col, int i0, int j0, bool rev_cigar,
+               std::vector<uint32_t> &cig) {
+    backtrack_core(p, off, off_end, n_col, i0, j0, rev_cigar, 0, cig);
+}
+
+void backtrack_intron(const uint8_t *p, const int32_t *off,
+                      const int32_t *off_end, int n_col, int i0, int j0,
+                      bool rev_cigar, int min_intron_len,
+                      std::vector<uint32_t> &cig) {
+    backtrack_core(p, off, off_end, n_col, i0, j0, rev_cigar,
+                   min_intron_len, cig);
 }
 
 int64_t finish(const Ez &ez, const std::vector<uint32_t> &cig,
@@ -522,3 +541,216 @@ int32_t mmt_sw_ll(const uint8_t *qseq, int32_t qlen, const uint8_t *tseq,
 }
 
 }  // extern "C"
+
+// splice-aware extension (ksw_exts2_sse semantics; see ops/ksw2_splice.py)
+extern "C" int64_t mmt_ksw_exts2(const uint8_t *qseq, int32_t qlen,
+                                 const uint8_t *tseq, int32_t tlen,
+                                 const int8_t *mat, int32_t m, int32_t q,
+                                 int32_t e, int32_t q2, int32_t noncan,
+                                 int32_t zdrop, int32_t junc_bonus,
+                                 int32_t flag, const uint8_t *junc,
+                                 int32_t *ez_out, uint32_t *cigar_out,
+                                 int64_t cigar_cap) {
+    constexpr int32_t EZ_SPLICE_FOR = 0x100, EZ_SPLICE_REV = 0x200,
+        EZ_SPLICE_FLANK = 0x400;
+    Ez ez;
+    std::vector<uint32_t> cig;
+    if (m <= 1 || qlen <= 0 || tlen <= 0 || q2 <= q + e)
+        return finish(ez, cig, ez_out, cigar_out, cigar_cap);
+    const bool with_cigar = !(flag & EZ_SCORE_ONLY);
+    const bool approx_max = flag & EZ_APPROX_MAX;
+    const bool right = flag & EZ_RIGHT;
+    const int8_t mat0 = mat[0], mat1 = mat[1];
+    const int8_t scN = mat[m * m - 1] == 0 ? (int8_t)-e : mat[m * m - 1];
+    int8_t min_sc = mat[0];
+    for (int t = 1; t < m * m; ++t) if (mat[t] < min_sc) min_sc = mat[t];
+    if (-min_sc > 2 * (q + e))
+        return finish(ez, cig, ez_out, cigar_out, cigar_cap);
+    const int tlen_ = (tlen + 15) / 16, qlen_ = (qlen + 15) / 16;
+    const int n_col = ((qlen < tlen ? qlen : tlen) + 15) / 16 * 16 + 16;
+    const int nbytes = tlen_ * 16, n_rows = qlen + tlen - 1;
+
+    int long_thres = (q2 - q) / e - 1;
+    if (q2 > q + e + long_thres * e) ++long_thres;
+    const int long_diff = long_thres * e - (q2 - q);
+    const int8_t nqe = (int8_t)(-q - e);
+
+    std::vector<int8_t> u(nbytes, nqe), v(nbytes, nqe), x(nbytes, nqe),
+        y(nbytes, nqe), x2(nbytes, (int8_t)-q2);
+    std::vector<int8_t> donor(nbytes, (int8_t)-noncan),
+        acceptor(nbytes, (int8_t)-noncan);
+    SMem sm(tlen_, qlen_);
+    std::memcpy(sm.sf(), tseq, tlen);
+    for (int t = 0; t < qlen; ++t) sm.qr()[t] = (int8_t)qseq[qlen - 1 - t];
+
+    if (flag & (EZ_SPLICE_FOR | EZ_SPLICE_REV)) {
+        // C truncation: -noncan/2 (GTr/yAG worth 0.5 bit, PMID:18688272)
+        const int semi = (flag & EZ_SPLICE_FLANK) ? -(noncan / 2) : 0;
+        const bool sfor = flag & EZ_SPLICE_FOR, srev = flag & EZ_SPLICE_REV;
+        const uint8_t *t_ = tseq;
+        if (!(flag & EZ_REV_CIGAR)) {
+            for (int i = 0; i < tlen - 4; ++i) {
+                int can = 0;
+                if (sfor && t_[i+1] == 2 && t_[i+2] == 3) can = 1;
+                if (srev && t_[i+1] == 1 && t_[i+2] == 3) can = 1;
+                if (can && (t_[i+3] == 0 || t_[i+3] == 2)) can = 2;
+                if (can) donor[i] = can == 2 ? 0 : (int8_t)semi;
+            }
+            if (junc)
+                for (int i = 0; i < tlen - 1; ++i)
+                    if ((sfor && (junc[i+1] & 1)) || (srev && (junc[i+1] & 8)))
+                        donor[i] = (int8_t)(donor[i] + junc_bonus);
+            for (int i = 2; i < tlen; ++i) {
+                int can = 0;
+                if (sfor && t_[i-1] == 0 && t_[i] == 2) can = 1;
+                if (srev && t_[i-1] == 0 && t_[i] == 1) can = 1;
+                if (can && (t_[i-2] == 1 || t_[i-2] == 3)) can = 2;
+                if (can) acceptor[i] = can == 2 ? 0 : (int8_t)semi;
+            }
+            if (junc)
+                for (int i = 0; i < tlen; ++i)
+                    if ((sfor && (junc[i] & 2)) || (srev && (junc[i] & 4)))
+                        acceptor[i] = (int8_t)(acceptor[i] + junc_bonus);
+        } else {
+            for (int i = 0; i < tlen - 4; ++i) {
+                int can = 0;
+                if (sfor && t_[i+1] == 2 && t_[i+2] == 0) can = 1;
+                if (srev && t_[i+1] == 1 && t_[i+2] == 0) can = 1;
+                if (can && (t_[i+3] == 1 || t_[i+3] == 3)) can = 2;
+                if (can) donor[i] = can == 2 ? 0 : (int8_t)semi;
+            }
+            if (junc)
+                for (int i = 0; i < tlen - 1; ++i)
+                    if ((sfor && (junc[i+1] & 2)) || (srev && (junc[i+1] & 4)))
+                        donor[i] = (int8_t)(donor[i] + junc_bonus);
+            for (int i = 2; i < tlen; ++i) {
+                int can = 0;
+                if (sfor && t_[i-1] == 3 && t_[i] == 2) can = 1;
+                if (srev && t_[i-1] == 3 && t_[i] == 1) can = 1;
+                if (can && (t_[i-2] == 0 || t_[i-2] == 2)) can = 2;
+                if (can) acceptor[i] = can == 2 ? 0 : (int8_t)semi;
+            }
+            if (junc)
+                for (int i = 0; i < tlen; ++i)
+                    if ((sfor && (junc[i] & 1)) || (srev && (junc[i] & 8)))
+                        acceptor[i] = (int8_t)(acceptor[i] + junc_bonus);
+        }
+    }
+
+    std::vector<int32_t> H;
+    if (!approx_max) H.assign(nbytes, KSW_NEG_INF);
+    std::vector<uint8_t> P;
+    std::vector<int32_t> off(n_rows, 0), off_end(n_rows, 0);
+    if (with_cigar) P.assign((size_t)n_rows * n_col, 0);
+
+    const int qe = q + e;
+    int32_t H0 = 0; int last_H0_t = 0;
+    int last_st = -1, last_en = -1;
+    auto bound_v = [&](int r) -> int8_t {
+        if (r == 0) return nqe;
+        if (r < long_thres) return (int8_t)-e;
+        if (r == long_thres) return (int8_t)long_diff;
+        return 0;
+    };
+
+    for (int r = 0; r < n_rows; ++r) {
+        int st = r - qlen + 1 > 0 ? r - qlen + 1 : 0;
+        int en = r < tlen - 1 ? r : tlen - 1;
+        int st0 = st, en0 = en;
+        st = st / 16 * 16;
+        en = (en + 16) / 16 * 16 - 1;
+        int8_t x1, x21, v1;
+        if (st > 0) {
+            if (st - 1 >= last_st && st - 1 <= last_en) {
+                x1 = x[st - 1]; x21 = x2[st - 1]; v1 = v[st - 1];
+            } else { x1 = nqe; x21 = (int8_t)-q2; v1 = nqe; }
+        } else { x1 = nqe; x21 = (int8_t)-q2; v1 = bound_v(r); }
+        if (en >= r) { y[r] = nqe; u[r] = bound_v(r); }
+        sm.fill_scores(r, qlen, st0, en0, mat0, mat1, scN);
+
+        uint8_t *pr = with_cigar ? P.data() + (size_t)r * n_col : nullptr;
+        if (with_cigar) { off[r] = st; off_end[r] = en; }
+        int8_t xc = x1, x2c = x21, vc = v1;
+        for (int t = st; t <= en; ++t) {
+            int8_t xt1 = xc, x2t1 = x2c, vt1 = vc;
+            xc = x[t]; x2c = x2[t]; vc = v[t];
+            int8_t z = sm.s()[t];
+            int8_t a = (int8_t)(xt1 + vt1);
+            int8_t ut = u[t];
+            int8_t b = (int8_t)(y[t] + ut);
+            int8_t a2 = (int8_t)(x2t1 + vt1);
+            int8_t a2a = (int8_t)(a2 + acceptor[t]);
+            uint8_t d;
+            if (right) {
+                d = (z > a) ? 0 : 1; z = z > a ? z : a;
+                if (!(z > b)) d = 2; z = z > b ? z : b;
+                if (!(z > a2a)) d = 3; z = z > a2a ? z : a2a;
+            } else {
+                d = (a > z) ? 1 : 0; z = z > a ? z : a;
+                if (b > z) d = 2; z = z > b ? z : b;
+                if (a2a > z) d = 3; z = z > a2a ? z : a2a;
+            }
+            u[t] = (int8_t)(z - vt1);
+            v[t] = (int8_t)(z - ut);
+            int8_t tq = (int8_t)(z - (int8_t)q);
+            a = (int8_t)(a - tq);
+            b = (int8_t)(b - tq);
+            a2 = (int8_t)(a2 - (int8_t)(z - (int8_t)q2));
+            bool ta = right ? (a >= 0) : (a > 0);
+            bool tb = right ? (b >= 0) : (b > 0);
+            bool ta2 = right ? (a2 >= donor[t]) : (a2 > donor[t]);
+            x[t] = (int8_t)((ta ? a : 0) - (int8_t)qe);
+            y[t] = (int8_t)((tb ? b : 0) - (int8_t)qe);
+            x2[t] = (int8_t)((ta2 ? a2 : donor[t]) - (int8_t)q2);
+            if (with_cigar) {
+                if (ta) d |= 0x08;
+                if (tb) d |= 0x10;
+                if (ta2) d |= 0x20;
+                pr[t - st] = d;
+            }
+        }
+
+        if (!approx_max) {
+            int32_t max_H, max_t, h_en0;
+            if (r > 0) {
+                h_en0 = en0 > 0 ? H[en0 - 1] + u[en0] : H[en0] + v[en0];
+                H[en0] = h_en0;
+                for (int t = st0; t < en0; ++t) H[t] += (int32_t)v[t];
+                row_max(H.data(), st0, en0, h_en0, max_H, max_t);
+            } else {
+                H[0] = (int32_t)v[0] - qe;
+                max_H = H[0]; max_t = 0;
+            }
+            if (en0 == tlen - 1 && H[en0] > ez.mte) { ez.mte = H[en0]; ez.mte_q = r - en; }
+            if (r - st0 == qlen - 1 && H[st0] > ez.mqe) { ez.mqe = H[st0]; ez.mqe_t = st0; }
+            if (apply_zdrop(ez, max_H, r, max_t, zdrop, 0)) break;
+            if (r == n_rows - 1 && en0 == tlen - 1) ez.score = H[tlen - 1];
+        } else {
+            if (r > 0) {
+                if (last_H0_t >= st0 && last_H0_t <= en0 &&
+                    last_H0_t + 1 >= st0 && last_H0_t + 1 <= en0) {
+                    int32_t d0 = v[last_H0_t], d1 = u[last_H0_t + 1];
+                    if (d0 > d1) H0 += d0;
+                    else { H0 += d1; ++last_H0_t; }
+                } else if (last_H0_t >= st0 && last_H0_t <= en0) {
+                    H0 += v[last_H0_t];
+                } else { ++last_H0_t; H0 += u[last_H0_t]; }
+                if ((flag & EZ_APPROX_DROP) &&
+                    apply_zdrop(ez, H0, r, last_H0_t, zdrop, 0)) break;
+            } else { H0 = (int32_t)v[0] - qe; last_H0_t = 0; }
+            if (r == n_rows - 1 && en0 == tlen - 1) ez.score = H0;
+        }
+        last_st = st; last_en = en;
+    }
+
+    if (with_cigar) {
+        bool rev = flag & EZ_REV_CIGAR;
+        if (!ez.zdropped && !(flag & EZ_EXTZ_ONLY))
+            backtrack_intron(P.data(), off.data(), off_end.data(), n_col,
+                             tlen - 1, qlen - 1, rev, long_thres, cig);
+        else if (ez.max_t >= 0 && ez.max_q >= 0)
+            backtrack_intron(P.data(), off.data(), off_end.data(), n_col,
+                             ez.max_t, ez.max_q, rev, long_thres, cig);
+    }
+    return finish(ez, cig, ez_out, cigar_out, cigar_cap);
+}

@@ -46,6 +46,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="run chaining on the TPU (analog of --gpu-chain)")
     p.add_argument("--tpu-cfg", default=None,
                    help="device batch config JSON (analog of --gpu-cfg)")
+    p.add_argument("-u", dest="splice_strand", choices=["f", "b", "r", "n"],
+                   default=None)
+    p.add_argument("-C", dest="noncan", type=int, default=None)
     p.add_argument("--cs", nargs="?", const="short",
                    choices=["short", "long"], default=None)
     p.add_argument("--MD", action="store_true")
@@ -106,6 +109,16 @@ def apply_overrides(args, io: O.IndexOptions, mo: O.MapOptions) -> None:
         mo.flag |= O.MM_F_EQX
     if args.sam_hit_only:
         mo.flag |= O.MM_F_SAM_HIT_ONLY
+    if args.splice_strand is not None:  # main.c:199-205
+        mo.flag &= ~(O.MM_F_SPLICE_FOR | O.MM_F_SPLICE_REV)
+        if args.splice_strand == "f":
+            mo.flag |= O.MM_F_SPLICE_FOR
+        elif args.splice_strand == "r":
+            mo.flag |= O.MM_F_SPLICE_REV
+        elif args.splice_strand == "b":
+            mo.flag |= O.MM_F_SPLICE_FOR | O.MM_F_SPLICE_REV
+    if args.noncan is not None:
+        mo.noncan = args.noncan
     if args.secondary == "no":
         mo.flag |= O.MM_F_NO_PRINT_2ND
     if args.paf_no_hit:

@@ -454,7 +454,7 @@ def _fix_cigar(r: Region, qseq, tseq):
                 for kk in range(k + 2, l):
                     cig[kk] &= 0xF
                 to_shrink = True
-            k = l
+            k = l + 1  # C's for-loop increments after k = l
         else:
             k += 1
     if to_shrink:

@@ -81,6 +81,13 @@ def _load():
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         i32p, u32p, ctypes.c_int64,
     ]
+    lib.mmt_ksw_exts2.restype = ctypes.c_int64
+    lib.mmt_ksw_exts2.argtypes = [
+        u8p, ctypes.c_int32, u8p, ctypes.c_int32, i8p, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, u8p,
+        i32p, u32p, ctypes.c_int64,
+    ]
     lib.mmt_sw_ll.restype = ctypes.c_int32
     lib.mmt_sw_ll.argtypes = [
         u8p, ctypes.c_int32, u8p, ctypes.c_int32, i8p, ctypes.c_int32,
@@ -200,3 +207,27 @@ def sw_ll(qseq, tseq, mat, gapo, gape):
         mat.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)), 5, gapo, gape,
         ctypes.byref(qe), ctypes.byref(te))
     return int(score), int(qe.value), int(te.value)
+
+
+def ksw_exts2(qseq, tseq, mat, q, e, q2, noncan, zdrop, junc_bonus, flag,
+              junc):
+    """Native splice extension; returns (ez_scalars int32[10], cigar)."""
+    lib = _load()
+    qseq = np.ascontiguousarray(qseq, np.uint8)
+    tseq = np.ascontiguousarray(tseq, np.uint8)
+    mat = np.ascontiguousarray(mat, np.int8)
+    junc = np.ascontiguousarray(
+        junc if junc is not None else np.zeros(tseq.shape[0], np.uint8),
+        np.uint8)
+    ez = np.zeros(10, np.int32)
+    cap = qseq.shape[0] + tseq.shape[0] + 4
+    cig = np.empty(cap, np.uint32)
+    n = lib.mmt_ksw_exts2(
+        _u8(qseq), qseq.shape[0], _u8(tseq), tseq.shape[0],
+        mat.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)), 5,
+        q, e, q2, noncan, zdrop, junc_bonus, flag, _u8(junc),
+        ez.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        cig.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), cap)
+    if n < 0:
+        raise RuntimeError("mmt_ksw_exts2: cigar capacity exceeded")
+    return ez, cig[:n].copy()

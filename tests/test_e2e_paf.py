@@ -108,3 +108,15 @@ def test_sim200_byte_match(flags, golden, capsys):
     assert rc == 0
     with gzip.open(golden_path(golden), "rt") as f:
         assert capsys.readouterr().out == f.read()
+
+
+def test_splice_byte_match(capsys):
+    """40 synthetic cDNA reads (2-6 exons, GT..AG introns, both strands)
+    with -x splice vs the reference binary's output."""
+    import gzip
+    rc = main(["--max-chain-skip=2147483647", "-x", "splice", "-c",
+               golden_path("splice_genome.fa.gz"),
+               golden_path("splice_reads.fa.gz")])
+    assert rc == 0
+    with gzip.open(golden_path("splice40.skipinf.c.paf.gz"), "rt") as f:
+        assert capsys.readouterr().out == f.read()

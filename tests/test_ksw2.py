@@ -49,3 +49,19 @@ def test_ksw2_case(idx):
     else:
         score, qe, te = ksw2.sw_ll(qseq, tseq, mat, c["q"], c["e"])
         assert f"{score} {qe} {te}" == c["golden"], f"case {idx}: {c}"
+
+
+SPLICE_CASES = json.load(open(golden_path("ksw2_splice_cases.json")))
+
+
+@pytest.mark.parametrize("idx", range(len(SPLICE_CASES)))
+def test_ksw2_splice_case(idx):
+    from mm2_gb_tpu.ops.ksw2_splice import exts2
+    c = SPLICE_CASES[idx]
+    qseq = np.frombuffer(c["qseq"].encode(), np.uint8) - ord("0")
+    tseq = np.frombuffer(c["tseq"].encode(), np.uint8) - ord("0")
+    mat = ksw2.gen_simple_mat(5, c["a"], c["b"], c["sc_ambi"])
+    junc = np.zeros(len(tseq), np.uint8)
+    ez = exts2(qseq, tseq, mat, c["q"], c["e"], c["q2"], c["e2"],
+               c["zdrop"], c["w"], c["flag"], junc)
+    assert _fmt(ez) == c["golden"], f"case {idx}: {c}"
