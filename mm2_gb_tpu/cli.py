@@ -58,6 +58,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sam-hit-only", action="store_true")
     p.add_argument("--secondary", choices=["yes", "no"], default="yes")
     p.add_argument("--paf-no-hit", action="store_true")
+    p.add_argument("--frag", choices=["yes", "no"], default=None)
+    p.add_argument("-F", dest="max_frag_len", type=int, default=None)
     p.add_argument("--for-only", action="store_true")
     p.add_argument("--rev-only", action="store_true")
     return p
@@ -119,6 +121,12 @@ def apply_overrides(args, io: O.IndexOptions, mo: O.MapOptions) -> None:
             mo.flag |= O.MM_F_SPLICE_FOR | O.MM_F_SPLICE_REV
     if args.noncan is not None:
         mo.noncan = args.noncan
+    if args.frag == "yes":
+        mo.flag |= O.MM_F_FRAG_MODE
+    elif args.frag == "no":
+        mo.flag &= ~O.MM_F_FRAG_MODE
+    if args.max_frag_len is not None:
+        mo.max_frag_len = args.max_frag_len
     if args.secondary == "no":
         mo.flag |= O.MM_F_NO_PRINT_2ND
     if args.paf_no_hit:
@@ -167,30 +175,105 @@ def main(argv: list[str] | None = None) -> int:
         out.write(write_sam_header(index, args.rg, __version__,
                                    (argv if argv is not None
                                     else sys.argv[1:])) + "\n")
-    for path in args.query:
-        for rec in read_fastx(path):
-            res = map_frag(index, mo, [rec.seq], rec.name)
-            if res.regs:
-                for j, r in enumerate(res.regs):
-                    if (mo.flag & O.MM_F_NO_PRINT_2ND) and r.id != r.parent:
-                        continue
-                    if is_sam:
-                        from mm2_gb_tpu.utils.sam import write_sam_record
-                        out.write(write_sam_record(
-                            index, rec, j, res.regs, mo.flag, res.rep_len,
-                            rg_id) + "\n")
-                    else:
-                        out.write(write_paf(r, rec.name, rec.length, index,
-                                            mo.flag, res.rep_len, rec.comment,
-                                            rec.seq) + "\n")
-            elif is_sam and not (mo.flag & O.MM_F_SAM_HIT_ONLY):
-                from mm2_gb_tpu.utils.sam import write_sam_record
-                out.write(write_sam_record(index, rec, -1, res.regs, mo.flag,
-                                           res.rep_len, rg_id) + "\n")
-            elif (mo.flag & O.MM_F_PAF_NO_HIT) and not is_sam:
-                out.write(write_paf(None, rec.name, rec.length, index,
-                                    mo.flag, res.rep_len) + "\n")
+    for frag in iter_frags(args.query, mo):
+        n_seg = len(frag)
+        pe_flip = [n_seg == 2 and ((j == 0 and (mo.pe_ori >> 1 & 1))
+                                   or (j == 1 and (mo.pe_ori & 1)))
+                   for j in range(n_seg)]
+        recs = [rc_record(rec) if pe_flip[j] else rec
+                for j, rec in enumerate(frag)]
+        if (mo.flag & O.MM_F_INDEPEND_SEG) and n_seg > 1:
+            seg_res = [map_frag(index, mo, [r.seq], r.name) for r in recs]
+            seg_regs = [sr.seg_regs[0] for sr in seg_res]
+            rep_lens = [sr.rep_len for sr in seg_res]
+        else:
+            res = map_frag(index, mo, [r.seq for r in recs], recs[0].name)
+            seg_regs = res.seg_regs if res.seg_regs is not None else \
+                [res.regs] + [[] for _ in range(n_seg - 1)]
+            rep_lens = [res.rep_len] * n_seg
+        # flip coordinates back to the original read strand (map.c:1189-1198)
+        for j in range(n_seg):
+            if pe_flip[j]:
+                ql = recs[j].length
+                for r in seg_regs[j]:
+                    r.qs, r.qe = ql - r.qe, ql - r.qs
+                    r.rev = not r.rev
+        for j, rec in enumerate(frag):
+            regs = seg_regs[j]
+            res_regs_out(out, index, mo, rec, regs, rep_lens[j], is_sam,
+                         rg_id, j, n_seg, seg_regs)
     return 0
+
+
+def rc_record(rec):
+    """Reverse-complemented copy of a read (mm_revcomp_bseq, bseq.h:46-57)."""
+    from mm2_gb_tpu.utils.fastx import SeqRecord
+    from mm2_gb_tpu.utils.sam import _revcomp_str
+    return SeqRecord(rec.rid, rec.name, _revcomp_str(rec.seq),
+                     rec.qual[::-1] if rec.qual else None, rec.comment)
+
+
+def _qname_same(a: str, b: str) -> bool:
+    from mm2_gb_tpu.utils.sam import _qname_len
+    la, lb = _qname_len(a), _qname_len(b)
+    return la == lb and a[:la] == b[:lb]
+
+
+def iter_frags(paths: list[str], mo) -> "list[list]":
+    """Group reads into fragments: multiple files interleave record-by-
+    record (mm_bseq_read_frag2, bseq.c:131-159); one file in frag mode
+    groups consecutive same-qname reads (map.c:1299-1304)."""
+    if len(paths) > 1:
+        iters = [read_fastx(p) for p in paths]
+        while True:
+            frag = []
+            for it in iters:
+                rec = next(it, None)
+                if rec is not None:
+                    frag.append(rec)
+            if len(frag) < len(iters):
+                if frag:
+                    sys.stderr.write("[W] query files have different number "
+                                     "of records; extra records skipped.\n")
+                return
+            yield frag
+    else:
+        frag_mode = bool(mo.flag & O.MM_F_FRAG_MODE)
+        pending = None
+        for rec in read_fastx(paths[0]):
+            if pending is not None and frag_mode and \
+                    _qname_same(pending[-1].name, rec.name):
+                pending.append(rec)
+            else:
+                if pending is not None:
+                    yield pending
+                pending = [rec]
+        if pending is not None:
+            yield pending
+
+
+def res_regs_out(out, index, mo, rec, regs, rep_len, is_sam, rg_id,
+                 seg_idx, n_seg, seg_regs) -> None:
+    from mm2_gb_tpu.utils.sam import write_sam_record
+    if regs:
+        for j, r in enumerate(regs):
+            if (mo.flag & O.MM_F_NO_PRINT_2ND) and r.id != r.parent:
+                continue
+            if is_sam:
+                out.write(write_sam_record(
+                    index, rec, j, regs, mo.flag, rep_len, rg_id,
+                    seg_idx, n_seg, seg_regs) + "\n")
+            else:
+                out.write(write_paf(r, rec.name, rec.length, index,
+                                    mo.flag, rep_len, rec.comment,
+                                    rec.seq) + "\n")
+    elif is_sam and not (mo.flag & O.MM_F_SAM_HIT_ONLY):
+        out.write(write_sam_record(index, rec, -1, regs, mo.flag,
+                                   rep_len, rg_id, seg_idx, n_seg,
+                                   seg_regs) + "\n")
+    elif (mo.flag & O.MM_F_PAF_NO_HIT) and not is_sam:
+        out.write(write_paf(None, rec.name, rec.length, index,
+                            mo.flag, rep_len) + "\n")
 
 
 if __name__ == "__main__":

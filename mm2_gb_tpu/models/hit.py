@@ -50,6 +50,7 @@ class Region:
     seg_id: int = 0
     split_inv: bool = False
     is_alt: bool = False
+    pe_thru: bool = False
     strand_retained: bool = False
     hash: int = 0
     div: float = -1.0
@@ -256,25 +257,35 @@ def select_sub(regs: list[Region], pri_ratio: float, min_diff: int,
     """Drop weak secondary hits (mm_select_sub, hit.c:255-283)."""
     if pri_ratio <= 0.0 or not regs:
         return regs
-    out: list[Region] = []
+    # in-place compaction with parent lookups against the partially
+    # compacted array, exactly like the C loop (hit.c:259-273)
+    buf = list(regs)
+    n = len(buf)
+    k = 0
     n_2nd = 0
-    for r in regs:
+    for i in range(n):
+        r = buf[i]
         pidx = r.parent
-        rp = regs[pidx] if 0 <= pidx < len(regs) else None
-        if pidx == r.id or r.inv:
-            out.append(r)
+        rp = buf[pidx] if 0 <= pidx < n else None
+        keep = False
+        if pidx == i or r.inv:
+            keep = True
         elif ((np.float32(r.score) >= np.float32(rp.score) * np.float32(pri_ratio)
                or r.score + min_diff >= rp.score) and n_2nd < best_n):
             if not (r.qs == rp.qs and r.qe == rp.qe and r.rid == rp.rid
                     and r.rs == rp.rs and r.re == rp.re):
-                out.append(r)
+                keep = True
                 n_2nd += 1
         elif (check_strand and n_2nd < best_n and r.score > min_strand_sc
               and r.rev != rp.rev):
             r.strand_retained = True
-            out.append(r)
+            keep = True
             n_2nd += 1
-    if len(out) != len(regs):
+        if keep:
+            buf[k] = r
+            k += 1
+    out = buf[:k]
+    if k != n:
         sync_regs(out)
     return out
 
@@ -494,3 +505,93 @@ def hit_sort(regs: list[Region], alt_diff_frac: float) -> list[Region]:
         keys.append((score << 32 | r.hash))
     order = np.argsort(np.array(keys, np.uint64), kind="stable")
     return [keep[int(i)] for i in order[::-1]]
+
+
+def seg_gen(hash_: int, qlens: list[int], regs0: list[Region],
+            ax: np.ndarray, ay: np.ndarray):
+    """Split fragment chains into per-segment chains (mm_seg_gen,
+    hit.c:331-386).  Returns (regs_per_seg, anchors_per_seg)."""
+    n_segs = len(qlens)
+    acc = [0]
+    for q in qlens[:-1]:
+        acc.append(acc[-1] + q)
+    qlen_sum = acc[-1] + qlens[-1]
+    seg_mask = np.uint64(0xFF << 48)
+
+    seg_u = [[] for _ in range(n_segs)]     # (score<<32|count) per chain
+    seg_ax = [[] for _ in range(n_segs)]
+    seg_ay = [[] for _ in range(n_segs)]
+    for r in regs0:
+        counts = [0] * n_segs
+        for j in range(r.cnt):
+            sid = int((ay[r.as_ + j] & seg_mask) >> np.uint64(48))
+            counts[sid] += 1
+            rev = bool(int(ax[r.as_ + j]) >> 63)
+            shift = (qlen_sum - (qlens[sid] + acc[sid])) if rev else acc[sid]
+            seg_ax[sid].append(ax[r.as_ + j])
+            seg_ay[sid].append(ay[r.as_ + j] - np.uint64(shift))
+        for s in range(n_segs):
+            if counts[s]:
+                seg_u[s].append((r.score << 32) | counts[s])
+
+    regs_per_seg = []
+    anchors_per_seg = []
+    for s in range(n_segs):
+        u = np.array(seg_u[s], np.uint64)
+        sx = np.array(seg_ax[s], np.uint64)
+        sy = np.array(seg_ay[s], np.uint64)
+        regs = gen_regs(hash_, qlens[s], u, sx, sy, False)
+        for r in regs:
+            r.seg_split = True
+            r.seg_id = s
+        regs_per_seg.append(regs)
+        anchors_per_seg.append((sx, sy))
+    return regs_per_seg, anchors_per_seg
+
+
+def select_sub_multi(regs: list[Region], pri_ratio: float, pri1: float,
+                     pri2: float, max_gap_ref: int, min_diff: int,
+                     best_n: int, n_segs: int, qlens: list[int]
+                     ) -> list[Region]:
+    """Multi-segment secondary selection (mm_select_sub_multi, pe.c:6-43)."""
+    if pri_ratio <= 0.0 or not regs:
+        return regs
+    max_dist = qlens[0] + qlens[1] + max_gap_ref if n_segs == 2 else 0
+    buf = list(regs)
+    n = len(buf)
+    k = 0
+    n_2nd = 0
+    for i in range(n):
+        r = buf[i]
+        keep = False
+        if r.parent == i:
+            keep = True
+        elif r.score + min_diff >= buf[r.parent].score:
+            keep = True
+        else:
+            p = buf[r.parent]
+            if (p.rev == r.rev and p.rid == r.rid
+                    and r.re - p.rs < max_dist and p.re - r.rs < max_dist):
+                if r.score >= p.score * pri1:
+                    keep = True
+            else:
+                is_par_both = (n_segs == 2 and p.qs < qlens[0]
+                               and p.qe > qlens[0])
+                is_chi_both = (n_segs == 2 and r.qs < qlens[0]
+                               and r.qe > qlens[0])
+                if is_chi_both or is_chi_both == is_par_both:
+                    if r.score >= p.score * pri_ratio:
+                        keep = True
+                elif r.score >= p.score * pri2:
+                    keep = True
+        if keep and r.parent != i:
+            if n_2nd >= best_n:
+                keep = False
+            n_2nd += 1
+        if keep:
+            buf[k] = r
+            k += 1
+    out = buf[:k]
+    if k != n:
+        sync_regs(out)
+    return out

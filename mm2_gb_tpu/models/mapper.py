@@ -23,7 +23,8 @@ from mm2_gb_tpu.ops.sketch import sketch
 from mm2_gb_tpu.utils import ksort, native
 from mm2_gb_tpu.utils.hashkit import read_order_hash
 from mm2_gb_tpu.utils.opts import (MapOptions, MM_F_ALL_CHAINS, MM_F_CIGAR,
-                                   MM_F_HARD_MLEVEL, MM_F_NO_HASH_NAME,
+                                   MM_F_HARD_MLEVEL, MM_F_HEAP_SORT,
+                                   MM_F_NO_HASH_NAME,
                                    MM_F_NO_LJOIN, MM_F_QSTRAND, MM_F_RMQ,
                                    MM_F_SPLICE, MM_F_SR, MM_I_HPC)
 
@@ -36,6 +37,8 @@ class MapResult:
     regs: list[Region]
     rep_len: int
     frag_gap: int
+    # per-segment regions for multi-segment fragments; [regs] when n_segs==1
+    seg_regs: "list[list[Region]] | None" = None
     # anchors kept for the alignment stage
     ax: np.ndarray = field(default_factory=lambda: np.empty(0, np.uint64))
     ay: np.ndarray = field(default_factory=lambda: np.empty(0, np.uint64))
@@ -138,7 +141,10 @@ def map_frag(index: MinimizerIndex, opt: MapOptions, seqs: list[str],
     mv = collect_minimizers(index, opt, seqs)
     if opt.q_occ_frac > 0.0:
         mv = seed_ops.seed_mz_flt(mv, opt.mid_occ, opt.q_occ_frac)
-    ax, ay, rep_len, mini_pos = seed_ops.collect_seed_hits(
+    collect = (seed_ops.collect_seed_hits_heap
+               if opt.flag & MM_F_HEAP_SORT else
+               seed_ops.collect_seed_hits)
+    ax, ay, rep_len, mini_pos = collect(
         index, opt, opt.mid_occ, mv, qlen_sum, qname)
 
     u, cx, cy = chain_anchors(index, opt, qlen_sum, n_segs, ax, ay)
@@ -160,7 +166,7 @@ def map_frag(index: MinimizerIndex, opt: MapOptions, seqs: list[str],
         else:
             rechain = True
         if rechain:
-            ax, ay, rep_len, mini_pos = seed_ops.collect_seed_hits(
+            ax, ay, rep_len, mini_pos = collect(
                 index, opt, opt.max_occ, mv, qlen_sum, qname)
             max_gap_qry, max_gap_ref = _chain_gaps(opt, qlen_sum)
             chn_pen_gap = np.float32(float(np.float32(opt.chain_gap_scale)) * 0.01 * index.k)
@@ -173,9 +179,51 @@ def map_frag(index: MinimizerIndex, opt: MapOptions, seqs: list[str],
     _, max_gap_ref = _chain_gaps(opt, qlen_sum)
     regs = hitmod.gen_regs(hash_, qlen_sum, u, cx, cy,
                            bool(opt.flag & MM_F_QSTRAND))
-    regs = post_process(index, opt, qlen_sum, n_segs, qlens, regs, cx, cy,
-                        mini_pos, rep_len, seqs)
-    return MapResult(regs, rep_len, max_gap_ref, cx, cy)
+    if n_segs == 1:
+        regs = post_process(index, opt, qlen_sum, n_segs, qlens, regs, cx, cy,
+                            mini_pos, rep_len, seqs)
+        res = MapResult(regs, rep_len, max_gap_ref, cx, cy)
+        res.seg_regs = [regs]
+        return res
+    # ---- multi-segment fragment (map.c:617-628) ----
+    if not (opt.flag & MM_F_ALL_CHAINS):
+        hitmod.set_parent(regs, opt.mask_level, opt.mask_len,
+                          opt.a * 2 + opt.b, bool(opt.flag & MM_F_HARD_MLEVEL),
+                          opt.alt_drop)
+        regs = hitmod.select_sub_multi(regs, opt.pri_ratio, 0.2, 0.7,
+                                       max_gap_ref, index.k * 2, opt.best_n,
+                                       n_segs, qlens)
+    if not is_sr and not (opt.flag & MM_F_QSTRAND):
+        hitmod.est_err(index, qlen_sum, regs, cx, cy, mini_pos)
+        regs = hitmod.filter_strand_retained(regs)
+    seg_regs, seg_anchors = hitmod.seg_gen(hash_, qlens, regs, cx, cy)
+    for s in range(n_segs):
+        hitmod.set_parent(seg_regs[s], opt.mask_level, opt.mask_len,
+                          opt.a * 2 + opt.b, bool(opt.flag & MM_F_HARD_MLEVEL),
+                          opt.alt_drop)
+        if opt.flag & MM_F_CIGAR:
+            from mm2_gb_tpu.ops import align as align_ops
+            sax, say = seg_anchors[s]
+            seg_regs[s] = align_ops.align_regs(index, opt, qlens[s], seqs[s],
+                                               seg_regs[s], sax, say)
+            if not (opt.flag & MM_F_ALL_CHAINS):
+                hitmod.set_parent(seg_regs[s], opt.mask_level, opt.mask_len,
+                                  opt.a * 2 + opt.b,
+                                  bool(opt.flag & MM_F_HARD_MLEVEL),
+                                  opt.alt_drop)
+                seg_regs[s] = hitmod.select_sub(seg_regs[s], opt.pri_ratio,
+                                                index.k * 2, opt.best_n,
+                                                False, int(opt.max_gap * 0.8))
+                hitmod.set_sam_pri(seg_regs[s])
+        hitmod.set_mapq(seg_regs[s], opt.min_chain_score, opt.a, rep_len,
+                        is_sr)
+    if n_segs == 2 and opt.pe_ori >= 0 and (opt.flag & MM_F_CIGAR):
+        from mm2_gb_tpu.models import pe
+        pe.pair(max_gap_ref, opt.pe_bonus, opt.a * 2 + opt.b, opt.a, qlens,
+                seg_regs)
+    res = MapResult(seg_regs[0], rep_len, max_gap_ref, cx, cy)
+    res.seg_regs = seg_regs
+    return res
 
 
 def post_process(index: MinimizerIndex, opt: MapOptions, qlen_sum: int,

@@ -32,7 +32,8 @@ from mm2_gb_tpu.ops.sketch import sketch
 from mm2_gb_tpu.utils import ksort, native
 from mm2_gb_tpu.utils.fastx import SeqRecord, read_batches
 from mm2_gb_tpu.utils.hashkit import read_order_hash
-from mm2_gb_tpu.utils.opts import (MapOptions, MM_F_NO_HASH_NAME,
+from mm2_gb_tpu.utils.opts import (MapOptions, MM_F_HEAP_SORT,
+                                   MM_F_NO_HASH_NAME,
                                    MM_F_NO_LJOIN, MM_F_NO_PRINT_2ND,
                                    MM_F_PAF_NO_HIT, MM_F_QSTRAND,
                                    MM_F_SPLICE, MM_F_SR, MM_I_HPC)
@@ -56,7 +57,10 @@ def seed_read(index: MinimizerIndex, opt: MapOptions, rec: SeqRecord
     mm = sketch(rec.seq, index.w, index.k, 0, bool(index.flag & MM_I_HPC))
     if opt.q_occ_frac > 0.0:
         mm = seed_ops.seed_mz_flt(mm, opt.mid_occ, opt.q_occ_frac)
-    ax, ay, rep_len, mini_pos = seed_ops.collect_seed_hits(
+    collect = (seed_ops.collect_seed_hits_heap
+               if opt.flag & MM_F_HEAP_SORT else
+               seed_ops.collect_seed_hits)
+    ax, ay, rep_len, mini_pos = collect(
         index, opt, opt.mid_occ, mm, rec.length, rec.name)
     return SeededRead(rec, ax, ay, rep_len, mini_pos)
 

@@ -232,3 +232,107 @@ def _skip_seed_mask(index: MinimizerIndex, flag: int, r: np.ndarray,
         if (flag & MM_F_NO_DUAL) and cmp > 0:
             keep[sel] = False
     return keep, is_self
+
+
+def _heapdown(i: int, n: int, l: list) -> None:
+    """ks_heapdown with heap_lt(a,b)=a.x>b.x — a min-heap on x
+    (ksort.h:43-53, map.c:202-203)."""
+    k = i
+    tmp = l[i]
+    while True:
+        k = (k << 1) + 1
+        if k >= n:
+            break
+        if k != n - 1 and l[k][0] > l[k + 1][0]:
+            k += 1
+        if l[k][0] > tmp[0]:
+            break
+        l[i] = l[k]
+        i = k
+    l[i] = tmp
+
+
+def collect_seed_hits_heap(index: MinimizerIndex, opt: MapOptions,
+                           max_occ: int, mv: np.ndarray, qlen: int,
+                           qname: str | None
+                           ) -> tuple[np.ndarray, np.ndarray, int, np.ndarray]:
+    """Heap-merge anchor collection (collect_seed_hits_heap, map.c:229-293).
+
+    Byte-equal anchor ordering with the reference's min-heap pop sequence,
+    which differs from the sort variant only in the tie order of anchors
+    sharing a reference position (MM_F_HEAP_SORT presets: sr/ava)."""
+    m = collect_matches(index, mv, qlen, max_occ, opt.max_max_occ,
+                        opt.occ_dist)
+    n_seeds = m.q_pos.shape[0]
+    if n_seeds == 0:
+        return (np.empty(0, np.uint64), np.empty(0, np.uint64),
+                m.rep_len, m.mini_pos)
+    occ = index.occ_pos
+    heap = []
+    for i in range(n_seeds):
+        if m.n[i] > 0:
+            heap.append([int(occ[m.start[i]]), i << 32])
+    hs = len(heap)
+    for i in range((hs >> 1) - 1, -1, -1):
+        _heapdown(i, hs, heap)
+
+    check_skip = bool(qname is not None
+                      and (opt.flag & (MM_F_NO_DIAG | MM_F_NO_DUAL)))
+    strand_flt = opt.flag & (MM_F_FOR_ONLY | MM_F_REV_ONLY)
+    fwd_x: list[int] = []
+    fwd_y: list[int] = []
+    rev_x: list[int] = []
+    rev_y: list[int] = []
+    while hs > 0:
+        r, ybits = heap[0]
+        si = ybits >> 32
+        q_pos = int(m.q_pos[si])
+        skip = False
+        is_self = False
+        if check_skip:
+            rid = r >> 32
+            name = index.names[rid]
+            cmp = (qname > name) - (qname < name)
+            if (opt.flag & MM_F_NO_DIAG) and cmp == 0 \
+                    and int(index.lens[rid]) == qlen:
+                if (r & 0xFFFFFFFF) >> 1 == q_pos >> 1:
+                    skip = True
+                elif (r & 1) == (q_pos & 1):
+                    is_self = True
+            if not skip and (opt.flag & MM_F_NO_DUAL) and cmp > 0:
+                skip = True
+        if not skip and strand_flt:
+            fwd = (r & 1) == (q_pos & 1)
+            if fwd and (opt.flag & MM_F_REV_ONLY):
+                skip = True
+            if not fwd and (opt.flag & MM_F_FOR_ONLY):
+                skip = True
+        if not skip:
+            rpos = (r & 0xFFFFFFFF) >> 1
+            span = int(m.q_span[si])
+            y = span << 32
+            y |= int(m.seg_id[si]) << MM_SEED_SEG_SHIFT
+            if m.is_tandem[si]:
+                y |= 1 << 42
+            if is_self:
+                y |= 1 << 43
+            if (r & 1) == (q_pos & 1):
+                fwd_x.append((r & 0xFFFFFFFF00000000) | rpos)
+                fwd_y.append(y | (q_pos >> 1))
+            else:
+                rev_x.append((1 << 63) | (r & 0xFFFFFFFF00000000) | rpos)
+                rev_y.append(y | (qlen - ((q_pos >> 1) + 1 - span) - 1))
+        # advance this seed's occurrence cursor (map.c:270-276)
+        oi = ybits & 0xFFFFFFFF
+        if oi < int(m.n[si]) - 1:
+            heap[0] = [int(occ[int(m.start[si]) + oi + 1]),
+                       (si << 32) | (oi + 1)]
+        else:
+            heap[0] = heap[hs - 1]
+            hs -= 1
+        if hs:
+            _heapdown(0, hs, heap)
+
+    ax = np.array(fwd_x + rev_x, np.uint64)
+    ay = np.array(fwd_y + rev_y, np.uint64)
+    return ax, ay, m.rep_len, m.mini_pos

@@ -141,16 +141,45 @@ def _sam_cigar(flag: int, qlen: int, r: Region, opt_flag: int) -> str:
     return "".join(parts)
 
 
+def _qname_len(s: str) -> int:
+    """Trim /1-/9 suffixes (mm_qname_len, bseq.h:31-36)."""
+    l = len(s)
+    return l - 2 if l >= 3 and s[-1].isdigit() and s[-2] == "/" else l
+
+
+def _get_sam_pri(regs: list[Region]) -> Region | None:
+    for r in regs:
+        if r.sam_pri:
+            return r
+    return None
+
+
 def write_sam_record(index, rec: SeqRecord, reg_idx: int,
                      regs: list[Region], opt_flag: int, rep_len: int,
-                     rg_id: str | None = None) -> str:
-    """One single-segment SAM line (mm_write_sam3 with n_seg=1,
-    format.c:389-546)."""
+                     rg_id: str | None = None, seg_idx: int = 0,
+                     n_seg: int = 1, regss: "list[list[Region]] | None" = None
+                     ) -> str:
+    """One SAM line (mm_write_sam3, format.c:389-546)."""
     qlen = rec.length
     r = regs[reg_idx] if regs and 0 <= reg_idx < len(regs) else None
 
-    out = [rec.name]
-    flag = 0
+    # primaries of the previous/next segments (format.c:397-410)
+    r_prev = r_next = None
+    if n_seg > 1:
+        nxt = (seg_idx + 1) % n_seg
+        r_next = _get_sam_pri(regss[nxt]) if regss[nxt] else None
+        if n_seg > 2:
+            for i in range(1, n_seg):
+                prev = (seg_idx + n_seg - i) % n_seg
+                if regss[prev]:
+                    r_prev = _get_sam_pri(regss[prev])
+                    break
+        else:
+            r_prev = r_next
+
+    qname = rec.name if n_seg == 1 else rec.name[:_qname_len(rec.name)]
+    out = [qname]
+    flag = 0x1 if n_seg > 1 else 0x0
     if r is None:
         flag |= 0x4
     else:
@@ -160,14 +189,54 @@ def write_sam_record(index, rec: SeqRecord, reg_idx: int,
             flag |= 0x100
         elif not r.sam_pri:
             flag |= 0x800
+    if n_seg > 1:
+        if r is not None and r.proper_frag:
+            flag |= 0x2
+        if seg_idx == 0:
+            flag |= 0x40
+        elif seg_idx == n_seg - 1:
+            flag |= 0x80
+        if r_next is None:
+            flag |= 0x8
+        elif r_next.rev:
+            flag |= 0x20
     out.append(str(flag))
 
+    this_rid = this_pos = -1
     if r is None:
-        out.append("*\t0\t0\t*")
+        if r_prev is not None:
+            this_rid, this_pos = r_prev.rid, r_prev.rs
+            out.append(f"{index.names[this_rid]}\t{this_pos + 1}\t0\t*")
+        else:
+            out.append("*\t0\t0\t*")
     else:
+        this_rid, this_pos = r.rid, r.rs
         out.append(f"{index.names[r.rid]}\t{r.rs + 1}\t{r.mapq}\t"
                    + _sam_cigar(flag, qlen, r, opt_flag))
-    out.append("*\t0\t0")  # mate columns (single segment)
+    if n_seg > 1:  # mate columns (format.c:461-481)
+        tlen = 0
+        if this_rid >= 0 and r_next is not None:
+            if this_rid == r_next.rid:
+                if r is not None:
+                    p5 = r.re - 1 if r.rev else this_pos
+                    n5 = r_next.re - 1 if r_next.rev else r_next.rs
+                    tlen = n5 - p5
+                out.append(f"=\t{r_next.rs + 1}")
+            else:
+                out.append(f"{index.names[r_next.rid]}\t{r_next.rs + 1}")
+        elif r_next is not None:
+            out.append(f"{index.names[r_next.rid]}\t{r_next.rs + 1}")
+        elif this_rid >= 0:
+            out.append(f"=\t{this_pos + 1}")
+        else:
+            out.append("*\t0")
+        if tlen > 0:
+            tlen += 1
+        elif tlen < 0:
+            tlen -= 1
+        out.append(str(tlen))
+    else:
+        out.append("*\t0\t0")
 
     if r is None:
         out.append(rec.seq)

@@ -120,3 +120,29 @@ def test_splice_byte_match(capsys):
     assert rc == 0
     with gzip.open(golden_path("splice40.skipinf.c.paf.gz"), "rt") as f:
         assert capsys.readouterr().out == f.read()
+
+
+def test_pe_sr_paf_byte_match(capsys):
+    """300 FR read pairs with -x sr (frag mode, heap seed collection,
+    select_sub_multi, seg_gen) vs the reference binary."""
+    import gzip
+    rc = main(["--max-chain-skip=2147483647", "-x", "sr",
+               golden_path("simref.fa.gz"), golden_path("pe_1.fq.gz"),
+               golden_path("pe_2.fq.gz")])
+    assert rc == 0
+    with gzip.open(golden_path("pe300.sr.skipinf.paf.gz"), "rt") as f:
+        assert capsys.readouterr().out == f.read()
+
+
+def test_pe_sr_sam_byte_match(capsys):
+    """Same pairs with -a: exercises mm_pair, mate fields and PE MAPQ."""
+    import gzip
+    rc = main(["--max-chain-skip=2147483647", "-x", "sr", "-a",
+               golden_path("simref.fa.gz"), golden_path("pe_1.fq.gz"),
+               golden_path("pe_2.fq.gz")])
+    assert rc == 0
+    got = [l for l in capsys.readouterr().out.splitlines()
+           if not l.startswith("@PG")]
+    with gzip.open(golden_path("pe300.sr.skipinf.sam.gz"), "rt") as f:
+        want = [l for l in f.read().splitlines() if not l.startswith("@PG")]
+    assert got == want
