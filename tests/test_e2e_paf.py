@@ -146,3 +146,13 @@ def test_pe_sr_sam_byte_match(capsys):
     with gzip.open(golden_path("pe300.sr.skipinf.sam.gz"), "rt") as f:
         want = [l for l in f.read().splitlines() if not l.startswith("@PG")]
     assert got == want
+
+
+def test_ava_ont_byte_match(capsys):
+    """All-vs-all overlap mode (-x ava-ont: NO_DIAG/NO_DUAL/ALL_CHAINS)."""
+    import gzip
+    rc = main(["--max-chain-skip=2147483647", "-x", "ava-ont",
+               golden_path("simreads.fa.gz"), golden_path("simreads.fa.gz")])
+    assert rc == 0
+    with gzip.open(golden_path("ava.skipinf.paf.gz"), "rt") as f:
+        assert capsys.readouterr().out == f.read()
