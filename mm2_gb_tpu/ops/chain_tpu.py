@@ -47,9 +47,9 @@ from jax.experimental.pallas import tpu as pltpu
 INT32_MIN = -(2**31)
 
 LANES = 128
-# (chunk rows C, successor-window capacity W, window tile WT) classes; a
-# segment is placed in the narrowest W >= its max successor range
-WINDOW_CLASSES = ((1024, 512, 512), (256, 5120, 256))
+# successor-window capacity classes; a segment runs in the narrowest
+# class whose W covers its max successor range (size-classed dispatch)
+WINDOW_CLASSES = (512, 768, 5120)
 MAX_ITER_DEFAULT = 5000
 
 
@@ -144,110 +144,161 @@ def _pair_score(xs, ys, ss, xp, yp, sp, fp,
 
 
 # --------------------------------------------------------------------------
-# the chunked lane-packed kernel (uniform minimizer span)
+# the destination-tile-stationary blocked kernel (uniform minimizer span)
 # --------------------------------------------------------------------------
+#
+# Each 128-row destination tile accumulates its scores in a VMEM register
+# tile while the predecessor window streams past one row at a time; every
+# vector op is a full (128, LANES) tile at a static offset, so nothing pays
+# the sublane-shift cost of dynamic-offset tile updates.  Per source row the
+# kernel evaluates exactly the 128 destination rows of the tile, and the
+# window trip count adapts per tile to the widest predecessor range seen in
+# its window — the TPU analog of the reference's size-classed dispatch
+# (plscore.cu:330-451).
 
-def _chain_kernel(nchunks_ref,  # scalar prefetch [1]
-                  chunk_rng_ref,  # scalar prefetch [n_chunks_cap]
-                  x_hbm, y_hbm, r_hbm, f_in, p_in,     # ANY (HBM)
-                  f_hbm, p_hbm,                        # outputs (aliased)
-                  xv, yv, rv, fv, pv, sems, *,
-                  C, W, WT, span, max_dist_x, max_dist_y, bw, cg, cs):
-    del f_in, p_in  # aliased to f_hbm/p_hbm (arrive pre-initialized)
+TILE = 128
+
+
+def _chain_kernel(ntiles_ref, start_ref,      # scalar prefetch
+                  x_hbm, y_hbm, r_hbm, f_in, p_in,
+                  f_hbm, p_hbm,
+                  xw, yw, rw, fw, acc_f, acc_p, sems, *,
+                  W, span, max_dist_x, max_dist_y, bw, cg, cs):
+    """One fori_loop over dst tiles; see module notes above.
+
+    HBM arrays are padded with W leading rows so every window DMA is a
+    static-size in-bounds copy.  f continuity: tile i's window reads f rows
+    written by earlier tiles (sequential loop, awaited DMAs).
+    """
+    del f_in, p_in  # aliased outputs arrive pre-initialized to (span, 0)
     cg = jnp.float32(cg)
     cs = jnp.float32(cs)
     span_i = jnp.int32(span)
-    n_chunks = nchunks_ref[0]
-    d_off0 = jax.lax.broadcasted_iota(jnp.int32, (WT, LANES), 0)
-    C_T = pl.cdiv(C, WT)           # chunk body in units of WT rows
+    n_tiles = ntiles_ref[0]
+    rows_i = jax.lax.broadcasted_iota(jnp.int32, (TILE, LANES), 0)
+    WIN = W + TILE
 
-    def chunk(c, _):
-        row0 = c * C
-        # adaptive successor window: widest range in this chunk decides how
-        # many WT-row tiles each step relaxes and how many rows stream in
-        rng_max = chunk_rng_ref[c]
-        n_wt = jnp.minimum(pl.cdiv(rng_max, WT), W // WT)
-        n_rows_t = C_T + n_wt      # WT-row tiles resident per chunk
-
-        def dma_tiles(pairs, lim, slot_base=0):
-            def one(k, _):
-                r = row0 + k * WT
-                copies = [
-                    pltpu.make_async_copy(
-                        src.at[pl.ds(r, WT), :] if not hb else
-                        src.at[pl.ds(k * WT, WT), :],
-                        dst.at[pl.ds(k * WT, WT), :] if not hb else
-                        dst.at[pl.ds(r, WT), :],
-                        sems.at[slot_base + s])
-                    for s, (src, dst, hb) in enumerate(pairs)]
-                for cp in copies:
-                    cp.start()
-                for cp in copies:
-                    cp.wait()
-                return 0
-            jax.lax.fori_loop(0, lim, one, 0)
+    def tile(i, _):
+        t0 = i * TILE  # unpadded dst row offset == padded window offset
+        copies = [pltpu.make_async_copy(src.at[pl.ds(t0, WIN), :], dst,
+                                        sems.at[s])
+                  for s, (src, dst) in enumerate(
+                      ((x_hbm, xw), (y_hbm, yw), (r_hbm, rw), (f_hbm, fw)))]
+        for cp in copies:
+            cp.start()
+        for cp in copies:
+            cp.wait()
 
         def run():
-            # stream in x/y/range; f continuity comes from HBM (written by
-            # the previous chunk); the first C rows of f for THIS chunk
-            # also come from HBM (they hold carry-in relaxations)
-            dma_tiles([(x_hbm, xv, False), (y_hbm, yv, False),
-                       (r_hbm, rv, False), (f_hbm, fv, False),
-                       (p_hbm, pv, False)], n_rows_t)
+            xt = xw[W:W + TILE, :]
+            yt = yw[W:W + TILE, :]
+            acc_f[:, :] = jnp.full((TILE, LANES), span_i, jnp.int32)
+            acc_p[:, :] = jnp.zeros((TILE, LANES), jnp.int32)
 
-            steps = jnp.minimum(C, n_chunks * C - row0)
-
-            def step(t, _):
-                xp = xv[t, :][None, :]
-                yp = yv[t, :][None, :]
-                fp = fv[t, :][None, :]
-                rt = rv[t, :][None, :]
-
-                def wtile(w, _):
-                    base = t + 1 + w * WT
-                    sl = pl.ds(base, WT)
-                    xs = xv[sl, :]
-                    ys = yv[sl, :]
-                    tot, valid = _pair_score(xs, ys, span_i, xp, yp, span_i,
-                                             fp, max_dist_x, max_dist_y, bw,
+            def fold8(cur_f, cur_p, xb, yb, rb, fb, s0, skip_block_rows):
+                """Relax 8 source rows (values) onto the dst tile, ascending,
+                with the oracle's last-wins >= tie-break."""
+                for r in range(8):
+                    xs = xb[r, :][None, :]
+                    ys = yb[r, :][None, :]
+                    rs = rb[r, :][None, :]
+                    fs = fb[r, :][None, :]
+                    tot, valid = _pair_score(xt, yt, span_i, xs, ys, span_i,
+                                             fs, max_dist_x, max_dist_y, bw,
                                              cg, cs)
-                    d_off = d_off0 + w * WT
-                    fw = fv[sl, :]
-                    ok = (valid & (d_off < rt) & (tot >= fw)
-                          & (tot != span_i))
-                    fv[sl, :] = jnp.where(ok, tot, fw)
-                    pv[sl, :] = jnp.where(ok, d_off + 1, pv[sl, :])
-                    return 0
+                    d_off = rows_i + (W - s0 - r)
+                    ok = (valid & (d_off >= 1) & (d_off <= rs)
+                          & (tot != span_i) & (tot >= cur_f))
+                    if skip_block_rows:
+                        # intra: block rows already resolved; touching them
+                        # again would break the last-wins tie order
+                        ok &= d_off > (7 - r)
+                    cur_f = jnp.where(ok, tot, cur_f)
+                    cur_p = jnp.where(ok, d_off, cur_p)
+                return cur_f, cur_p
 
-                jax.lax.fori_loop(0, n_wt, wtile, 0)
+            # phase 1: source blocks strictly before the tile; their f is
+            # final in the window, so the 8 sub-relaxations fold as values
+            def p1_block(b, _):
+                s0 = b * 8
+                sl = pl.ds(s0, 8)
+                cur_f, cur_p = fold8(acc_f[:, :], acc_p[:, :], xw[sl, :],
+                                     yw[sl, :], rw[sl, :], fw[sl, :], s0,
+                                     False)
+                acc_f[:, :] = cur_f
+                acc_p[:, :] = cur_p
                 return 0
 
-            jax.lax.fori_loop(0, steps, step, 0)
+            jax.lax.fori_loop(start_ref[i] // 8, W // 8, p1_block, 0)
 
-            dma_tiles([(fv, f_hbm, True), (pv, p_hbm, True)], n_rows_t)
+            # phase 2: the tile's own 8-row blocks in order — resolve each
+            # block internally (sequential micro-steps on an (8,128) value),
+            # then relax the finalized block onto the rest of the tile
+            mini_rows = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
 
-        # chunks whose widest range is 0 have nothing to relax (their f/p
-        # already hold init values in HBM)
-        jax.lax.cond(rng_max > 0, run, lambda: None)
+            def p2_block(b, _):
+                s0 = W + b * 8
+                sl = pl.ds(s0, 8)
+                bl = pl.ds(b * 8, 8)
+                xb = xw[sl, :]
+                yb = yw[sl, :]
+                rb = rw[sl, :]
+                fb = acc_f[bl, :]
+                pb = acc_p[bl, :]
+                for r in range(8):  # micro-resolve within the block
+                    tot, valid = _pair_score(
+                        xb, yb, span_i, xb[r, :][None, :], yb[r, :][None, :],
+                        span_i, fb[r, :][None, :], max_dist_x, max_dist_y,
+                        bw, cg, cs)
+                    d_off = mini_rows - r
+                    ok = (valid & (d_off >= 1) & (d_off <= rb[r, :][None, :])
+                          & (tot != span_i) & (tot >= fb))
+                    fb = jnp.where(ok, tot, fb)
+                    pb = jnp.where(ok, d_off, pb)
+                acc_f[bl, :] = fb
+                acc_p[bl, :] = pb
+                cur_f, cur_p = fold8(acc_f[:, :], acc_p[:, :], xb, yb, rb,
+                                     fb, s0, True)
+                acc_f[:, :] = cur_f
+                acc_p[:, :] = cur_p
+                return 0
+
+            jax.lax.fori_loop(0, TILE // 8, p2_block, 0)
+
+            # stage in VMEM scratch, then DMA to HBM
+            fw[W:W + TILE, :] = acc_f[:, :]
+            rw[W:W + TILE, :] = acc_p[:, :]
+            cp1 = pltpu.make_async_copy(fw.at[pl.ds(W, TILE), :],
+                                        f_hbm.at[pl.ds(t0 + W, TILE), :],
+                                        sems.at[0])
+            cp2 = pltpu.make_async_copy(rw.at[pl.ds(W, TILE), :],
+                                        p_hbm.at[pl.ds(t0 + W, TILE), :],
+                                        sems.at[1])
+            cp1.start()
+            cp2.start()
+            cp1.wait()
+            cp2.wait()
+
+        # tiles with no reachable predecessors keep their init f/p
+        jax.lax.cond(start_ref[i] < W + TILE - 1, run, lambda: None)
         return 0
 
-    jax.lax.fori_loop(0, n_chunks, chunk, 0)
+    jax.lax.fori_loop(0, n_tiles, tile, 0)
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "C", "W", "WT", "span", "max_dist_x", "max_dist_y", "bw", "cg", "cs"))
-def chain_packed_tpu(nchunks, chunk_rng, x, y, rng, *, C, W, WT, span,
+    "W", "span", "max_dist_x", "max_dist_y", "bw", "cg", "cs"))
+def chain_packed_tpu(ntiles, start, x, y, rng, *, W, span,
                      max_dist_x, max_dist_y, bw, cg, cs):
-    """Run the chunked chain kernel on [H, 128] int32 arrays.
+    """Run the blocked chain kernel on W-padded [H, 128] int32 arrays.
 
-    H = chunks*C + W; `nchunks` ([1] int32) is the dynamic chunk trip,
-    `chunk_rng` the per-chunk widest successor range (adaptive window
-    depth).  Returns (f int32, p int16 relative predecessor).
+    `ntiles` ([1] int32) is the dynamic tile trip; `start[i]` the first
+    window row (in [0, W+127]) with a predecessor that can reach tile i.
+    Returns (f, p) over the same padded layout (p = predecessor distance).
     """
     kern = functools.partial(
-        _chain_kernel, C=C, W=W, WT=WT, span=span, max_dist_x=max_dist_x,
+        _chain_kernel, W=W, span=span, max_dist_x=max_dist_x,
         max_dist_y=max_dist_y, bw=bw, cg=float(cg), cs=float(cs))
-    hv = ((C + WT - 1) // WT) * WT + W     # VMEM rows (WT-quantized body)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(1,),
@@ -255,15 +306,15 @@ def chain_packed_tpu(nchunks, chunk_rng, x, y, rng, *, C, W, WT, span,
         out_specs=(pl.BlockSpec(memory_space=pltpu.ANY),
                    pl.BlockSpec(memory_space=pltpu.ANY)),
         scratch_shapes=[
-            pltpu.VMEM((hv, LANES), jnp.int32),
-            pltpu.VMEM((hv, LANES), jnp.int32),
-            pltpu.VMEM((hv, LANES), jnp.int32),
-            pltpu.VMEM((hv, LANES), jnp.int32),
-            pltpu.VMEM((hv, LANES), jnp.int32),
-            pltpu.SemaphoreType.DMA((5,)),
+            pltpu.VMEM((W + TILE, LANES), jnp.int32),
+            pltpu.VMEM((W + TILE, LANES), jnp.int32),
+            pltpu.VMEM((W + TILE, LANES), jnp.int32),
+            pltpu.VMEM((W + TILE, LANES), jnp.int32),
+            pltpu.VMEM((TILE, LANES), jnp.int32),
+            pltpu.VMEM((TILE, LANES), jnp.int32),
+            pltpu.SemaphoreType.DMA((4,)),
         ],
     )
-    # f/p live in HBM; init on device (saves two host→device transfers)
     f0 = jnp.full(x.shape, span, jnp.int32)
     p0 = jnp.zeros(x.shape, jnp.int32)
     f, p = pl.pallas_call(
@@ -271,12 +322,10 @@ def chain_packed_tpu(nchunks, chunk_rng, x, y, rng, *, C, W, WT, span,
         grid_spec=grid_spec,
         out_shape=(jax.ShapeDtypeStruct(x.shape, jnp.int32),
                    jax.ShapeDtypeStruct(x.shape, jnp.int32)),
-        input_output_aliases={5: 0, 6: 1},   # f0→f, p0→p (post-prefetch idx)
+        input_output_aliases={5: 0, 6: 1},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=_interpret(),
-    )(nchunks, chunk_rng, x, y, rng, f0, p0)
-    # headline D2H saver: relative predecessors fit int16 (max_iter<=32767,
-    # same bound the reference exploits with its uint16 p, plmem.cuh:30)
+    )(ntiles, start, x, y, rng, f0, p0)
     return f, p.astype(jnp.int16)
 
 
@@ -286,13 +335,6 @@ def chain_packed_tpu(nchunks, chunk_rng, x, y, rng, *, C, W, WT, span,
 
 def _round_up(v: int, m: int) -> int:
     return (v + m - 1) // m * m
-
-
-def _pow2_at_least(v: int, lo: int) -> int:
-    r = lo
-    while r < v:
-        r <<= 1
-    return r
 
 
 def chain_scores_device(ax: np.ndarray, ay: np.ndarray,
@@ -339,15 +381,14 @@ def chain_scores_device(ax: np.ndarray, ay: np.ndarray,
     seg_of = np.repeat(np.arange(n_segs), seg_lens)
     row_of = np.arange(n, dtype=np.int64) - np.repeat(bounds[:-1], seg_lens)
 
-    for wi, (C, W, WT) in enumerate(WINDOW_CLASSES):
-        lo = 0 if wi == 0 else WINDOW_CLASSES[wi - 1][1]
+    for wi, W in enumerate(WINDOW_CLASSES):
+        lo = 0 if wi == 0 else WINDOW_CLASSES[wi - 1]
         sel = np.nonzero((seg_maxrng > lo) & (seg_maxrng <= W))[0] if wi \
             else np.nonzero(seg_maxrng <= W)[0]
         if sel.shape[0] == 0:
             continue
         _run_class(sel, seg_lens, bounds, seg_of, row_of, rng, x32, y32,
-                   f_out, p_out, C, W, WT, span, max_dist_x, max_dist_y,
-                   bw, cg, cs)
+                   f_out, p_out, W, span, max_dist_x, max_dist_y, bw, cg, cs)
     return f_out, p_out
 
 
@@ -356,8 +397,7 @@ def _pack_lanes(lens: np.ndarray) -> tuple[np.ndarray, np.ndarray, int]:
 
     Returns (lane_of_seg, off_of_seg, height): multiple segments stack in
     one lane back-to-back; heights stay balanced by always extending the
-    currently-shortest lane (LPT).
-    """
+    currently-shortest lane (LPT)."""
     order = np.argsort(-lens, kind="stable")
     lane_of = np.empty(lens.shape[0], dtype=np.int64)
     off_of = np.empty(lens.shape[0], dtype=np.int64)
@@ -372,16 +412,14 @@ def _pack_lanes(lens: np.ndarray) -> tuple[np.ndarray, np.ndarray, int]:
     return lane_of, off_of, height
 
 
-def _run_class(sel, seg_lens, bounds, seg_of, row_of, rng, x32, y32,
-               f_out, p_out, C, W, WT, span, max_dist_x, max_dist_y, bw,
-               cg, cs):
-    """Densely pack the selected segments into 128 lanes, run one kernel."""
+def pack_class(sel, seg_lens, seg_of, row_of, rng, x32, y32, W):
+    """Densely pack the selected segments into the kernel's padded
+    [W + tiles*128, 128] layout.  Returns (ntiles, start, X, Y, R) kernel
+    inputs plus (src, rows, cols) for scattering results back."""
     lens = seg_lens[sel]
     lane_sel, off_sel, height = _pack_lanes(lens)
-    n_chunks = _pow2_at_least(_round_up(max(height, 1), C) // C, 1)
-    # +WT: DMA tiles are WT-row quantized, so coverage of the last chunk
-    # can overhang C+W by up to WT-C rows when C < WT
-    H = n_chunks * C + W + WT
+    n_tiles = max(_round_up(max(height, 1), TILE) // TILE, 1)
+    H = W + n_tiles * TILE  # W leading pad rows keep window DMAs in bounds
 
     lane_of_seg = np.full(seg_lens.shape[0], -1, dtype=np.int64)
     off_of_seg = np.zeros(seg_lens.shape[0], dtype=np.int64)
@@ -390,7 +428,7 @@ def _run_class(sel, seg_lens, bounds, seg_of, row_of, rng, x32, y32,
 
     in_class = lane_of_seg[seg_of] >= 0
     src = np.nonzero(in_class)[0]
-    rows = row_of[src] + off_of_seg[seg_of[src]]
+    rows = W + row_of[src] + off_of_seg[seg_of[src]]
     cols = lane_of_seg[seg_of[src]]
 
     shape = (H, LANES)
@@ -401,20 +439,31 @@ def _run_class(sel, seg_lens, bounds, seg_of, row_of, rng, x32, y32,
     Y[rows, cols] = y32[src]
     R[rows, cols] = rng[src]
 
-    Rb = R[:n_chunks * C].reshape(n_chunks, C * LANES)
-    chunk_rng = np.ascontiguousarray(Rb.max(axis=1)).astype(np.int32)
-    real_chunks = _round_up(max(height, 1), C) // C
-    nchunks = np.array([real_chunks], np.int32)
-    chunk_rng[real_chunks:] = 0
+    # per-tile dynamic window start: the first padded row whose range can
+    # reach into the tile decides how much of the window the kernel walks
+    rmax = R.max(axis=1)
+    start = np.empty(n_tiles, np.int32)
+    idx = np.arange(H, dtype=np.int64)
+    reach = idx + np.minimum(rmax, W)  # farthest dst row each src row touches
+    for i in range(n_tiles):
+        t0 = i * TILE
+        w = reach[t0:t0 + W + TILE - 1]
+        can = np.nonzero(w >= t0 + W)[0]
+        start[i] = int(can[0]) if can.shape[0] else W + TILE - 1
+    ntiles = np.array([n_tiles], np.int32)
+    return ntiles, start, X, Y, R, src, rows, cols
 
-    f, p = chain_packed_tpu(nchunks, chunk_rng, X, Y, R, C=C, W=W, WT=WT,
-                            span=span, max_dist_x=max_dist_x,
-                            max_dist_y=max_dist_y, bw=bw, cg=cg, cs=cs)
-    # explicit sync before host readback: np.asarray on a pending array
-    # takes a pathological slow path on tunneled TPU platforms
-    jax.block_until_ready((f, p))
-    f = np.asarray(f)
-    p = np.asarray(p)
+
+def _run_class(sel, seg_lens, bounds, seg_of, row_of, rng, x32, y32,
+               f_out, p_out, W, span, max_dist_x, max_dist_y, bw, cg, cs):
+    ntiles, start, X, Y, R, src, rows, cols = pack_class(
+        sel, seg_lens, seg_of, row_of, rng, x32, y32, W)
+    f, p = chain_packed_tpu(ntiles, start, X, Y, R, W=W, span=span,
+                            max_dist_x=max_dist_x, max_dist_y=max_dist_y,
+                            bw=bw, cg=cg, cs=cs)
+    # device_get, NOT np.asarray: the latter falls into a pathological
+    # element-wise path on tunneled TPU platforms (~MB/s vs ~GB/s)
+    f, p = jax.device_get((f, p))
     f_out[src] = f[rows, cols]
     prel = p[rows, cols].astype(np.int64)
     p_out[src] = np.where(prel > 0, src - prel, -1)
