@@ -60,6 +60,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--paf-no-hit", action="store_true")
     p.add_argument("--frag", choices=["yes", "no"], default=None)
     p.add_argument("-F", dest="max_frag_len", type=int, default=None)
+    p.add_argument("-T", dest="sdust_thres", type=int, default=None)
+    p.add_argument("-A", dest="match_sc", type=int, default=None)
+    p.add_argument("-B", dest="mismatch_sc", type=int, default=None)
+    p.add_argument("-O", dest="gap_open", default=None)
+    p.add_argument("-E", dest="gap_ext", default=None)
+    p.add_argument("-z", dest="zdrop", default=None)
+    p.add_argument("-s", dest="min_dp_max", type=int, default=None)
+    p.add_argument("-U", dest="occ_range", default=None)
+    p.add_argument("--mask-level", type=float, default=None)
+    p.add_argument("--min-occ-floor", type=int, default=None)
     p.add_argument("--for-only", action="store_true")
     p.add_argument("--rev-only", action="store_true")
     return p
@@ -127,6 +137,38 @@ def apply_overrides(args, io: O.IndexOptions, mo: O.MapOptions) -> None:
         mo.flag &= ~O.MM_F_FRAG_MODE
     if args.max_frag_len is not None:
         mo.max_frag_len = args.max_frag_len
+    if args.sdust_thres is not None:
+        mo.sdust_thres = args.sdust_thres
+    if args.match_sc is not None:
+        mo.a = args.match_sc
+    if args.mismatch_sc is not None:
+        mo.b = args.mismatch_sc
+    if args.gap_open is not None:  # -O open[,open2] (main.c:189-192)
+        parts = args.gap_open.split(",")
+        mo.q = mo.q2 = int(parts[0])
+        if len(parts) > 1:
+            mo.q2 = int(parts[1])
+    if args.gap_ext is not None:  # -E ext[,ext2]
+        parts = args.gap_ext.split(",")
+        mo.e = mo.e2 = int(parts[0])
+        if len(parts) > 1:
+            mo.e2 = int(parts[1])
+    if args.zdrop is not None:  # -z zdrop[,zdrop_inv]
+        parts = args.zdrop.split(",")
+        mo.zdrop = mo.zdrop_inv = int(parts[0])
+        if len(parts) > 1:
+            mo.zdrop_inv = int(parts[1])
+    if args.min_dp_max is not None:
+        mo.min_dp_max = args.min_dp_max
+    if args.occ_range is not None:  # -U min[,max] occurrence bounds
+        parts = args.occ_range.split(",")
+        mo.min_mid_occ = int(parts[0])
+        if len(parts) > 1:
+            mo.max_mid_occ = int(parts[1])
+    if args.mask_level is not None:
+        mo.mask_level = args.mask_level
+    if args.min_occ_floor is not None:
+        mo.min_mid_occ = args.min_occ_floor
     if args.secondary == "no":
         mo.flag |= O.MM_F_NO_PRINT_2ND
     if args.paf_no_hit:

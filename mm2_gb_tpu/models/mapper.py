@@ -57,6 +57,9 @@ def collect_minimizers(index: MinimizerIndex, opt: MapOptions,
         if total:
             mm = mm.copy()
             mm[:, 1] += np.uint64(total << 1)
+        if opt.sdust_thres > 0:  # mask low-complexity minimizers (map.c:194-195)
+            from mm2_gb_tpu.ops.sdust import dust_minier
+            mm = dust_minier(mm, s, opt.sdust_thres)
         chunks.append(mm)
         total += len(s)
     if not chunks:
