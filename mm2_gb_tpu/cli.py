@@ -189,7 +189,8 @@ def main(argv: list[str] | None = None) -> int:
     apply_overrides(args, io, mo)
     O.check_opt(io, mo)
 
-    if args.target.endswith(".npz"):
+    from mm2_gb_tpu.models.index import _is_mmi
+    if args.target.endswith(".npz") or _is_mmi(args.target):
         index = MinimizerIndex.load(args.target)
     else:
         index = MinimizerIndex.from_fasta(args.target, io)
