@@ -70,6 +70,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-U", dest="occ_range", default=None)
     p.add_argument("--mask-level", type=float, default=None)
     p.add_argument("--min-occ-floor", type=int, default=None)
+    p.add_argument("-K", dest="mini_batch", default=None,
+                   help="minibatch size in bases (500M default; k/M/G suffix)")
+    p.add_argument("-v", dest="verbose", type=int, default=1)
     p.add_argument("--for-only", action="store_true")
     p.add_argument("--rev-only", action="store_true")
     return p
@@ -169,6 +172,11 @@ def apply_overrides(args, io: O.IndexOptions, mo: O.MapOptions) -> None:
         mo.mask_level = args.mask_level
     if args.min_occ_floor is not None:
         mo.min_mid_occ = args.min_occ_floor
+    if args.mini_batch is not None:
+        s = args.mini_batch
+        mult = {"k": 10**3, "K": 10**3, "m": 10**6, "M": 10**6,
+                "g": 10**9, "G": 10**9}.get(s[-1], 1)
+        mo.mini_batch_size = int(float(s[:-1] if mult > 1 else s) * mult)
     if args.secondary == "no":
         mo.flag |= O.MM_F_NO_PRINT_2ND
     if args.paf_no_hit:
@@ -218,6 +226,14 @@ def main(argv: list[str] | None = None) -> int:
         out.write(write_sam_header(index, args.rg, __version__,
                                    (argv if argv is not None
                                     else sys.argv[1:])) + "\n")
+    from mm2_gb_tpu.models.stream import Metrics, map_file_stream
+    metrics = Metrics()
+    map_file_stream(index, mo, args.query, out, args.threads, rg_id, metrics)
+    metrics.report(args.verbose)
+    return 0
+
+
+def _unused_frag_loop(args, index, mo, out, is_sam, rg_id):
     for frag in iter_frags(args.query, mo):
         n_seg = len(frag)
         pe_flip = [n_seg == 2 and ((j == 0 and (mo.pe_ori >> 1 & 1))
