@@ -73,6 +73,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-K", dest="mini_batch", default=None,
                    help="minibatch size in bases (500M default; k/M/G suffix)")
     p.add_argument("-v", dest="verbose", type=int, default=1)
+    p.add_argument("-I", dest="batch_size", default=None,
+                   help="split index for every ~NUM bases (k/M/G suffix)")
+    p.add_argument("--split-prefix", default=None)
     p.add_argument("--for-only", action="store_true")
     p.add_argument("--rev-only", action="store_true")
     return p
@@ -197,6 +200,17 @@ def main(argv: list[str] | None = None) -> int:
     apply_overrides(args, io, mo)
     O.check_opt(io, mo)
 
+    if args.batch_size is not None and args.query:
+        s = args.batch_size
+        mult = {"k": 10**3, "K": 10**3, "m": 10**6, "M": 10**6,
+                "g": 10**9, "G": 10**9}.get(s[-1], 1)
+        bs = int(float(s[:-1] if mult > 1 else s) * mult)
+        mo.split_prefix = args.split_prefix
+        from mm2_gb_tpu.models.splitmerge import map_multipart
+        return map_multipart(args.target, args.query, io, mo, sys.stdout,
+                             bs, args.split_prefix, None,
+                             (argv if argv is not None else sys.argv[1:]),
+                             args.verbose)
     from mm2_gb_tpu.models.index import _is_mmi
     if args.target.endswith(".npz") or _is_mmi(args.target):
         index = MinimizerIndex.load(args.target)

@@ -302,3 +302,20 @@ def _save_mmi(index: "MinimizerIndex", path: str) -> None:
             for j in range(8):
                 S |= nib[j::8].astype(np.uint32) << np.uint32(4 * j)
             S.tofile(f)
+
+
+def from_fasta_parts(path: str, opts: IndexOptions, batch_size: int):
+    """Yield multi-part indices of <= batch_size bases each
+    (mm_idx_reader_read batching, index.c:583-628)."""
+    part: list[SeqRecord] = []
+    total = 0
+    part_id = 0
+    for rec in read_fastx(path):
+        part.append(rec)
+        total += rec.length
+        if total >= batch_size:
+            yield MinimizerIndex.build(part, opts, part_id)
+            part, total = [], 0
+            part_id += 1
+    if part:
+        yield MinimizerIndex.build(part, opts, part_id)

@@ -1,0 +1,144 @@
+"""Multi-part index mapping + split merge (splitidx.c, map.c:1205-1268).
+
+Large references are indexed in <= batch_size parts; queries map against
+every part, per-part hits spill to temp files (--split-prefix) or stay in
+memory, and a merge pass re-ranks the union per read: rid shift, optional
+divergence re-ranking, hit_sort, set_parent, select_sub, SAM-primary,
+MAPQ and PE pairing (merge_hits, map.c:1225-1263).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import sys
+
+from mm2_gb_tpu.models import hit as hitmod
+from mm2_gb_tpu.models import pe as pemod
+from mm2_gb_tpu.models.index import MinimizerIndex, from_fasta_parts
+from mm2_gb_tpu.models.stream import Metrics, _map_one, read_frag_batches
+from mm2_gb_tpu.utils import opts as O
+
+
+def map_multipart(target: str, paths: list[str], io, mo, out,
+                  batch_size: int, split_prefix: str | None,
+                  rg_id: str | None, cli_args, verbose: int = 1) -> int:
+    from mm2_gb_tpu.cli import res_regs_out
+    from mm2_gb_tpu.ops import align as align_ops
+
+    parts_meta = []      # (names, lens) per part
+    part_results = []    # per part: list over frags of (seg_regs, rep_lens, frag_gap)
+    tmp_files = []
+
+    n_parts = 0
+    for index in from_fasta_parts(target, io, batch_size):
+        O.mapopt_update(mo, index)
+        if verbose >= 3:
+            sys.stderr.write(f"[M::split] mapping against part {n_parts} "
+                             f"({index.n_seq} sequences)\n")
+        results = []
+        for batch in read_frag_batches(paths, mo, mo.mini_batch_size,
+                                       Metrics()):
+            for frag in batch:
+                res = _map_one(index, mo, frag)
+                results.append(res)
+        parts_meta.append((index.names, index.lens))
+        if split_prefix:
+            fn = f"{split_prefix}.{n_parts:04d}.tmp"
+            with open(fn, "wb") as f:
+                pickle.dump(results, f)
+            tmp_files.append(fn)
+            part_results.append(None)
+        else:
+            part_results.append(results)
+        n_parts += 1
+
+    if n_parts == 0:
+        return 1
+    if split_prefix:
+        part_results = []
+        for fn in tmp_files:
+            with open(fn, "rb") as f:
+                part_results.append(pickle.load(f))
+
+    # merged sequence table + rid shifts
+    rid_shift = [0]
+    all_names: list[str] = []
+    all_lens: list[int] = []
+    for names, lens in parts_meta:
+        all_names.extend(names)
+        all_lens.extend(int(v) for v in lens)
+        rid_shift.append(rid_shift[-1] + len(names))
+
+    class MergedIndex:
+        pass
+
+    import numpy as np
+    merged = MergedIndex()
+    merged.names = all_names
+    merged.lens = np.array(all_lens, np.uint32)
+    merged.n_seq = len(all_names)
+    merged.k = io.k
+
+    is_sam = bool(mo.flag & O.MM_F_OUT_SAM)
+    if is_sam:
+        from mm2_gb_tpu import __version__
+        from mm2_gb_tpu.utils.sam import write_sam_header
+        out.write(write_sam_header(merged, None, __version__, cli_args)
+                  + "\n")
+
+    frag_iter = read_frag_batches(paths, mo, mo.mini_batch_size, Metrics())
+    fi = 0
+    for batch in frag_iter:
+        for frag in batch:
+            n_seg = len(frag)
+            seg_regs = [[] for _ in range(n_seg)]
+            rep_lens = [0] * n_seg
+            frag_gap = mo.max_gap
+            for pi in range(n_parts):
+                p_regs, p_replens = part_results[pi][fi]
+                frag_gap = mo.max_gap_ref if mo.max_gap_ref > 0 else frag_gap
+                for s in range(n_seg):
+                    for r in p_regs[s]:
+                        r.rid += rid_shift[pi]
+                        seg_regs[s].append(r)
+                    rep_lens[s] = max(rep_lens[s], p_replens[s])
+            # merge_hits re-ranking (map.c:1247-1260)
+            for s in range(n_seg):
+                regs = seg_regs[s]
+                qlen = frag[s].length
+                if not (mo.flag & O.MM_F_SR) and qlen >= mo.rank_min_len:
+                    align_ops.update_dp_max(qlen, regs, mo.rank_frac, mo.a,
+                                            mo.b)
+                for r in regs:
+                    if r.p is not None:
+                        r.p.dp_max2 = 0
+                    r.subsc = 0
+                    r.n_sub = 0
+                regs = hitmod.hit_sort(regs, mo.alt_drop)
+                for i, r in enumerate(regs):
+                    r.id = i
+                hitmod.set_parent(regs, mo.mask_level, mo.mask_len,
+                                  mo.a * 2 + mo.b,
+                                  bool(mo.flag & O.MM_F_HARD_MLEVEL),
+                                  mo.alt_drop)
+                if not (mo.flag & O.MM_F_ALL_CHAINS):
+                    regs = hitmod.select_sub(regs, mo.pri_ratio, io.k * 2,
+                                             mo.best_n, False,
+                                             int(mo.max_gap * 0.8))
+                    hitmod.set_sam_pri(regs)
+                hitmod.set_mapq(regs, mo.min_chain_score, mo.a, rep_lens[s],
+                                bool(mo.flag & O.MM_F_SR))
+                seg_regs[s] = regs
+            if (n_seg == 2 and mo.pe_ori >= 0
+                    and (mo.flag & O.MM_F_CIGAR)):
+                pemod.pair(frag_gap, mo.pe_bonus, mo.a * 2 + mo.b, mo.a,
+                           [r.length for r in frag], seg_regs)
+            for j, rec in enumerate(frag):
+                res_regs_out(out, merged, mo, rec, seg_regs[j], rep_lens[j],
+                             is_sam, rg_id, j, n_seg, seg_regs)
+            fi += 1
+
+    for fn in tmp_files:
+        os.unlink(fn)
+    return 0

@@ -156,3 +156,16 @@ def test_ava_ont_byte_match(capsys):
     assert rc == 0
     with gzip.open(golden_path("ava.skipinf.paf.gz"), "rt") as f:
         assert capsys.readouterr().out == f.read()
+
+
+def test_split_index_merge(capsys, tmp_path):
+    """Multi-part index (-I) + split merge re-ranking across parts."""
+    import gzip
+    gold = None
+    with gzip.open(golden_path("sim200.split120k.c.paf.gz"), "rt") as f:
+        gold = f.read()
+    rc = main(["--max-chain-skip=2147483647", "-c", "-I", "120k",
+               "--split-prefix", str(tmp_path / "sp"),
+               golden_path("simref.fa.gz"), golden_path("simreads.fa.gz")])
+    assert rc == 0
+    assert capsys.readouterr().out == gold
