@@ -389,6 +389,24 @@ def chain_scores_device(ax: np.ndarray, ay: np.ndarray,
             continue
         _run_class(sel, seg_lens, bounds, seg_of, row_of, rng, x32, y32,
                    f_out, p_out, W, span, max_dist_x, max_dist_y, bw, cg, cs)
+
+    # capacity fallback: segments wider than the largest window class chain
+    # on the host, like the reference's CPU fallback for reads that miss
+    # the micro-batch (map.c:1030-1035); unreachable at default max_iter
+    over = np.nonzero(seg_maxrng > WINDOW_CLASSES[-1])[0]
+    if over.shape[0]:
+        import sys
+        sys.stderr.write(f"[W::chain_tpu] {over.shape[0]} segments exceed "
+                         f"the device window ({WINDOW_CLASSES[-1]}); "
+                         "chaining them on the host\n")
+        for si in over:
+            s, e = int(bounds[si]), int(bounds[si + 1])
+            fs, ps = _chain_dp_scores(ax[s:e], ay[s:e], max_dist_x,
+                                      max_dist_y, bw, 2**31 - 1, max_iter,
+                                      np.float32(cg), np.float32(cs),
+                                      False, 1)
+            f_out[s:e] = fs
+            p_out[s:e] = np.where(ps >= 0, ps + s, -1)
     return f_out, p_out
 
 

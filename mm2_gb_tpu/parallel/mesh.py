@@ -3,14 +3,15 @@
 The reference is strictly single-node/single-GPU; this layer is the
 TPU-native scaling design built new:
 
-- mesh axes ('host', 'chip'); the minimizer index is replicated (it is
-  small relative to HBM for typical references) while read batches are
+- mesh axes ('data',); the minimizer index is replicated (it is small
+  relative to HBM for typical references) while read batches are
   data-parallel sharded across all chips;
 - chaining is embarrassingly parallel across reads/segments, so the hot
-  loop has NO inter-chip communication; only per-read chain summaries
-  return to hosts, and final PAF records merge deterministically by the
-  global read id assigned at ingest (the same merge key the reference
-  uses for its output ordering, map.c:1284-1285).
+  loop has NO inter-chip communication; each chip runs the blocked
+  Pallas chain kernel on its shard of packed anchor lanes via shard_map;
+- only per-read chain summaries return to hosts, and final PAF records
+  merge deterministically by the global read id assigned at ingest (the
+  same merge key the reference uses for output order, map.c:1284-1285).
 """
 
 from __future__ import annotations
@@ -30,14 +31,126 @@ def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
     return Mesh(np.array(devs), (axis,))
 
 
+def sharded_chain_packed(mesh: Mesh, ntiles, start, X, Y, R, *, W, span,
+                         max_dist_x, max_dist_y, bw, cg, cs):
+    """Data-parallel blocked chain kernel over a device mesh.
+
+    Inputs carry a leading device axis: ntiles [D,1], start [D,T],
+    X/Y/R [D,H,128].  Each device runs the same Pallas kernel on its
+    shard — zero collectives in the hot loop.  Returns (f, p) with the
+    same sharding.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    from mm2_gb_tpu.ops.chain_tpu import chain_packed_tpu
+
+    axis = mesh.axis_names[0]
+    spec = P(axis)
+
+    def body(nt, st, x, y, r):
+        f, p = chain_packed_tpu(nt[0], st[0], x[0], y[0], r[0], W=W,
+                                span=span, max_dist_x=max_dist_x,
+                                max_dist_y=max_dist_y, bw=bw, cg=cg, cs=cs)
+        return f[None], p[None]
+
+    fn = shard_map(body, mesh=mesh,
+                   in_specs=(spec, spec, spec, spec, spec),
+                   out_specs=(spec, spec), check_rep=False)
+    return jax.jit(fn)(ntiles, start, X, Y, R)
+
+
+def chain_batch_multichip(mesh: Mesh, ax: np.ndarray, ay: np.ndarray,
+                          read_bounds: np.ndarray, max_dist_x: int,
+                          max_dist_y: int, bw: int, max_iter: int,
+                          cg: float, cs: float
+                          ) -> tuple[np.ndarray, np.ndarray]:
+    """Chain-score a macro-batch with reads sharded across the mesh.
+
+    Host packs each device's shard of reads into the padded lane layout;
+    one shard_map launch scores all shards concurrently; results scatter
+    back into the global (f, p) arrays.  Single-device meshes reduce to
+    the single-chip path.
+    """
+    from mm2_gb_tpu.ops import chain_tpu as CT
+
+    n_dev = int(np.prod(mesh.devices.shape))
+    n_reads = read_bounds.shape[0] - 1
+    n = ax.shape[0]
+    f_out = np.zeros(n, np.int32)
+    p_out = np.full(n, -1, np.int64)
+    if n == 0:
+        return f_out, p_out
+    if max_dist_x < bw:
+        max_dist_x = bw
+    if max_dist_y < bw:
+        max_dist_y = bw
+    span = int((int(ay[0]) >> 32) & 0xFF)
+    W = CT.WINDOW_CLASSES[0]
+
+    # contiguous read shards balanced by anchor count
+    targets = np.searchsorted(read_bounds[1:-1],
+                              (np.arange(1, n_dev) * n) // n_dev) + 1
+    shard_bounds = np.concatenate(([0], targets, [n_reads]))
+
+    packs = []
+    for d in range(n_dev):
+        r0, r1 = int(shard_bounds[d]), int(shard_bounds[d + 1])
+        s, e = int(read_bounds[r0]), int(read_bounds[r1])
+        sub_bounds = (read_bounds[r0:r1 + 1] - s).astype(np.int64)
+        axs, ays = ax[s:e], ay[s:e]
+        rng = CT.compute_ranges(axs, sub_bounds, max_dist_x, max_iter)
+        cuts = CT.cut_segments(rng)
+        seg_lens = np.diff(cuts)
+        seg_of = np.repeat(np.arange(seg_lens.shape[0]), seg_lens)
+        row_of = np.arange(axs.shape[0], dtype=np.int64) - \
+            np.repeat(cuts[:-1], seg_lens)
+        x32 = (axs & np.uint64(0xFFFFFFFF)).astype(np.int32)
+        y32 = (ays & np.uint64(0xFFFFFFFF)).astype(np.int32)
+        sel = np.arange(seg_lens.shape[0])
+        packs.append((CT.pack_class(sel, seg_lens, seg_of, row_of, rng,
+                                    x32, y32, W), s, rng))
+
+    # pad shards to a common tile count (uniform shapes for shard_map)
+    t_max = max(int(p[0][0][0]) for p in packs)
+    H = W + t_max * CT.TILE
+    NT = np.zeros((n_dev, 1), np.int32)
+    ST = np.full((n_dev, t_max), W + CT.TILE - 1, np.int32)
+    XA = np.zeros((n_dev, H, CT.LANES), np.int32)
+    YA = np.zeros_like(XA)
+    RA = np.zeros_like(XA)
+    for d, (pk, s, rng) in enumerate(packs):
+        ntiles, start, X, Y, R, src, rows, cols = pk
+        nt = int(ntiles[0])
+        NT[d, 0] = nt
+        ST[d, :nt] = start
+        XA[d, :X.shape[0]] = X
+        YA[d, :Y.shape[0]] = Y
+        RA[d, :R.shape[0]] = R
+
+    f, p = sharded_chain_packed(make_mesh(n_dev) if mesh is None else mesh,
+                                NT, ST, XA, YA, RA, W=W, span=span,
+                                max_dist_x=max_dist_x, max_dist_y=max_dist_y,
+                                bw=bw, cg=cg, cs=cs)
+    f, p = jax.device_get((f, p))
+    for d, (pk, s, rng) in enumerate(packs):
+        _, _, X, _, _, src, rows, cols = pk
+        f_out[s + src] = f[d][rows, cols]
+        prel = p[d][rows, cols].astype(np.int64)
+        p_out[s + src] = np.where(prel > 0, s + src - prel, -1)
+    return f_out, p_out
+
+
+def merge_paf_shards(shards: list[list[tuple[int, str]]]) -> list[str]:
+    """Deterministic merge of per-host PAF shards by global read id."""
+    allrecs = [rec for shard in shards for rec in shard]
+    allrecs.sort(key=lambda t: t[0])
+    return [line for _, line in allrecs]
+
+
+# kept for the XLA-only portability path (CPU debugging without Pallas)
 def sharded_chain_step(mesh: Mesh, x, y, span, rng, *, L, W, max_dist_x,
                        max_dist_y, bw, cg, cs):
-    """Data-parallel chaining over packed segment lanes.
-
-    Lanes (segments) are sharded over the mesh's data axis; each chip runs
-    the forward-DP relaxation on its shard with zero collectives in the
-    hot loop.  Returns (f, p) with the same sharding.
-    """
+    """Lane-sharded forward DP using the pure-XLA kernel."""
     from mm2_gb_tpu.ops.chain_xla import chain_bucket_xla
 
     axis = mesh.axis_names[0]
@@ -52,10 +165,3 @@ def sharded_chain_step(mesh: Mesh, x, y, span, rng, *, L, W, max_dist_x,
                                 max_dist_y=max_dist_y, bw=bw, cg=cg, cs=cs)
 
     return step(x, y, span, rng)
-
-
-def merge_paf_shards(shards: list[list[tuple[int, str]]]) -> list[str]:
-    """Deterministic merge of per-host PAF shards by global read id."""
-    allrecs = [rec for shard in shards for rec in shard]
-    allrecs.sort(key=lambda t: t[0])
-    return [line for _, line in allrecs]

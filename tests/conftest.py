@@ -2,7 +2,10 @@ import os
 import sys
 
 # force CPU + a virtual 8-device mesh for sharding tests BEFORE jax import
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# (the session shell may export JAX_PLATFORMS=axon for the tunneled TPU;
+# tests must be deterministic on CPU unless explicitly requested)
+if not os.environ.get("MM2TPU_TEST_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (

@@ -108,3 +108,94 @@ def test_mg_log2_kernel_matches_host():
     dev = np.asarray(jax.jit(chain_tpu._mg_log2_f32)(
         jnp.asarray((dd + 1).astype(np.float32))))
     assert np.array_equal(host, dev)
+
+
+def test_device_pipeline_matches_host_e2e():
+    """map_batch_tpu (seed→device-chain→backtrack→post) equals the host
+    mapper on small reads (interpret mode)."""
+    from mm2_gb_tpu.models.index import MinimizerIndex
+    from mm2_gb_tpu.models.mapper import map_frag
+    from mm2_gb_tpu.models.pipeline import map_batch_tpu
+    from mm2_gb_tpu.utils import opts as O
+    from mm2_gb_tpu.utils.fastx import SeqRecord
+    from mm2_gb_tpu.utils.paf import write_paf
+    from mm2_gb_tpu.utils.simulate import random_reference, simulate_readset
+
+    ref = random_reference(60_000, seed=7)
+    reads = simulate_readset(ref, 6, 1_000, 4_000, seed=8)
+    io, mo = O.set_preset(None)
+    mo.max_chain_skip = 2**31 - 1
+    index = MinimizerIndex.from_strings([ref], io, names=["c"])
+    O.mapopt_update(mo, index)
+    recs = [SeqRecord(i, n, s) for i, (n, s) in enumerate(reads)]
+    dev = map_batch_tpu(index, mo, recs)
+    for rec, (sr, regs) in zip(recs, dev):
+        host = map_frag(index, mo, [rec.seq], rec.name)
+        got = [write_paf(r, rec.name, rec.length, index, mo.flag, sr.rep_len)
+               for r in regs]
+        want = [write_paf(r, rec.name, rec.length, index, mo.flag,
+                          host.rep_len) for r in host.regs]
+        assert got == want
+
+
+def test_oversize_segment_host_fallback(capsys):
+    """Segments wider than the largest window class fall back to the host
+    (needs range > 5120: dense anchors + max_iter above the class cap)."""
+    ax, ay = _synthetic_anchors(6000, 9, step_hi=2)
+    bounds = np.array([0, ax.shape[0]], dtype=np.int64)
+    rng = chain_tpu.compute_ranges(ax, bounds, 50000, 40000)
+    assert int(rng.max()) > chain_tpu.WINDOW_CLASSES[-1]
+    fd, pd = chain_tpu.chain_scores_device(ax, ay, bounds, 50000, 50000,
+                                           500, 40000, CG, 0.0)
+    fo, po = chain_ops._chain_dp_scores(ax, ay, 50000, 50000, 500,
+                                        2**31 - 1, 40000, np.float32(CG),
+                                        np.float32(0.0), False, 1)
+    assert np.array_equal(fo, fd)
+    assert np.array_equal(po, pd)
+
+
+def test_multichip_chain_matches_oracle():
+    """Sharded Pallas chain kernel over an 8-device CPU mesh equals the
+    host oracle (zero-collective data parallelism, SURVEY.md §5.8).
+
+    Runs in a subprocess: device-count flags must be set before the
+    interpreter loads any JAX plugin."""
+    import os
+    import subprocess
+    import sys
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=8").strip()
+    script = """
+import numpy as np
+from mm2_gb_tpu.parallel.mesh import chain_batch_multichip, make_mesh
+from mm2_gb_tpu.ops import chain as chain_ops
+CG = float(np.float32(float(np.float32(0.8)) * 0.01 * 15))
+rng = np.random.default_rng(3)
+bounds = [0]; ax_all = []; ay_all = []
+for _ in range(16):
+    n = int(rng.integers(40, 200))
+    rpos = np.cumsum(rng.integers(1, 10, n))
+    qpos = np.maximum.accumulate(np.maximum(rpos + rng.integers(-4, 5, n), 1))
+    ax_all.append(rpos.astype(np.uint64))
+    ay_all.append((np.uint64(15) << np.uint64(32)) | qpos.astype(np.uint64))
+    bounds.append(bounds[-1] + n)
+ax = np.concatenate(ax_all); ay = np.concatenate(ay_all)
+bounds = np.array(bounds, np.int64)
+fd, pd = chain_batch_multichip(make_mesh(8), ax, ay, bounds, 5000, 5000,
+                               500, 5000, CG, 0.0)
+fo = np.empty_like(fd); po = np.empty_like(pd)
+for i in range(16):
+    s, e = int(bounds[i]), int(bounds[i + 1])
+    f1, p1 = chain_ops._chain_dp_scores(ax[s:e], ay[s:e], 5000, 5000, 500,
+                                        2**31 - 1, 5000, np.float32(CG),
+                                        np.float32(0.0), False, 1)
+    fo[s:e] = f1
+    po[s:e] = np.where(p1 >= 0, p1 + s, -1)
+assert np.array_equal(fo, fd) and np.array_equal(po, pd)
+print("MULTICHIP_OK")
+"""
+    r = subprocess.run([sys.executable, "-c", script], env=env,
+                       capture_output=True, text=True, timeout=900)
+    assert "MULTICHIP_OK" in r.stdout, r.stderr[-2000:]
