@@ -192,6 +192,8 @@ def apply_overrides(args, io: O.IndexOptions, mo: O.MapOptions) -> None:
         mo.flag |= O.MM_F_TPU_CHAIN
     if args.tpu_cfg:
         mo.tpu_config_file = args.tpu_cfg
+        from mm2_gb_tpu.utils.tpucfg import apply_tpu_config, load_tpu_config
+        apply_tpu_config(load_tpu_config(args.tpu_cfg))
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -247,37 +249,6 @@ def main(argv: list[str] | None = None) -> int:
     return 0
 
 
-def _unused_frag_loop(args, index, mo, out, is_sam, rg_id):
-    for frag in iter_frags(args.query, mo):
-        n_seg = len(frag)
-        pe_flip = [n_seg == 2 and ((j == 0 and (mo.pe_ori >> 1 & 1))
-                                   or (j == 1 and (mo.pe_ori & 1)))
-                   for j in range(n_seg)]
-        recs = [rc_record(rec) if pe_flip[j] else rec
-                for j, rec in enumerate(frag)]
-        if (mo.flag & O.MM_F_INDEPEND_SEG) and n_seg > 1:
-            seg_res = [map_frag(index, mo, [r.seq], r.name) for r in recs]
-            seg_regs = [sr.seg_regs[0] for sr in seg_res]
-            rep_lens = [sr.rep_len for sr in seg_res]
-        else:
-            res = map_frag(index, mo, [r.seq for r in recs], recs[0].name)
-            seg_regs = res.seg_regs if res.seg_regs is not None else \
-                [res.regs] + [[] for _ in range(n_seg - 1)]
-            rep_lens = [res.rep_len] * n_seg
-        # flip coordinates back to the original read strand (map.c:1189-1198)
-        for j in range(n_seg):
-            if pe_flip[j]:
-                ql = recs[j].length
-                for r in seg_regs[j]:
-                    r.qs, r.qe = ql - r.qe, ql - r.qs
-                    r.rev = not r.rev
-        for j, rec in enumerate(frag):
-            regs = seg_regs[j]
-            res_regs_out(out, index, mo, rec, regs, rep_lens[j], is_sam,
-                         rg_id, j, n_seg, seg_regs)
-    return 0
-
-
 def rc_record(rec):
     """Reverse-complemented copy of a read (mm_revcomp_bseq, bseq.h:46-57)."""
     from mm2_gb_tpu.utils.fastx import SeqRecord
@@ -292,7 +263,7 @@ def _qname_same(a: str, b: str) -> bool:
     return la == lb and a[:la] == b[:lb]
 
 
-def iter_frags(paths: list[str], mo) -> "list[list]":
+def iter_frags(paths: list[str], mo):
     """Group reads into fragments: multiple files interleave record-by-
     record (mm_bseq_read_frag2, bseq.c:131-159); one file in frag mode
     groups consecutive same-qname reads (map.c:1299-1304)."""

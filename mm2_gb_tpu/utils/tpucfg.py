@@ -1,0 +1,54 @@
+"""Device batch/kernel configuration (the --gpu-cfg JSON analog).
+
+The reference tunes its GPU path per device with JSON configs
+(gpu/*.json, parsed at plmem.cu:373-451): stream counts, batch anchor
+caps, grid/block dims and segment-size cutoffs.  The TPU analog tunes
+the packed-kernel geometry: successor-window classes, lanes, tile rows
+and macro-batch anchor caps.  Fields mirror the reference's tiering
+(§5.6): absent fields keep defaults, like cJSON's optional lookups.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from dataclasses import dataclass, field
+
+
+@dataclass
+class TpuConfig:
+    # successor-window capacity classes (size-classed dispatch; the
+    # short/mid/long cutoff analog of gpu_config.json's seg cutoffs)
+    window_classes: tuple = (512, 768, 5120)
+    lanes: int = 128            # VPU lane width (fixed by hardware)
+    tile: int = 128             # dst tile rows per kernel step
+    # macro-batch caps (max_total_n / max_read analogs, plmem.cu:473-540)
+    max_anchors_batch: int = 50_000_000
+    max_reads_batch: int = 200_000
+    micro_batch: int = 1        # concurrent in-flight kernel launches
+
+
+def load_tpu_config(path: str | None) -> TpuConfig:
+    cfg = TpuConfig()
+    if not path:
+        return cfg
+    try:
+        with open(path) as f:
+            data = json.load(f)
+    except (OSError, json.JSONDecodeError) as e:
+        sys.stderr.write(f"[W::tpucfg] cannot read {path}: {e}; "
+                         "using defaults\n")
+        return cfg
+    if "window_classes" in data:
+        cfg.window_classes = tuple(int(v) for v in data["window_classes"])
+    for k in ("lanes", "tile", "max_anchors_batch", "max_reads_batch",
+              "micro_batch"):
+        if k in data:
+            setattr(cfg, k, int(data[k]))
+    return cfg
+
+
+def apply_tpu_config(cfg: TpuConfig) -> None:
+    """Install the window classes into the kernel dispatch."""
+    from mm2_gb_tpu.ops import chain_tpu
+    chain_tpu.WINDOW_CLASSES = tuple(sorted(cfg.window_classes))
