@@ -198,7 +198,11 @@ def apply_overrides(args, io: O.IndexOptions, mo: O.MapOptions) -> None:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
-    io, mo = O.set_preset(args.preset)
+    try:
+        io, mo = O.set_preset(args.preset)
+    except ValueError as e:
+        sys.stderr.write(f"[ERROR] {e}\n")
+        return 1
     apply_overrides(args, io, mo)
     O.check_opt(io, mo)
 

@@ -440,7 +440,9 @@ def split_reg(r: Region, n: int, qlen: int, ax: np.ndarray, ay: np.ndarray,
     r2.p = None
     r2.split_inv = False
     r2.cnt = r.cnt - n
-    r2.score = int(np.float32(r.score * np.float32(r2.cnt / r.cnt)) + 0.499)
+    # C float steps: (int)(score * ((float)cnt2 / cnt) + .499)
+    ratio = np.float32(np.float32(r2.cnt) / np.float32(r.cnt))
+    r2.score = int(float(np.float32(np.float32(r.score) * ratio)) + 0.499)
     r2.as_ = r.as_ + n
     if r.parent == r.id:
         r2.parent = MM_PARENT_TMP_PRI

@@ -169,3 +169,18 @@ def test_split_index_merge(capsys, tmp_path):
                golden_path("simref.fa.gz"), golden_path("simreads.fa.gz")])
     assert rc == 0
     assert capsys.readouterr().out == gold
+
+
+PRESET_CASES = ["map-pb", "map-hifi", "asm5", "asm10", "asm20", "ava-pb"]
+
+
+@pytest.mark.parametrize("preset", PRESET_CASES)
+def test_preset_byte_match(preset, capsys):
+    """Every preset family (HPC sketching, asm scoring, ava overlap) vs
+    reference goldens on the 200-read simulated set."""
+    import gzip
+    rc = main(["--max-chain-skip=2147483647", "-x", preset, "-c",
+               golden_path("simref.fa.gz"), golden_path("simreads.fa.gz")])
+    assert rc == 0
+    with gzip.open(golden_path(f"sim200.{preset}.c.paf.gz"), "rt") as f:
+        assert capsys.readouterr().out == f.read()
