@@ -76,6 +76,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-I", dest="batch_size", default=None,
                    help="split index for every ~NUM bases (k/M/G suffix)")
     p.add_argument("--split-prefix", default=None)
+    p.add_argument("--junc-bed", default=None)
+    p.add_argument("--junc-bonus", type=int, default=None)
+    p.add_argument("--alt", dest="alt_list", default=None)
+    p.add_argument("--alt-drop", type=float, default=None)
     p.add_argument("--for-only", action="store_true")
     p.add_argument("--rev-only", action="store_true")
     return p
@@ -226,6 +230,18 @@ def main(argv: list[str] | None = None) -> int:
         index.save(args.dump_index)
         if not args.query:
             return 0
+    if args.junc_bed:
+        from mm2_gb_tpu.models.index import read_junc_bed
+        read_junc_bed(index, args.junc_bed, True)
+    if args.alt_list:
+        from mm2_gb_tpu.models.index import read_alt_list
+        n = read_alt_list(index, args.alt_list)
+        if args.verbose >= 3:
+            sys.stderr.write(f"[M::alt] found {n} ALT contigs\n")
+    if args.junc_bonus is not None:
+        mo.junc_bonus = args.junc_bonus
+    if args.alt_drop is not None:
+        mo.alt_drop = args.alt_drop
     O.mapopt_update(mo, index)
 
     out = sys.stdout

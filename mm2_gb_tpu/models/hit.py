@@ -597,3 +597,12 @@ def select_sub_multi(regs: list[Region], pri_ratio: float, pri1: float,
     if k != n:
         sync_regs(out)
     return out
+
+
+def mark_alt(index, regs: list[Region]) -> None:
+    """Flag hits on ALT contigs (mm_mark_alt, hit.c:90-97)."""
+    if getattr(index, "n_alt", 0) == 0:
+        return
+    for r in regs:
+        if index.alt_mask[r.rid]:
+            r.is_alt = True

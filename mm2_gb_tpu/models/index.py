@@ -319,3 +319,83 @@ def from_fasta_parts(path: str, opts: IndexOptions, batch_size: int):
             part_id += 1
     if part:
         yield MinimizerIndex.build(part, opts, part_id)
+
+
+def read_alt_list(index: "MinimizerIndex", path: str) -> int:
+    """Mark ALT contigs by name (mm_idx_alt_read, index.c:636-658)."""
+    n_alt = 0
+    name2id = {n: i for i, n in enumerate(index.names)}
+    with open(path) as f:
+        for line in f:
+            name = line.split()[0] if line.split() else ""
+            rid = name2id.get(name, -1)
+            if rid >= 0:
+                index.alt_mask[rid] = True
+                n_alt += 1
+    index.n_alt = n_alt
+    return n_alt
+
+
+def read_junc_bed(index: "MinimizerIndex", path: str,
+                  read_junc: bool = True) -> None:
+    """Load BED (incl. BED12 intron extraction) junction intervals
+    (mm_idx_read_bed / mm_idx_bed_read, index.c:663-751).
+
+    Stores per-rid interval lists as index.junc[rid] = sorted
+    (st, en, strand) tuples; consumed by bed_junc()."""
+    name2id = {n: i for i, n in enumerate(index.names)}
+    intervals: list[list[tuple[int, int, int]]] = \
+        [[] for _ in range(index.n_seq)]
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rt") as f:
+        for line in f:
+            t = line.rstrip("\n").split("\t")
+            if len(t) < 3:
+                continue
+            rid = name2id.get(t[0], -1)
+            if rid < 0:
+                continue
+            try:
+                st, en = int(t[1]), int(t[2])
+            except ValueError:
+                continue
+            if st < 0 or st >= en:
+                continue
+            strand = 0
+            if len(t) > 5:
+                strand = 1 if t[5] == "+" else -1 if t[5] == "-" else 0
+            if len(t) >= 12 and read_junc:  # BED12: introns between blocks
+                try:
+                    n_blk = int(t[9])
+                    sizes = [int(v) for v in t[10].rstrip(",").split(",")]
+                    starts = [int(v) for v in t[11].rstrip(",").split(",")]
+                except ValueError:
+                    continue
+                prev_en = st + starts[0] + sizes[0]
+                for b in range(1, n_blk):
+                    i_st, i_en = prev_en, st + starts[b]
+                    prev_en = st + starts[b] + sizes[b]
+                    if i_en > i_st:
+                        intervals[rid].append((i_st, i_en, strand))
+            else:
+                intervals[rid].append((st, en, strand))
+    index.junc = [sorted(iv) for iv in intervals]
+
+
+def bed_junc(index: "MinimizerIndex", rid: int, st: int, en: int
+             ) -> np.ndarray:
+    """Junction bonus flags over [st, en) (mm_idx_bed_junc, index.c:753-776):
+    bit0/1 donor/acceptor on +, bit3/2 on -."""
+    s = np.zeros(en - st, np.uint8)
+    junc = getattr(index, "junc", None)
+    if junc is None or rid < 0 or rid >= index.n_seq:
+        return s
+    for i_st, i_en, strand in junc[rid]:
+        if st <= i_st and en >= i_en and strand != 0:
+            if strand > 0:
+                s[i_st - st] |= 1
+                s[i_en - 1 - st] |= 2
+            else:
+                s[i_st - st] |= 8
+                s[i_en - 1 - st] |= 4
+    return s

@@ -182,6 +182,9 @@ def map_frag(index: MinimizerIndex, opt: MapOptions, seqs: list[str],
     _, max_gap_ref = _chain_gaps(opt, qlen_sum)
     regs = hitmod.gen_regs(hash_, qlen_sum, u, cx, cy,
                            bool(opt.flag & MM_F_QSTRAND))
+    if index.n_alt:  # map.c:738-741
+        hitmod.mark_alt(index, regs)
+        regs = hitmod.hit_sort(regs, opt.alt_drop)
     if n_segs == 1:
         regs = post_process(index, opt, qlen_sum, n_segs, qlens, regs, cx, cy,
                             mini_pos, rep_len, seqs)

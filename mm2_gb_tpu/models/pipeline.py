@@ -102,6 +102,9 @@ def finish_read(index: MinimizerIndex, opt: MapOptions, sr: SeededRead,
                             bool(opt.flag & MM_F_NO_HASH_NAME))
     regs = hitmod.gen_regs(hash_, qlen, u, cx, cy,
                            bool(opt.flag & MM_F_QSTRAND))
+    if index.n_alt:
+        hitmod.mark_alt(index, regs)
+        regs = hitmod.hit_sort(regs, opt.alt_drop)
     return post_process(index, opt, qlen, 1, [qlen], regs, cx, cy,
                         sr.mini_pos, sr.rep_len, [sr.rec.seq])
 

@@ -785,7 +785,8 @@ def _align1(index, opt: MapOptions, qlen: int, qseq0, r: Region,
         return index.get_seq(rid, rs_, re_)
 
     def getjunc(rs_, re_):
-        return np.zeros(re_ - rs_, np.uint8)  # BED junctions: none loaded
+        from mm2_gb_tpu.models.index import bed_junc
+        return bed_junc(index, rid, rs_, re_)
 
     qstrand_qseq = qseq0[0] if (opt.flag & MM_F_QSTRAND) else qseq0[rev]
 

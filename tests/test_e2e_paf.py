@@ -184,3 +184,29 @@ def test_preset_byte_match(preset, capsys):
     assert rc == 0
     with gzip.open(golden_path(f"sim200.{preset}.c.paf.gz"), "rt") as f:
         assert capsys.readouterr().out == f.read()
+
+
+def test_junc_bed_byte_match(capsys, tmp_path):
+    """--junc-bed: BED12 intron bonuses through the splice DP."""
+    import gzip
+    bed = tmp_path / "j.bed"
+    with gzip.open(golden_path("splice.bed.gz"), "rt") as f:
+        bed.write_text(f.read())
+    rc = main(["--max-chain-skip=2147483647", "-x", "splice",
+               "--junc-bed", str(bed), "-c",
+               golden_path("splice_genome.fa.gz"),
+               golden_path("splice_reads.fa.gz")])
+    assert rc == 0
+    with gzip.open(golden_path("splice40.juncbed.c.paf.gz"), "rt") as f:
+        assert capsys.readouterr().out == f.read()
+
+
+def test_alt_contigs_byte_match(capsys):
+    """--alt: ALT-aware scoring in parent selection and MAPQ."""
+    import gzip
+    rc = main(["--max-chain-skip=2147483647", "--alt",
+               golden_path("alt.txt"), "-c",
+               golden_path("altref.fa.gz"), golden_path("simreads.fa.gz")])
+    assert rc == 0
+    with gzip.open(golden_path("alt200.c.paf.gz"), "rt") as f:
+        assert capsys.readouterr().out == f.read()
