@@ -243,6 +243,15 @@ def main(argv: list[str] | None = None) -> int:
     if args.alt_drop is not None:
         mo.alt_drop = args.alt_drop
     O.mapopt_update(mo, index)
+    if args.verbose >= 3:
+        st = index.stats()
+        sys.stderr.write(
+            "[M::idx_stat] kmer size: %d; skip: %d; #seq: %d; "
+            "total length: %d; distinct minimizers: %d; "
+            "singletons: %.4f; occurrences: %d\n" % (
+                index.k, index.w, st["n_seq"], st["total_len"],
+                st["distinct_minimizers"], st["singleton_frac"],
+                st["total_occurrences"]))
 
     out = sys.stdout
     if mo.flag & O.MM_F_TPU_CHAIN:
