@@ -210,3 +210,23 @@ def test_alt_contigs_byte_match(capsys):
     assert rc == 0
     with gzip.open(golden_path("alt200.c.paf.gz"), "rt") as f:
         assert capsys.readouterr().out == f.read()
+
+
+FLAG_CASES = [
+    (["-c", "--cs", "long"], "sim200.cs-long.paf.gz"),
+    (["--rmq", "-c"], "sim200.rmq.paf.gz"),
+    (["-k", "13", "-w", "7", "-c"], "sim200.k13w7.paf.gz"),
+    (["--for-only", "-c"], "sim200.for-only.paf.gz"),
+]
+
+
+@pytest.mark.parametrize("flags,golden", FLAG_CASES)
+def test_flag_combo_byte_match(flags, golden, capsys):
+    """Distinctive flag combinations (long cs, RMQ chaining, non-default
+    k/w, strand restriction) vs reference goldens."""
+    import gzip
+    rc = main(["--max-chain-skip=2147483647", *flags,
+               golden_path("simref.fa.gz"), golden_path("simreads.fa.gz")])
+    assert rc == 0
+    with gzip.open(golden_path(golden), "rt") as f:
+        assert capsys.readouterr().out == f.read()
