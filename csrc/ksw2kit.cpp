@@ -169,6 +169,157 @@ int64_t finish(const Ez &ez, const std::vector<uint32_t> &cig,
     return (int64_t)cig.size();
 }
 
+
+
+template <bool RIGHT, bool CIG>
+static void extz2_row(int wdt, const int8_t *__restrict sr_,
+                      const int8_t *__restrict xpr,
+                      const int8_t *__restrict vpr,
+                      int8_t *__restrict xr, int8_t *__restrict yr,
+                      int8_t *__restrict ur, int8_t *__restrict vr,
+                      uint8_t *__restrict pr, int8_t qe2_add, int8_t q,
+                      uint8_t max_sc_clamp) {
+    for (int k = 0; k < wdt; ++k) {
+        int8_t xt1 = xpr[k], vt1 = vpr[k];
+        int8_t z = (int8_t)(sr_[k] + qe2_add);
+        int8_t a = (int8_t)(xt1 + vt1);
+        int8_t ut = ur[k];
+        int8_t b = (int8_t)(yr[k] + ut);
+        uint8_t d;
+        if (RIGHT) d = (z > a) ? 0 : 1;
+        else d = (a > z) ? 1 : 0;
+        z = z > a ? z : a;
+        if (RIGHT) d = (z > b) ? d : 2;
+        else d = (b > z) ? 2 : d;
+        uint8_t zu = (uint8_t)z;
+        uint8_t bu = (uint8_t)b;
+        zu = zu > bu ? zu : bu;
+        zu = zu < max_sc_clamp ? zu : max_sc_clamp;
+        z = (int8_t)zu;
+        ur[k] = (int8_t)(z - vt1);
+        vr[k] = (int8_t)(z - ut);
+        int8_t z2 = (int8_t)(z - q);
+        a = (int8_t)(a - z2);
+        b = (int8_t)(b - z2);
+        bool ta = RIGHT ? (a >= 0) : (a > 0);
+        bool tb = RIGHT ? (b >= 0) : (b > 0);
+        xr[k] = ta ? a : 0;
+        yr[k] = tb ? b : 0;
+        if (CIG) {
+            d |= ta ? 0x08 : 0;
+            d |= tb ? 0x10 : 0;
+            pr[k] = d;
+        }
+    }
+}
+
+template <bool RIGHT, bool CIG>
+static void exts2_row(int wdt, const int8_t *__restrict sr_,
+                      const int8_t *__restrict xpr,
+                      const int8_t *__restrict vpr,
+                      const int8_t *__restrict x2pr,
+                      const int8_t *__restrict dnr,
+                      const int8_t *__restrict acr,
+                      int8_t *__restrict xr, int8_t *__restrict yr,
+                      int8_t *__restrict x2r, int8_t *__restrict ur,
+                      int8_t *__restrict vr, uint8_t *__restrict pr,
+                      int8_t q, int8_t q2, int8_t qe) {
+    for (int k = 0; k < wdt; ++k) {
+        int8_t xt1 = xpr[k], x2t1 = x2pr[k], vt1 = vpr[k];
+        int8_t z = sr_[k];
+        int8_t a = (int8_t)(xt1 + vt1);
+        int8_t ut = ur[k];
+        int8_t b = (int8_t)(yr[k] + ut);
+        int8_t a2 = (int8_t)(x2t1 + vt1);
+        int8_t a2a = (int8_t)(a2 + acr[k]);
+        uint8_t d;
+        if (RIGHT) {
+            d = (z > a) ? 0 : 1; z = z > a ? z : a;
+            d = (z > b) ? d : 2; z = z > b ? z : b;
+            d = (z > a2a) ? d : 3; z = z > a2a ? z : a2a;
+        } else {
+            d = (a > z) ? 1 : 0; z = z > a ? z : a;
+            d = (b > z) ? 2 : d; z = z > b ? z : b;
+            d = (a2a > z) ? 3 : d; z = z > a2a ? z : a2a;
+        }
+        ur[k] = (int8_t)(z - vt1);
+        vr[k] = (int8_t)(z - ut);
+        int8_t tq = (int8_t)(z - q);
+        a = (int8_t)(a - tq);
+        b = (int8_t)(b - tq);
+        a2 = (int8_t)(a2 - (int8_t)(z - q2));
+        bool ta = RIGHT ? (a >= 0) : (a > 0);
+        bool tb = RIGHT ? (b >= 0) : (b > 0);
+        bool ta2 = RIGHT ? (a2 >= dnr[k]) : (a2 > dnr[k]);
+        xr[k] = (int8_t)((ta ? a : 0) - qe);
+        yr[k] = (int8_t)((tb ? b : 0) - qe);
+        x2r[k] = (int8_t)((ta2 ? a2 : dnr[k]) - q2);
+        if (CIG) {
+            d |= ta ? 0x08 : 0;
+            d |= tb ? 0x10 : 0;
+            d |= ta2 ? 0x20 : 0;
+            pr[k] = d;
+        }
+    }
+}
+
+template <bool RIGHT, bool CIG>
+static void extd2_row(int wdt, const int8_t *__restrict sr_,
+                      const int8_t *__restrict xpr,
+                      const int8_t *__restrict vpr,
+                      const int8_t *__restrict x2pr,
+                      int8_t *__restrict xr, int8_t *__restrict yr,
+                      int8_t *__restrict x2r, int8_t *__restrict y2r,
+                      int8_t *__restrict ur, int8_t *__restrict vr,
+                      uint8_t *__restrict pr, int8_t mat0, int8_t q,
+                      int8_t q2, int8_t qe, int8_t qe2) {
+    for (int k = 0; k < wdt; ++k) {
+        int8_t xt1 = xpr[k], x2t1 = x2pr[k], vt1 = vpr[k];
+        int8_t z = sr_[k];
+        int8_t a = (int8_t)(xt1 + vt1);
+        int8_t ut = ur[k];
+        int8_t b = (int8_t)(yr[k] + ut);
+        int8_t a2 = (int8_t)(x2t1 + vt1);
+        int8_t b2 = (int8_t)(y2r[k] + ut);
+        uint8_t d;
+        if (RIGHT) {
+            d = (z > a) ? 0 : 1; z = z > a ? z : a;
+            d = (z > b) ? d : 2; z = z > b ? z : b;
+            d = (z > a2) ? d : 3; z = z > a2 ? z : a2;
+            d = (z > b2) ? d : 4; z = z > b2 ? z : b2;
+        } else {
+            d = (a > z) ? 1 : 0; z = z > a ? z : a;
+            d = (b > z) ? 2 : d; z = z > b ? z : b;
+            d = (a2 > z) ? 3 : d; z = z > a2 ? z : a2;
+            d = (b2 > z) ? 4 : d; z = z > b2 ? z : b2;
+        }
+        z = z < mat0 ? z : mat0;
+        ur[k] = (int8_t)(z - vt1);
+        vr[k] = (int8_t)(z - ut);
+        int8_t tq = (int8_t)(z - q);
+        a = (int8_t)(a - tq);
+        b = (int8_t)(b - tq);
+        int8_t tq2 = (int8_t)(z - q2);
+        a2 = (int8_t)(a2 - tq2);
+        b2 = (int8_t)(b2 - tq2);
+        bool ta = RIGHT ? (a >= 0) : (a > 0);
+        bool tb = RIGHT ? (b >= 0) : (b > 0);
+        bool ta2 = RIGHT ? (a2 >= 0) : (a2 > 0);
+        bool tb2 = RIGHT ? (b2 >= 0) : (b2 > 0);
+        xr[k] = (int8_t)((ta ? a : 0) - qe);
+        yr[k] = (int8_t)((tb ? b : 0) - qe);
+        x2r[k] = (int8_t)((ta2 ? a2 : 0) - qe2);
+        y2r[k] = (int8_t)((tb2 ? b2 : 0) - qe2);
+        if (CIG) {
+            d |= ta ? 0x08 : 0;
+            d |= tb ? 0x10 : 0;
+            d |= ta2 ? 0x20 : 0;
+            d |= tb2 ? 0x40 : 0;
+            pr[k] = d;
+        }
+    }
+}
+
 }  // namespace
 
 extern "C" {
@@ -199,6 +350,7 @@ int64_t mmt_ksw_extz2(const uint8_t *qseq, int32_t qlen, const uint8_t *tseq,
     const int nbytes = tlen_ * 16, n_rows = qlen + tlen - 1;
 
     std::vector<int8_t> u(nbytes, 0), v(nbytes, 0), x(nbytes, 0), y(nbytes, 0);
+    std::vector<int8_t> xp(n_col + 1), vp(n_col + 1);
     SMem sm(tlen_, qlen_);
     std::memcpy(sm.sf(), tseq, tlen);
     for (int t = 0; t < qlen; ++t) sm.qr()[t] = (int8_t)qseq[qlen - 1 - t];
@@ -230,39 +382,25 @@ int64_t mmt_ksw_extz2(const uint8_t *qseq, int32_t qlen, const uint8_t *tseq,
 
         uint8_t *pr = with_cigar ? P.data() + (size_t)r * n_col : nullptr;
         if (with_cigar) { off[r] = st; off_end[r] = en; }
-        int8_t xc = x1, vc = v1;  // carried x[t-1], v[t-1] of previous row
-        for (int t = st; t <= en; ++t) {
-            int8_t xt1 = xc, vt1 = vc;
-            xc = x[t]; vc = v[t];
-            int8_t z = (int8_t)(sm.s()[t] + (int8_t)((q + e) * 2));
-            int8_t a = (int8_t)(xt1 + vt1);
-            int8_t ut = u[t];
-            int8_t b = (int8_t)(y[t] + ut);
-            uint8_t d;
-            if (right) d = (z > a) ? 0 : 1;
-            else d = (a > z) ? 1 : 0;
-            z = z > a ? z : a;
-            if (right) { if (!(z > b)) d = 2; }
-            else { if (b > z) d = 2; }
-            uint8_t zu = (uint8_t)z;
-            uint8_t bu = (uint8_t)b;
-            zu = zu > bu ? zu : bu;
-            zu = zu < max_sc_clamp ? zu : max_sc_clamp;
-            z = (int8_t)zu;
-            u[t] = (int8_t)(z - vt1);
-            v[t] = (int8_t)(z - ut);
-            int8_t z2 = (int8_t)(z - (int8_t)q);
-            a = (int8_t)(a - z2);
-            b = (int8_t)(b - z2);
-            bool ta = right ? (a >= 0) : (a > 0);
-            bool tb = right ? (b >= 0) : (b > 0);
-            x[t] = ta ? a : 0;
-            y[t] = tb ? b : 0;
-            if (with_cigar) {
-                if (ta) d |= 0x08;
-                if (tb) d |= 0x10;
-                pr[t - st] = d;
-            }
+        // stage the previous row's shifted x/v so the loop has no carried
+        // dependence and autovectorizes (the SSE kernels' register shift)
+        const int wdt = en - st + 1;
+        xp[0] = x1; vp[0] = v1;
+        std::memcpy(&xp[1], &x[st], wdt - 1);
+        std::memcpy(&vp[1], &v[st], wdt - 1);
+        int8_t *__restrict xr = x.data() + st;
+        int8_t *__restrict yr = y.data() + st;
+        int8_t *__restrict ur = u.data() + st;
+        int8_t *__restrict vr = v.data() + st;
+        const int8_t *__restrict sr_ = sm.s() + st;
+        const int8_t *__restrict xpr = xp.data();
+        const int8_t *__restrict vpr = vp.data();
+        {
+            auto row = with_cigar
+                ? (right ? extz2_row<true, true> : extz2_row<false, true>)
+                : (right ? extz2_row<true, false> : extz2_row<false, false>);
+            row(wdt, sr_, xpr, vpr, xr, yr, ur, vr, pr,
+                (int8_t)((q + e) * 2), (int8_t)q, max_sc_clamp);
         }
 
         if (!approx_max) {
@@ -352,6 +490,7 @@ int64_t mmt_ksw_extd2(const uint8_t *qseq, int32_t qlen, const uint8_t *tseq,
 
     std::vector<int8_t> u(nbytes, nqe), v(nbytes, nqe), x(nbytes, nqe),
         y(nbytes, nqe), x2(nbytes, nqe2), y2(nbytes, nqe2);
+    std::vector<int8_t> xp(n_col + 1), vp(n_col + 1), x2p(n_col + 1);
     SMem sm(tlen_, qlen_);
     std::memcpy(sm.sf(), tseq, tlen);
     for (int t = 0; t < qlen; ++t) sm.qr()[t] = (int8_t)qseq[qlen - 1 - t];
@@ -389,52 +528,27 @@ int64_t mmt_ksw_extd2(const uint8_t *qseq, int32_t qlen, const uint8_t *tseq,
 
         uint8_t *pr = with_cigar ? P.data() + (size_t)r * n_col : nullptr;
         if (with_cigar) { off[r] = st; off_end[r] = en; }
-        int8_t xc = x1, x2c = x21, vc = v1;
-        for (int t = st; t <= en; ++t) {
-            int8_t xt1 = xc, x2t1 = x2c, vt1 = vc;
-            xc = x[t]; x2c = x2[t]; vc = v[t];
-            int8_t z = sm.s()[t];
-            int8_t a = (int8_t)(xt1 + vt1);
-            int8_t ut = u[t];
-            int8_t b = (int8_t)(y[t] + ut);
-            int8_t a2 = (int8_t)(x2t1 + vt1);
-            int8_t b2 = (int8_t)(y2[t] + ut);
-            uint8_t d;
-            if (right) {
-                d = (z > a) ? 0 : 1; z = z > a ? z : a;
-                if (!(z > b)) d = 2; z = z > b ? z : b;
-                if (!(z > a2)) d = 3; z = z > a2 ? z : a2;
-                if (!(z > b2)) d = 4; z = z > b2 ? z : b2;
-            } else {
-                d = (a > z) ? 1 : 0; z = z > a ? z : a;
-                if (b > z) d = 2; z = z > b ? z : b;
-                if (a2 > z) d = 3; z = z > a2 ? z : a2;
-                if (b2 > z) d = 4; z = z > b2 ? z : b2;
-            }
-            z = z < mat0 ? z : mat0;
-            u[t] = (int8_t)(z - vt1);
-            v[t] = (int8_t)(z - ut);
-            int8_t tq = (int8_t)(z - (int8_t)q);
-            a = (int8_t)(a - tq);
-            b = (int8_t)(b - tq);
-            int8_t tq2 = (int8_t)(z - (int8_t)q2);
-            a2 = (int8_t)(a2 - tq2);
-            b2 = (int8_t)(b2 - tq2);
-            bool ta = right ? (a >= 0) : (a > 0);
-            bool tb = right ? (b >= 0) : (b > 0);
-            bool ta2 = right ? (a2 >= 0) : (a2 > 0);
-            bool tb2 = right ? (b2 >= 0) : (b2 > 0);
-            x[t] = (int8_t)((ta ? a : 0) - (int8_t)qe);
-            y[t] = (int8_t)((tb ? b : 0) - (int8_t)qe);
-            x2[t] = (int8_t)((ta2 ? a2 : 0) - (int8_t)(q2 + e2));
-            y2[t] = (int8_t)((tb2 ? b2 : 0) - (int8_t)(q2 + e2));
-            if (with_cigar) {
-                if (ta) d |= 0x08;
-                if (tb) d |= 0x10;
-                if (ta2) d |= 0x20;
-                if (tb2) d |= 0x40;
-                pr[t - st] = d;
-            }
+        const int wdt = en - st + 1;
+        xp[0] = x1; vp[0] = v1; x2p[0] = x21;
+        std::memcpy(&xp[1], &x[st], wdt - 1);
+        std::memcpy(&vp[1], &v[st], wdt - 1);
+        std::memcpy(&x2p[1], &x2[st], wdt - 1);
+        int8_t *__restrict xr = x.data() + st;
+        int8_t *__restrict yr = y.data() + st;
+        int8_t *__restrict x2r = x2.data() + st;
+        int8_t *__restrict y2r = y2.data() + st;
+        int8_t *__restrict ur = u.data() + st;
+        int8_t *__restrict vr = v.data() + st;
+        const int8_t *__restrict sr_ = sm.s() + st;
+        const int8_t *__restrict xpr = xp.data();
+        const int8_t *__restrict vpr = vp.data();
+        const int8_t *__restrict x2pr = x2p.data();
+        {
+            auto row = with_cigar
+                ? (right ? extd2_row<true, true> : extd2_row<false, true>)
+                : (right ? extd2_row<true, false> : extd2_row<false, false>);
+            row(wdt, sr_, xpr, vpr, x2pr, xr, yr, x2r, y2r, ur, vr, pr,
+                mat0, (int8_t)q, (int8_t)q2, (int8_t)qe, (int8_t)(q2 + e2));
         }
 
         if (!approx_max) {
@@ -577,6 +691,7 @@ extern "C" int64_t mmt_ksw_exts2(const uint8_t *qseq, int32_t qlen,
 
     std::vector<int8_t> u(nbytes, nqe), v(nbytes, nqe), x(nbytes, nqe),
         y(nbytes, nqe), x2(nbytes, (int8_t)-q2);
+    std::vector<int8_t> xp(n_col + 1), vp(n_col + 1), x2p(n_col + 1);
     std::vector<int8_t> donor(nbytes, (int8_t)-noncan),
         acceptor(nbytes, (int8_t)-noncan);
     SMem sm(tlen_, qlen_);
@@ -670,44 +785,28 @@ extern "C" int64_t mmt_ksw_exts2(const uint8_t *qseq, int32_t qlen,
 
         uint8_t *pr = with_cigar ? P.data() + (size_t)r * n_col : nullptr;
         if (with_cigar) { off[r] = st; off_end[r] = en; }
-        int8_t xc = x1, x2c = x21, vc = v1;
-        for (int t = st; t <= en; ++t) {
-            int8_t xt1 = xc, x2t1 = x2c, vt1 = vc;
-            xc = x[t]; x2c = x2[t]; vc = v[t];
-            int8_t z = sm.s()[t];
-            int8_t a = (int8_t)(xt1 + vt1);
-            int8_t ut = u[t];
-            int8_t b = (int8_t)(y[t] + ut);
-            int8_t a2 = (int8_t)(x2t1 + vt1);
-            int8_t a2a = (int8_t)(a2 + acceptor[t]);
-            uint8_t d;
-            if (right) {
-                d = (z > a) ? 0 : 1; z = z > a ? z : a;
-                if (!(z > b)) d = 2; z = z > b ? z : b;
-                if (!(z > a2a)) d = 3; z = z > a2a ? z : a2a;
-            } else {
-                d = (a > z) ? 1 : 0; z = z > a ? z : a;
-                if (b > z) d = 2; z = z > b ? z : b;
-                if (a2a > z) d = 3; z = z > a2a ? z : a2a;
-            }
-            u[t] = (int8_t)(z - vt1);
-            v[t] = (int8_t)(z - ut);
-            int8_t tq = (int8_t)(z - (int8_t)q);
-            a = (int8_t)(a - tq);
-            b = (int8_t)(b - tq);
-            a2 = (int8_t)(a2 - (int8_t)(z - (int8_t)q2));
-            bool ta = right ? (a >= 0) : (a > 0);
-            bool tb = right ? (b >= 0) : (b > 0);
-            bool ta2 = right ? (a2 >= donor[t]) : (a2 > donor[t]);
-            x[t] = (int8_t)((ta ? a : 0) - (int8_t)qe);
-            y[t] = (int8_t)((tb ? b : 0) - (int8_t)qe);
-            x2[t] = (int8_t)((ta2 ? a2 : donor[t]) - (int8_t)q2);
-            if (with_cigar) {
-                if (ta) d |= 0x08;
-                if (tb) d |= 0x10;
-                if (ta2) d |= 0x20;
-                pr[t - st] = d;
-            }
+        const int wdt = en - st + 1;
+        xp[0] = x1; vp[0] = v1; x2p[0] = x21;
+        std::memcpy(&xp[1], &x[st], wdt - 1);
+        std::memcpy(&vp[1], &v[st], wdt - 1);
+        std::memcpy(&x2p[1], &x2[st], wdt - 1);
+        int8_t *__restrict xr = x.data() + st;
+        int8_t *__restrict yr = y.data() + st;
+        int8_t *__restrict x2r = x2.data() + st;
+        int8_t *__restrict ur = u.data() + st;
+        int8_t *__restrict vr = v.data() + st;
+        const int8_t *__restrict sr_ = sm.s() + st;
+        const int8_t *__restrict dnr = donor.data() + st;
+        const int8_t *__restrict acr = acceptor.data() + st;
+        const int8_t *__restrict xpr = xp.data();
+        const int8_t *__restrict vpr = vp.data();
+        const int8_t *__restrict x2pr = x2p.data();
+        {
+            auto row = with_cigar
+                ? (right ? exts2_row<true, true> : exts2_row<false, true>)
+                : (right ? exts2_row<true, false> : exts2_row<false, false>);
+            row(wdt, sr_, xpr, vpr, x2pr, dnr, acr, xr, yr, x2r, ur, vr, pr,
+                (int8_t)q, (int8_t)q2, (int8_t)qe);
         }
 
         if (!approx_max) {

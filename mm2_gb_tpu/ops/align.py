@@ -92,23 +92,22 @@ def _append_cigar(r: Region, cigar) -> None:
 
 # -------------------------------------------------------- seed-level filters
 
-def _collect_long_gaps(as1: int, cnt1: int, ax, ay, min_gap: int):
+def _collect_long_gaps(as1: int, cnt1: int, x32, y32, min_gap: int):
     """Positions of |gap|>min_gap between consecutive anchors
     (collect_long_gaps, align.c:370-387)."""
-    idx = []
-    for i in range(1, cnt1):
-        gap = (_lo32(ay[as1 + i]) - _lo32(ay[as1 + i - 1])) - \
-              (_lo32(ax[as1 + i]) - _lo32(ax[as1 + i - 1]))
-        if gap < -min_gap or gap > min_gap:
-            idx.append(i)
+    if cnt1 < 2:
+        return None
+    sl = slice(as1, as1 + cnt1)
+    gaps = np.diff(y32[sl]) - np.diff(x32[sl])
+    idx = (np.nonzero(np.abs(gaps) > min_gap)[0] + 1).tolist()
     return idx if len(idx) > 1 else None
 
 
-def _filter_bad_seeds(as1: int, cnt1: int, ax, ay, min_gap: int,
+def _filter_bad_seeds(as1: int, cnt1: int, x32, y32, ay, min_gap: int,
                       diff_thres: int, max_ext_len: int,
                       max_ext_cnt: int) -> None:
     """Mark anchors inside indel-dense windows IGNORE (align.c:389-424)."""
-    K = _collect_long_gaps(as1, cnt1, ax, ay, min_gap)
+    K = _collect_long_gaps(as1, cnt1, x32, y32, min_gap)
     if K is None:
         return
     n = len(K)
@@ -123,21 +122,21 @@ def _filter_bad_seeds(as1: int, cnt1: int, ax, ay, min_gap: int,
             if k == n:
                 break
         i = K[k]
-        gap = (_lo32(ay[as1 + i]) - _lo32(ay[as1 + i - 1])) - \
-              (_lo32(ax[as1 + i]) - _lo32(ax[as1 + i - 1]))
+        gap = (int(y32[as1 + i]) - int(y32[as1 + i - 1])) - \
+              (int(x32[as1 + i]) - int(x32[as1 + i - 1]))
         n_ins = gap if gap > 0 else 0
         n_del = -gap if gap <= 0 else 0
-        qs = _lo32(ay[as1 + i - 1])
-        rs = _lo32(ax[as1 + i - 1])
+        qs = int(y32[as1 + i - 1])
+        rs = int(x32[as1 + i - 1])
         max_diff, max_diff_l = 0, -1
         l = k + 1
         while l < n and l <= k + max_ext_cnt:
             j = K[l]
-            if (_lo32(ay[as1 + j]) - qs > max_ext_len
-                    or _lo32(ax[as1 + j]) - rs > max_ext_len):
+            if (int(y32[as1 + j]) - qs > max_ext_len
+                    or int(x32[as1 + j]) - rs > max_ext_len):
                 break
-            gap = (_lo32(ay[as1 + j]) - _lo32(ay[as1 + j - 1])) - \
-                  (_lo32(ax[as1 + j]) - _lo32(ax[as1 + j - 1]))
+            gap = (int(y32[as1 + j]) - int(y32[as1 + j - 1])) - \
+                  (int(x32[as1 + j]) - int(x32[as1 + j - 1]))
             if gap > 0:
                 n_ins += gap
             else:
@@ -151,38 +150,38 @@ def _filter_bad_seeds(as1: int, cnt1: int, ax, ay, min_gap: int,
         k += 1
 
 
-def _filter_bad_seeds_alt(as1: int, cnt1: int, ax, ay, min_gap: int,
-                          max_ext: int) -> None:
+def _filter_bad_seeds_alt(as1: int, cnt1: int, x32, y32, spans, ay,
+                          min_gap: int, max_ext: int) -> None:
     """Join runs of alternating-gap seeds into LONG_JOINs (align.c:426-460)."""
-    K = _collect_long_gaps(as1, cnt1, ax, ay, min_gap)
+    K = _collect_long_gaps(as1, cnt1, x32, y32, min_gap)
     if K is None:
         return
     n = len(K)
     k = 0
     while k < n:
         i = K[k]
-        gap1 = (_lo32(ay[as1 + i]) - _lo32(ay[as1 + i - 1])) - \
-               (_lo32(ax[as1 + i]) - _lo32(ax[as1 + i - 1]))
-        re1 = _lo32(ax[as1 + i])
-        qe1 = _lo32(ay[as1 + i])
+        gap1 = (int(y32[as1 + i]) - int(y32[as1 + i - 1])) - \
+               (int(x32[as1 + i]) - int(x32[as1 + i - 1]))
+        re1 = int(x32[as1 + i])
+        qe1 = int(y32[as1 + i])
         gap1 = abs(gap1)
         l = k + 1
         while l < n:
             j = K[l]
-            if (_lo32(ay[as1 + j]) - qe1 > max_ext
-                    or _lo32(ax[as1 + j]) - re1 > max_ext):
+            if (int(y32[as1 + j]) - qe1 > max_ext
+                    or int(x32[as1 + j]) - re1 > max_ext):
                 break
-            gap2 = (_lo32(ay[as1 + j]) - _lo32(ay[as1 + j - 1])) - \
-                   (_lo32(ax[as1 + j]) - _lo32(ax[as1 + j - 1]))
-            q_span_pre = _q_span(ay[as1 + j - 1])
-            rs2 = _lo32(ax[as1 + j - 1]) + q_span_pre
-            qs2 = _lo32(ay[as1 + j - 1]) + q_span_pre
+            gap2 = (int(y32[as1 + j]) - int(y32[as1 + j - 1])) - \
+                   (int(x32[as1 + j]) - int(x32[as1 + j - 1]))
+            q_span_pre = int(spans[as1 + j - 1])
+            rs2 = int(x32[as1 + j - 1]) + q_span_pre
+            qs2 = int(y32[as1 + j - 1]) + q_span_pre
             m = min(rs2 - re1, qs2 - qe1)
             gap2 = abs(gap2)
             if m > gap1 + gap2:
                 break
-            re1 = _lo32(ax[as1 + j])
-            qe1 = _lo32(ay[as1 + j])
+            re1 = int(x32[as1 + j])
+            qe1 = int(y32[as1 + j])
             gap1 = gap2
             l += 1
         if l > k + 1:
@@ -193,18 +192,18 @@ def _filter_bad_seeds_alt(as1: int, cnt1: int, ax, ay, min_gap: int,
         k = l
 
 
-def _fix_bad_ends(r: Region, ax, ay, bw: int, min_match: int):
+def _fix_bad_ends(r: Region, x32, y32, spans, ay, bw: int, min_match: int):
     """Trim chain ends dominated by gaps (mm_fix_bad_ends, align.c:462-496)."""
     as_, cnt = r.as_, r.cnt
     if r.cnt < 3:
         return as_, cnt
-    m = l = _q_span(ay[r.as_])
+    m = l = int(spans[r.as_])
     for i in range(r.as_ + 1, r.as_ + r.cnt - 1):
-        q_span = _q_span(ay[i])
+        q_span = int(spans[i])
         if int(ay[i]) & int(MM_SEED_LONG_JOIN):
             break
-        lr = _lo32(ax[i]) - _lo32(ax[i - 1])
-        lq = _lo32(ay[i]) - _lo32(ay[i - 1])
+        lr = int(x32[i]) - int(x32[i - 1])
+        lq = int(y32[i]) - int(y32[i - 1])
         mn, mx = min(lr, lq), max(lr, lq)
         if mx - mn > l >> 1:
             as_ = i
@@ -213,13 +212,13 @@ def _fix_bad_ends(r: Region, ax, ay, bw: int, min_match: int):
         if l >= bw << 1 or (m >= min_match and m >= bw) or m >= r.mlen >> 1:
             break
     cnt = r.as_ + r.cnt - as_
-    m = l = _q_span(ay[r.as_ + r.cnt - 1])
+    m = l = int(spans[r.as_ + r.cnt - 1])
     for i in range(r.as_ + r.cnt - 2, as_, -1):
-        q_span = _q_span(ay[i + 1])
+        q_span = int(spans[i + 1])
         if int(ay[i + 1]) & int(MM_SEED_LONG_JOIN):
             break
-        lr = _lo32(ax[i + 1]) - _lo32(ax[i])
-        lq = _lo32(ay[i + 1]) - _lo32(ay[i])
+        lr = int(x32[i + 1]) - int(x32[i])
+        lq = int(y32[i + 1]) - int(y32[i])
         mn, mx = min(lr, lq), max(lr, lq)
         if mx - mn > l >> 1:
             cnt = i + 1 - as_
@@ -230,18 +229,18 @@ def _fix_bad_ends(r: Region, ax, ay, bw: int, min_match: int):
     return as_, cnt
 
 
-def _max_stretch(r: Region, ax, ay):
+def _max_stretch(r: Region, x32, y32, spans):
     """Longest exactly-colinear anchor run (mm_max_stretch, align.c:498-524)."""
     as_, cnt = r.as_, r.cnt
     if r.cnt < 2:
         return as_, cnt
     max_score, max_i, max_len = -1, -1, 0
-    score, length = _q_span(ay[r.as_]), 1
+    score, length = int(spans[r.as_]), 1
     i = r.as_ + 1
     for i in range(r.as_ + 1, r.as_ + r.cnt):
-        q_span = _q_span(ay[i])
-        lr = _lo32(ax[i]) - _lo32(ax[i - 1])
-        lq = _lo32(ay[i]) - _lo32(ay[i - 1])
+        q_span = int(spans[i])
+        lr = int(x32[i]) - int(x32[i - 1])
+        lq = int(y32[i]) - int(y32[i - 1])
         if lq == lr:
             score += min(lq, q_span)
             length += 1
@@ -363,9 +362,37 @@ def test_zdrop(opt: MapOptions, qseq, tseq, cigar, mat) -> int:
             sub = mat[tseq[i:i + ln].astype(np.int64) * 5
                       + qseq[j:j + ln].astype(np.int64)]
             cum = score + np.cumsum(sub)
-            for l in range(ln):
-                state = _update_max_zdrop(int(cum[l]), i + l, j + l, state,
-                                          opt.e)
+            # vectorized diagonal walk split at the first running-max
+            # update: before it the reference max may sit on a different
+            # diagonal (diff*e term constant); after it diff is zero
+            mx, max_i, max_j, max_zdrop, pos = state
+            ge = np.nonzero(cum >= mx)[0]
+            u0 = int(ge[0]) if ge.shape[0] else ln
+            if u0 > 0:
+                d0 = abs((i - max_i) - (j - max_j))
+                zA = mx - cum[:u0] - d0 * opt.e
+                for l in np.nonzero(zA > max_zdrop)[0]:
+                    zz = int(zA[l])
+                    if zz > max_zdrop:
+                        max_zdrop = zz
+                        pos = ((max_i, i + int(l)), (max_j, j + int(l)))
+            if u0 < ln:
+                sub2 = cum[u0:]
+                pmB = np.maximum.accumulate(sub2)
+                zB = pmB - sub2
+                upd = np.nonzero(sub2 >= pmB)[0]
+                for l in np.nonzero(zB > max_zdrop)[0]:
+                    zz = int(zB[l])
+                    if zz > max_zdrop:
+                        arg = int(upd[upd < l][-1])
+                        max_zdrop = zz
+                        pos = ((i + u0 + arg, i + u0 + int(l)),
+                               (j + u0 + arg, j + u0 + int(l)))
+                M = int(pmB[-1])
+                last = int(np.nonzero(sub2 == M)[0][-1])
+                mx = M
+                max_i, max_j = i + u0 + last, j + u0 + last
+            state = (mx, max_i, max_j, max_zdrop, pos)
             score = int(cum[-1])
             i += ln
             j += ln
@@ -657,12 +684,18 @@ def _align1(index, opt: MapOptions, qlen: int, qseq0, r: Region,
     dropped = False
     if r.cnt == 0:
         return None
+    # int coordinate views: the per-anchor Python bit-twiddling dominated
+    # the align driver profile (2M+ _lo32 calls per 200 reads)
+    M32 = np.uint64(0xFFFFFFFF)
+    x32 = (ax & M32).astype(np.int64)
+    y32 = (ay & M32).astype(np.int64)
+    spans = ((ay >> np.uint64(32)) & np.uint64(0xFF)).astype(np.int64)
     mat = ksw2.gen_simple_mat(5, opt.a, opt.b, opt.sc_ambi)
     bw = int(opt.bw * 1.5 + 1.0)
     bw_long = max(int(opt.bw_long * 1.5 + 1.0), bw)
 
     if is_sr and not (index.flag & MM_I_HPC):
-        as1, cnt1 = _max_stretch(r, ax, ay)
+        as1, cnt1 = _max_stretch(r, x32, y32, spans)
         rs = _lo32(ax[as1]) + 1 - _q_span(ay[as1])
         qs = _lo32(ay[as1]) + 1 - _q_span(ay[as1])
         re = _lo32(ax[as1 + cnt1 - 1]) + 1
@@ -673,12 +706,14 @@ def _align1(index, opt: MapOptions, qlen: int, qseq0, r: Region,
                 as1, cnt1 = _fix_bad_ends_splice(opt, index, r, mat, qlen,
                                                  qseq0, ax, ay)
             else:
-                as1, cnt1 = _fix_bad_ends(r, ax, ay, opt.bw,
+                as1, cnt1 = _fix_bad_ends(r, x32, y32, spans, ay, opt.bw,
                                           opt.min_chain_score * 2)
         else:
             as1, cnt1 = r.as_, r.cnt
-        _filter_bad_seeds(as1, cnt1, ax, ay, 10, 40, opt.max_gap >> 1, 10)
-        _filter_bad_seeds_alt(as1, cnt1, ax, ay, 30, opt.max_gap >> 1)
+        _filter_bad_seeds(as1, cnt1, x32, y32, ay, 10, 40,
+                          opt.max_gap >> 1, 10)
+        _filter_bad_seeds_alt(as1, cnt1, x32, y32, spans, ay, 30,
+                              opt.max_gap >> 1)
         rs, qs = _adjust_minier(index, qseq0, ax[as1], ay[as1])
         re, qe = _adjust_minier(index, qseq0, ax[as1 + cnt1 - 1],
                                 ay[as1 + cnt1 - 1])
@@ -707,8 +742,8 @@ def _align1(index, opt: MapOptions, qlen: int, qseq0, r: Region,
             if l * opt.a + opt.end_bonus > opt.q else 0
         re0 = min(re + l, rlen)
     else:
-        rs0 = _lo32(ax[r.as_]) + 1 - _q_span(ay[r.as_])
-        qs0 = _lo32(ay[r.as_]) + 1 - _q_span(ay[r.as_])
+        rs0 = int(x32[r.as_]) + 1 - int(spans[r.as_])
+        qs0 = int(y32[r.as_]) + 1 - int(spans[r.as_])
         if rs0 < 0:
             rs0 = 0
         assert qs0 >= 0
@@ -716,8 +751,8 @@ def _align1(index, opt: MapOptions, qlen: int, qseq0, r: Region,
         l = 0
         i = r.as_ - 1
         while i >= 0 and int(ax[i]) >> 32 == int(ax[r.as_]) >> 32:
-            x = _lo32(ax[i]) + 1 - _q_span(ay[i])
-            y = _lo32(ay[i]) + 1 - _q_span(ay[i])
+            x = int(x32[i]) + 1 - int(spans[i])
+            y = int(y32[i]) + 1 - int(spans[i])
             if x < rs0 and y < qs0:
                 l += 1
                 if l > opt.min_cnt:
@@ -739,14 +774,14 @@ def _align1(index, opt: MapOptions, qlen: int, qseq0, r: Region,
             rs0 = min(rs0, rs)
         else:
             rs0, qs0 = rs, qs
-        re0 = _lo32(ax[r.as_ + r.cnt - 1]) + 1
-        qe0 = _lo32(ay[r.as_ + r.cnt - 1]) + 1
+        re0 = int(x32[r.as_ + r.cnt - 1]) + 1
+        qe0 = int(y32[r.as_ + r.cnt - 1]) + 1
         re1, qe1 = rlen, qlen
         l = 0
         i = r.as_ + r.cnt
         while i < n_a and int(ax[i]) >> 32 == int(ax[r.as_]) >> 32:
-            x = _lo32(ax[i]) + 1
-            y = _lo32(ay[i]) + 1
+            x = int(x32[i]) + 1
+            y = int(y32[i]) + 1
             if x > re0 and y > qe0:
                 l += 1
                 if l > opt.min_cnt:
@@ -815,8 +850,11 @@ def _align1(index, opt: MapOptions, qlen: int, qseq0, r: Region,
             i += 1
             continue
         if is_sr and not (index.flag & MM_I_HPC):
-            re = _lo32(ax[as1 + i]) + 1
-            qe = _lo32(ay[as1 + i]) + 1
+            re = int(x32[as1 + i]) + 1
+            qe = int(y32[as1 + i]) + 1
+        elif not (index.flag & MM_I_HPC):
+            re = int(x32[as1 + i]) - (index.k >> 1)
+            qe = int(y32[as1 + i]) - (index.k >> 1)
         else:
             re, qe = _adjust_minier(index, qseq0, ax[as1 + i], ay[as1 + i])
         re1, qe1 = re, qe
@@ -855,7 +893,7 @@ def _align1(index, opt: MapOptions, qlen: int, qseq0, r: Region,
                     r.p = AlnExtra(cigar=[])
                 j = i - 1
                 while j >= 0:
-                    if _lo32(ax[as1 + j]) <= rs + ez.max_t:
+                    if int(x32[as1 + j]) <= rs + ez.max_t:
                         break
                     j -= 1
                 dropped = True
