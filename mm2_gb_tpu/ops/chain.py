@@ -209,6 +209,11 @@ def chain_backtrack(f: np.ndarray, p: np.ndarray, min_cnt: int, min_sc: int,
     z_y = cand[perm]
     z_x = f[cand][perm].astype(np.int64)
 
+    import os
+    if native.available() and not os.environ.get("MM2TPU_NO_NATIVE"):
+        return native.chain_backtrack_native(f, p, z_y, min_cnt, min_sc,
+                                             max_drop)
+
     t = np.zeros(n, dtype=np.int8)
     u: list[int] = []
     v: list[int] = []

@@ -102,6 +102,19 @@ def chain_rmq(ax: np.ndarray, ay: np.ndarray, max_dist: int,
     max_drop = bw
     cg = np.float32(chn_pen_gap)
     cs = np.float32(chn_pen_skip)
+
+    from mm2_gb_tpu.utils import native
+    import os
+    if native.available() and not os.environ.get("MM2TPU_NO_NATIVE"):
+        f, p = native.chain_rmq_scores(ax, ay, max_dist, max_dist_inner, bw,
+                                       max_chn_skip, cap_rmq_size, float(cg),
+                                       float(cs))
+        u, v = chain_backtrack(f, p, min_cnt, min_sc, max_drop)
+        if u.shape[0] == 0:
+            return (np.empty(0, np.uint64), np.empty(0, np.uint64),
+                    np.empty(0, np.uint64))
+        return compact_chains(u, v, ax, ay)
+
     half_gap = 0.5 * float(cg)  # double, as in lchain.c:297
 
     axl = [int(v) for v in ax]

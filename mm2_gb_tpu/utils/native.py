@@ -88,6 +88,21 @@ def _load():
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, u8p,
         i32p, u32p, ctypes.c_int64,
     ]
+    lib.mmt_chain_rmq.restype = ctypes.c_int64
+    lib.mmt_chain_rmq.argtypes = [
+        ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint64),
+        ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_float, ctypes.c_float,
+        i32p, ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.mmt_chain_backtrack.restype = ctypes.c_int64
+    lib.mmt_chain_backtrack.argtypes = [
+        i32p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
     lib.mmt_sw_ll.restype = ctypes.c_int32
     lib.mmt_sw_ll.argtypes = [
         u8p, ctypes.c_int32, u8p, ctypes.c_int32, i8p, ctypes.c_int32,
@@ -231,3 +246,43 @@ def ksw_exts2(qseq, tseq, mat, q, e, q2, noncan, zdrop, junc_bonus, flag,
     if n < 0:
         raise RuntimeError("mmt_ksw_exts2: cigar capacity exceeded")
     return ez, cig[:n].copy()
+
+
+def chain_rmq_scores(ax, ay, max_dist, max_dist_inner, bw, max_chn_skip,
+                     cap_rmq_size, cg, cs):
+    """Native RMQ chain scores; returns (f int32, p int64)."""
+    lib = _load()
+    ax = np.ascontiguousarray(ax, np.uint64)
+    ay = np.ascontiguousarray(ay, np.uint64)
+    n = ax.shape[0]
+    f = np.zeros(n, np.int32)
+    p = np.full(n, -1, np.int64)
+    lib.mmt_chain_rmq(
+        ax.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        ay.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        n, max_dist, max_dist_inner, bw, max_chn_skip, cap_rmq_size,
+        cg, cs,
+        f.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        p.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    return f, p
+
+
+def chain_backtrack_native(f, p, z_y, min_cnt, min_sc, max_drop):
+    """Native score-sorted chain extraction. Returns (u, v)."""
+    lib = _load()
+    f = np.ascontiguousarray(f, np.int32)
+    p = np.ascontiguousarray(p, np.int64)
+    z_y = np.ascontiguousarray(z_y, np.int64)
+    n = f.shape[0]
+    u = np.empty(max(z_y.shape[0], 1), np.uint64)
+    v = np.empty(max(n, 1), np.int64)
+    n_u = ctypes.c_int64()
+    n_v = lib.mmt_chain_backtrack(
+        f.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        p.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n, min_cnt, min_sc, max_drop,
+        z_y.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), z_y.shape[0],
+        u.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        v.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.byref(n_u))
+    return u[:n_u.value].copy(), v[:n_v].copy()
