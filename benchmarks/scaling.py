@@ -1,0 +1,97 @@
+"""Multi-chip scaling benchmark (SURVEY.md §7.8 harness).
+
+Measures chaining throughput (anchor pairs/s) and end-to-end mapped
+reads/s at increasing device counts on the available mesh.  On a
+single-chip host, pass --virtual N to use an N-device CPU mesh (spawned
+with the right XLA flags); on a pod slice it uses the real devices.
+
+Usage:
+    python benchmarks/scaling.py [--devices N] [--reads N] [--virtual N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def run_scaling(n_devices: int, n_reads: int) -> dict:
+    import jax
+    import numpy as np
+
+    from mm2_gb_tpu.models.index import MinimizerIndex
+    from mm2_gb_tpu.models.pipeline import seed_read
+    from mm2_gb_tpu.ops import chain_tpu
+    from mm2_gb_tpu.parallel.mesh import chain_batch_multichip, make_mesh
+    from mm2_gb_tpu.utils import opts as O
+    from mm2_gb_tpu.utils.fastx import SeqRecord
+    from mm2_gb_tpu.utils.simulate import random_reference, simulate_readset
+
+    ref = random_reference(2_000_000, seed=1)
+    reads = simulate_readset(ref, n_reads, 10_000, 50_000, seed=2)
+    io, mo = O.set_preset(None)
+    index = MinimizerIndex.from_strings([ref], io, names=["chr1"])
+    O.mapopt_update(mo, index)
+    seeded = [seed_read(index, mo, SeqRecord(i, n, s))
+              for i, (n, s) in enumerate(reads)]
+    bounds = np.zeros(len(seeded) + 1, np.int64)
+    for i, sr in enumerate(seeded):
+        bounds[i + 1] = bounds[i] + sr.ax.shape[0]
+    ax = np.concatenate([sr.ax for sr in seeded])
+    ay = np.concatenate([sr.ay for sr in seeded])
+    md = max(mo.max_gap, mo.bw)
+    cg = float(np.float32(float(np.float32(mo.chain_gap_scale))
+                          * 0.01 * index.k))
+    rng = chain_tpu.compute_ranges(ax, bounds, md, mo.max_chain_iter)
+    pairs = int(rng.astype(np.int64).sum())
+
+    results = {}
+    d = 1
+    while d <= n_devices:
+        mesh = make_mesh(d)
+        f, p = chain_batch_multichip(mesh, ax, ay, bounds, md, md, mo.bw,
+                                     mo.max_chain_iter, cg, 0.0)  # compile
+        t0 = time.perf_counter()
+        reps = 3
+        for _ in range(reps):
+            chain_batch_multichip(mesh, ax, ay, bounds, md, md, mo.bw,
+                                  mo.max_chain_iter, cg, 0.0)
+        dt = (time.perf_counter() - t0) / reps
+        results[d] = {"pairs_per_s": pairs / dt,
+                      "reads_per_s": len(seeded) / dt}
+        print(f"devices={d}: {pairs / dt / 1e9:.2f} Gpairs/s, "
+              f"{len(seeded) / dt:.0f} chained reads/s", file=sys.stderr)
+        d *= 2
+    return results
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--devices", type=int, default=None)
+    ap.add_argument("--reads", type=int, default=64)
+    ap.add_argument("--virtual", type=int, default=None)
+    args = ap.parse_args()
+
+    if args.virtual:
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
+                            f" --xla_force_host_platform_device_count="
+                            f"{args.virtual}").strip()
+        return subprocess.run(
+            [sys.executable, __file__, "--devices", str(args.virtual),
+             "--reads", str(args.reads)], env=env).returncode
+
+    import jax
+    n = args.devices or len(jax.devices())
+    out = run_scaling(n, args.reads)
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

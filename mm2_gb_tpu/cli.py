@@ -201,6 +201,10 @@ def apply_overrides(args, io: O.IndexOptions, mo: O.MapOptions) -> None:
 
 
 def main(argv: list[str] | None = None) -> int:
+    argv = list(sys.argv[1:]) if argv is None else list(argv)
+    # --cs takes an OPTIONAL =fmt like the reference (main.c:231-236);
+    # normalize the bare form so argparse can't swallow a positional
+    argv = ["--cs=short" if a == "--cs" else a for a in argv]
     args = build_parser().parse_args(argv)
     try:
         io, mo = O.set_preset(args.preset)
