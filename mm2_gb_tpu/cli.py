@@ -211,6 +211,15 @@ def main(argv: list[str] | None = None) -> int:
     except ValueError as e:
         sys.stderr.write(f"[ERROR] {e}\n")
         return 1
+    try:
+        return _run(args, argv, io, mo)
+    except FileNotFoundError as e:  # main.c:414 open-failure message
+        sys.stderr.write(f"[ERROR] failed to open file '{e.filename}': "
+                         "No such file or directory\n")
+        return 1
+
+
+def _run(args, argv, io, mo) -> int:
     apply_overrides(args, io, mo)
     O.check_opt(io, mo)
 

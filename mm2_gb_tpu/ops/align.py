@@ -966,18 +966,23 @@ def _align1_inv(index, opt: MapOptions, qlen: int, qseq0, r1: Region,
         return None
     mat = ksw2.gen_simple_mat(5, opt.a, opt.b, opt.sc_ambi)
     tseq = index.get_seq(r1.rid, r1.re, r2.rs)
-    if r1.rev:
-        qseq = qseq0[0][r2.qe:r2.qe + ql]
-    else:
-        qseq = qseq0[1][qlen - r2.qs:qlen - r2.qs + ql]
+    buf = qseq0[0] if r1.rev else qseq0[1]
+    base = r2.qe if r1.rev else qlen - r2.qs
+    qseq = buf[base:base + ql]
     q_r = qseq[::-1]
     t_r = tseq[::-1]
     score, q_off, t_off = ksw2.sw_ll(q_r, t_r, mat, opt.q, opt.e)
     if score < opt.min_dp_max:
         return None
+    # ksw_ll_i16's qe may land on a striped padding lane (>= ql), making
+    # q_off negative; C then calls mm_align_pair with qseq + q_off, which
+    # reaches into the bytes PRECEDING the gap slice of the full query
+    # buffer (align.c:859-860).  Reproduce that pointer arithmetic.
     q_off = ql - (q_off + 1)
     t_off = tl - (t_off + 1)
-    ez = align_pair(opt, qseq[q_off:], tseq[t_off:], None, mat,
+    qsub = buf[max(base + q_off, 0):base + ql]
+    tsub = tseq[t_off:]
+    ez = align_pair(opt, qsub, tsub, None, mat,
                     int(opt.bw * 1.5), -1, opt.zdrop, ksw2.KSW_EZ_EXTZ_ONLY)
     if ez.n_cigar == 0:
         return None
@@ -998,7 +1003,7 @@ def _align1_inv(index, opt: MapOptions, qlen: int, qseq0, r1: Region,
         r_inv.qs = r_inv.qe - (ez.max_q + 1)
     r_inv.rs = r1.re + t_off
     r_inv.re = r_inv.rs + ez.max_t + 1
-    _update_extra(r_inv, qseq[q_off:], tseq[t_off:], mat, opt.q, opt.e,
+    _update_extra(r_inv, qsub, tsub, mat, opt.q, opt.e,
                   bool(opt.flag & MM_F_EQX), not (opt.flag & MM_F_SR))
     return r_inv
 

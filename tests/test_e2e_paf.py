@@ -212,8 +212,24 @@ def test_alt_contigs_byte_match(capsys):
         assert capsys.readouterr().out == f.read()
 
 
+def test_inversion_alignment_byte_match(capsys):
+    """mm_align1_inv path (align.c:828-883) incl. the negative q_off case:
+    ksw_ll_i16's qe lands on a striped padding lane, so the C code calls
+    mm_align_pair with qseq - 1 (pointer arithmetic into the full query
+    buffer).  Golden from reference v2.24 on a 15kb slice of fuzz seed
+    1021 (read q4, planted 2.9kb inversion)."""
+    import gzip
+    rc = main(["--max-chain-skip=2147483647", "-c",
+               golden_path("invq4.ref.fa.gz"), golden_path("invq4.q.fa.gz")])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "\ttp:A:I\t" in out
+    with gzip.open(golden_path("invq4.skipinf.c.paf.gz"), "rt") as f:
+        assert out == f.read()
+
+
 FLAG_CASES = [
-    (["-c", "--cs", "long"], "sim200.cs-long.paf.gz"),
+    (["-c", "--cs=long"], "sim200.cs-long.paf.gz"),
     (["--rmq", "-c"], "sim200.rmq.paf.gz"),
     (["-k", "13", "-w", "7", "-c"], "sim200.k13w7.paf.gz"),
     (["--for-only", "-c"], "sim200.for-only.paf.gz"),
