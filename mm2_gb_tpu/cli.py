@@ -81,6 +81,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--alt", dest="alt_list", default=None)
     p.add_argument("--alt-drop", type=float, default=None)
     p.add_argument("--for-only", action="store_true")
+    p.add_argument("--qstrand", action="store_true")
     p.add_argument("--rev-only", action="store_true")
     return p
 
@@ -192,6 +193,8 @@ def apply_overrides(args, io: O.IndexOptions, mo: O.MapOptions) -> None:
         mo.flag |= O.MM_F_FOR_ONLY
     if args.rev_only:
         mo.flag |= O.MM_F_REV_ONLY
+    if args.qstrand:  # main.c:242
+        mo.flag |= O.MM_F_QSTRAND | O.MM_F_NO_INV
     if args.tpu_chain:
         mo.flag |= O.MM_F_TPU_CHAIN
     if args.tpu_cfg:
@@ -221,7 +224,11 @@ def main(argv: list[str] | None = None) -> int:
 
 def _run(args, argv, io, mo) -> int:
     apply_overrides(args, io, mo)
-    O.check_opt(io, mo)
+    try:
+        O.check_opt(io, mo)
+    except ValueError as e:
+        sys.stderr.write(f"[ERROR] {e}\n")
+        return 1
 
     if args.batch_size is not None and args.query:
         s = args.batch_size

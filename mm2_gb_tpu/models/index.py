@@ -126,12 +126,20 @@ class MinimizerIndex:
 
     # ------------------------------------------------------------ sequences
     def get_seq(self, rid: int, st: int, en: int, rev: bool = False) -> np.ndarray:
-        """Base codes of reference rid in [st, en); reverse-complemented when rev."""
+        """Base codes of reference rid in [st, en).
+
+        With rev=True, [st, en) are coordinates ON THE REVERSE STRAND
+        (mm_idx_getseq_rev, index.c:165-177): fetch forward
+        [len-en, len-st) and reverse-complement.  Used by the qstrand
+        mode, where minus-strand anchors carry flipped target coords.
+        """
         off = int(self.offsets[rid])
-        s = self.seq_codes[off + st: off + en]
         if rev:
-            s = np.where(s < 4, 3 - s, s)[::-1]
-        return s
+            length = int(self.lens[rid])
+            en = min(en, length)
+            s = self.seq_codes[off + length - en: off + length - st]
+            return np.where(s < 4, 3 - s, s)[::-1]
+        return self.seq_codes[off + st: off + en]
 
     # ----------------------------------------------------------------- dump
     def save(self, path: str) -> None:

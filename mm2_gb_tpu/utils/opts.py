@@ -264,3 +264,8 @@ def check_opt(io: IndexOptions, mo: MapOptions) -> None:
         raise ValueError("Z-drop should not be less than inversion-Z-drop")
     if (mo.flag & MM_F_NO_PRINT_2ND) and (mo.flag & MM_F_ALL_CHAINS):
         raise ValueError("-X/-P and --secondary=no are mutually exclusive")
+    if (mo.flag & MM_F_QSTRAND) and (
+            (mo.flag & (MM_F_OUT_SAM | MM_F_SPLICE | MM_F_FRAG_MODE))
+            or (io.flag & MM_I_HPC)):  # options.c:230-234
+        raise ValueError("--qstrand doesn't work with -a, -H, --frag "
+                         "or --splice")

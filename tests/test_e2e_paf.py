@@ -230,6 +230,9 @@ def test_inversion_alignment_byte_match(capsys):
 
 FLAG_CASES = [
     (["-c", "--cs=long"], "sim200.cs-long.paf.gz"),
+    # --qstrand: minus-strand hits keep query coords and flip target coords
+    # (map.c:319-323); target fetch via mm_idx_getseq_rev (index.c:165-177)
+    (["--qstrand", "-c"], "sim200.qstrand.c.paf.gz"),
     (["--rmq", "-c"], "sim200.rmq.paf.gz"),
     (["-k", "13", "-w", "7", "-c"], "sim200.k13w7.paf.gz"),
     (["--for-only", "-c"], "sim200.for-only.paf.gz"),
