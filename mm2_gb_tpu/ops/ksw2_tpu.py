@@ -1,0 +1,426 @@
+"""Device-side ksw2 extd2 (dual affine-gap extension DP) as a Pallas kernel.
+
+This is the TPU realisation of SURVEY.md section 2's "second Pallas target
+family" (ksw2_extd2_sse.c, the kernel behind every gap fill under -c).  The
+reference computes one striped-SIMD row per target base on the CPU
+(ksw2_extd2_sse.c:9-402); mm2-gb leaves alignment on the CPU entirely.  Here
+the DP runs on the TPU VPU as an anti-diagonal wavefront:
+
+  * 8 alignment pairs are packed into the 8 VPU sublanes; their state
+    vectors u, v, x, y, x2, y2, s (the int8 difference formulation) live
+    full-width as (8, NB) int32 arrays in VMEM, and one grid step advances
+    32 anti-diagonals (statically unrolled),
+  * the band window [st, en] of each anti-diagonal, the boundary constants
+    and the score-row store span are pure functions of r computed as (8, 1)
+    vector columns -- no scalar-unit work and no dynamic vector addressing,
+  * the reversed-query register stq advances by a constant roll(+1) per row
+    with one byte per pair (qseq[r], streamed in 32-column blocks) patched
+    into lane 0, reproducing the reference's q[qlen-1-r+t] diagonal gather,
+  * direction bytes (the backtrack matrix p) stream to HBM one
+    (32 rows x 8 pairs) block per grid step; the traceback itself stays on
+    the host (mm2-gb makes the same split for chaining: GPU scores, host
+    backtrack, plchain.cu:99-150).
+
+Byte-exactness: the update order, the 16-lane-aligned stale windows, the
+unaligned 16-byte score-row store span and the boundary fallbacks follow
+ops/ksw2.py::extd2 (the validated oracle for ksw2_extd2_sse.c) exactly;
+see the oracle for the line-by-line correspondence.  Scope: the gap-fill
+configuration (cigar + KSW_EZ_APPROX_MAX, optional KSW_EZ_RIGHT, no in-DP
+Z-drop), which is every align_pair call in the hot loop (align.c:744-758).
+Left/right extensions (EXTZ_ONLY + full H tracking) stay on the host.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from mm2_gb_tpu.ops import ksw2
+
+try:
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    _HAS_JAX = True
+except Exception:  # pragma: no cover
+    _HAS_JAX = False
+
+ROWS_PER_STEP = 32
+PAIRS_PER_GROUP = 8
+SIZE_CLASSES = (512, 1024, 2048, 4096)
+SCORE_LANES = 128
+
+
+# --------------------------------------------------------------------- plan
+@dataclass
+class FillCall:
+    """One gap-fill alignment request (qseq, tseq uint8 codes 0..4)."""
+    qseq: np.ndarray
+    tseq: np.ndarray
+    w: int
+    right: bool
+
+
+@dataclass
+class FillPlan:
+    nb: int
+    r_pad: int
+    n_groups: int
+    calls: list = field(default_factory=list)
+    meta: np.ndarray | None = None      # (G, 4, 8) int32: qlen/tlen/w/R
+    qbytes: np.ndarray | None = None    # (G, RB, 8, 32) int32: qseq[r]
+    tseq: np.ndarray | None = None      # (G, 8, NB) uint8
+    dropped: np.ndarray | None = None   # (B,) bool: band collapsed
+
+
+def _row_params(qlen: int, tlen: int, w: int):
+    """Host-side band windows (ksw2._row_window) for the backtrack adapter."""
+    r_true = qlen + tlen - 1
+    rows = np.arange(r_true, dtype=np.int64)
+    st0 = np.maximum.reduce([np.zeros_like(rows), rows - qlen + 1,
+                             (rows - w + 1) >> 1])
+    en0 = np.minimum.reduce([np.full_like(rows, tlen - 1), rows,
+                             (rows + w) >> 1])
+    ok = st0 <= en0
+    dropped = not bool(ok.all())
+    if dropped:
+        r_true = int(np.argmin(ok))        # first empty window
+        rows = rows[:r_true]
+        st0, en0 = st0[:r_true], en0[:r_true]
+    st = st0 // 16 * 16
+    en = (en0 + 16) // 16 * 16 - 1
+    return rows, st, en, st0, en0, dropped, r_true
+
+
+def plan_fill_batch(calls: list[FillCall], nb: int) -> FillPlan:
+    """Pack calls of one size class into device arrays (8 pairs/group)."""
+    P = PAIRS_PER_GROUP
+    r_pad = 2 * nb
+    rb = r_pad // ROWS_PER_STEP
+    G = (len(calls) + P - 1) // P
+    plan = FillPlan(nb=nb, r_pad=r_pad, n_groups=G, calls=calls)
+    meta = np.zeros((G, 4, P), np.int32)
+    qbytes = np.zeros((G, rb, P, ROWS_PER_STEP), np.int32)
+    tarr = np.zeros((G, P, nb), np.uint8)
+    dropped = np.zeros(len(calls), bool)
+    for bi, c in enumerate(calls):
+        g, pp = divmod(bi, P)
+        qlen, tlen = len(c.qseq), len(c.tseq)
+        w = c.w if c.w >= 0 else max(qlen, tlen)
+        *_, drop, r_true = _row_params(qlen, tlen, w)
+        dropped[bi] = drop
+        if drop:          # caller falls back to the host kernel
+            continue
+        meta[g, :, pp] = (qlen, tlen, w, r_true)
+        qb = np.zeros(r_pad, np.int32)
+        qb[:qlen] = c.qseq
+        qbytes[g, :, pp, :] = qb.reshape(rb, ROWS_PER_STEP)
+        tarr[g, pp, :tlen] = c.tseq
+    plan.meta = meta
+    plan.qbytes = qbytes
+    plan.tseq = tarr
+    plan.dropped = dropped
+    return plan
+
+
+# ------------------------------------------------------------------- kernel
+def _extd2_kernel(meta_ref, qb_ref, tseq_ref, p_ref, score_ref,
+                  u_ref, v_ref, x_ref, y_ref, x2_ref, y2_ref,
+                  s_ref, stq_ref, d_ref, acc_ref, *,
+                  nb: int, q: int, e: int, q2: int, e2: int,
+                  mat0: int, mat1: int, sc_n: int, right: bool,
+                  long_thres: int, long_diff: int):
+    rb = pl.program_id(1)
+    P = PAIRS_PER_GROUP
+    qe_c = q + e
+    q2e2 = q2 + e2
+    lane = jax.lax.broadcasted_iota(jnp.int32, (P, nb), 1)
+
+    qlen = meta_ref[0, 0, :].reshape(P, 1)
+    tlen = meta_ref[0, 1, :].reshape(P, 1)
+    w = meta_ref[0, 2, :].reshape(P, 1)
+    n_rows = meta_ref[0, 3, :].reshape(P, 1)
+
+    @pl.when(rb == 0)
+    def _init():
+        u_ref[...] = jnp.full((P, nb), -qe_c, jnp.int32)
+        v_ref[...] = jnp.full((P, nb), -qe_c, jnp.int32)
+        x_ref[...] = jnp.full((P, nb), -qe_c, jnp.int32)
+        y_ref[...] = jnp.full((P, nb), -qe_c, jnp.int32)
+        x2_ref[...] = jnp.full((P, nb), -q2e2, jnp.int32)
+        y2_ref[...] = jnp.full((P, nb), -q2e2, jnp.int32)
+        s_ref[...] = jnp.zeros((P, nb), jnp.int32)
+        stq_ref[...] = jnp.zeros((P, nb), jnp.int32)
+        acc_ref[...] = jnp.zeros((P, SCORE_LANES), jnp.int32)
+
+    def _window(r):
+        st0 = jnp.maximum(jnp.maximum(0, r - qlen + 1), (r - w + 1) >> 1)
+        en0 = jnp.minimum(jnp.minimum(tlen - 1, r), (r + w) >> 1)
+        return st0, en0
+
+    tq_seq = tseq_ref[0].astype(jnp.int32)
+    qb_blk = qb_ref[0, 0]                        # (P, 32) int32
+
+    for i in range(ROWS_PER_STEP):
+        r = rb * ROWS_PER_STEP + i
+        st0, en0 = _window(r)                    # (P, 1) columns
+        act = (r < n_rows) & (st0 <= en0)
+        st = st0 // 16 * 16
+        en = (en0 + 16) // 16 * 16 - 1
+        lst0, len0 = _window(r - 1)
+        lst = lst0 // 16 * 16
+        len_ = (len0 + 16) // 16 * 16 - 1
+        x1c = (st > 0) & (lst <= st - 1) & (st - 1 <= len_) \
+            & (lst0 <= len0) & (r > 0)
+        sshi = st0 + 16 * ((en0 - st0) // 16 + 1)
+        bv_s = jnp.where(r == 0, -qe_c,
+                         jnp.where(r < long_thres, -e,
+                                   jnp.where(r == long_thres, long_diff,
+                                             -e2)))
+        bv = jnp.full((P, 1), 1, jnp.int32) * bv_s
+        qbyte = qb_blk[:, i].reshape(P, 1)
+
+        mb = (lane >= st) & (lane <= en) & act
+
+        # diagonal query register: stq[t] = qr[qlen-1-r+t]
+        stq = jnp.roll(stq_ref[...], 1, axis=1)
+        stq = jnp.where(lane == 0, qbyte, stq)
+        stq_ref[...] = stq
+
+        # score row, stored over the unaligned 16-byte span
+        ms = (lane >= st0) & (lane < sshi) & act
+        vals = jnp.where(tq_seq == stq, mat0, mat1)
+        vals = jnp.where((tq_seq == 4) | (stq == 4), sc_n, vals)
+        s = jnp.where(ms, vals, s_ref[...])
+        s_ref[...] = s
+
+        u = u_ref[...]
+        y = y_ref[...]
+        y2 = y2_ref[...]
+        pr = (lane == r) & (en >= r) & act
+        y = jnp.where(pr, -qe_c, y)
+        y2 = jnp.where(pr, -q2e2, y2)
+        u = jnp.where(pr, bv, u)
+
+        # shifted previous-row state with boundary fallbacks
+        xt1 = jnp.roll(x_ref[...], 1, axis=1)
+        vt1 = jnp.roll(v_ref[...], 1, axis=1)
+        x2t1 = jnp.roll(x2_ref[...], 1, axis=1)
+        v1_fb = jnp.where(st == 0, bv, -qe_c)
+        fb = (lane == st) & ~x1c
+        xt1 = jnp.where(fb, -qe_c, xt1)
+        x2t1 = jnp.where(fb, -q2e2, x2t1)
+        vt1 = jnp.where(fb, v1_fb, vt1)
+
+        z = s
+        a = xt1 + vt1
+        b_ = y + u
+        a2 = x2t1 + vt1
+        b2 = y2 + u
+        if right:
+            d = jnp.where(z > a, 0, 1).astype(jnp.int32)
+            z = jnp.maximum(z, a)
+            d = jnp.where(z > b_, d, 2)
+            z = jnp.maximum(z, b_)
+            d = jnp.where(z > a2, d, 3)
+            z = jnp.maximum(z, a2)
+            d = jnp.where(z > b2, d, 4)
+            z = jnp.maximum(z, b2)
+        else:
+            d = (a > z).astype(jnp.int32)
+            z = jnp.maximum(z, a)
+            d = jnp.where(b_ > z, 2, d)
+            z = jnp.maximum(z, b_)
+            d = jnp.where(a2 > z, 3, d)
+            z = jnp.maximum(z, a2)
+            d = jnp.where(b2 > z, 4, d)
+            z = jnp.maximum(z, b2)
+        z = jnp.minimum(z, mat0)
+        u_new = z - vt1
+        v_new = z - u
+        tq = z - q
+        a = a - tq
+        b_ = b_ - tq
+        tq2 = z - q2
+        a2 = a2 - tq2
+        b2 = b2 - tq2
+        if right:
+            ta, tb, ta2, tb2 = a >= 0, b_ >= 0, a2 >= 0, b2 >= 0
+        else:
+            ta, tb, ta2, tb2 = a > 0, b_ > 0, a2 > 0, b2 > 0
+        x_new = jnp.where(ta, a, 0) - qe_c
+        y_new = jnp.where(tb, b_, 0) - qe_c
+        x2_new = jnp.where(ta2, a2, 0) - q2e2
+        y2_new = jnp.where(tb2, b2, 0) - q2e2
+        d = d | jnp.where(ta, 0x08, 0) | jnp.where(tb, 0x10, 0) \
+            | jnp.where(ta2, 0x20, 0) | jnp.where(tb2, 0x40, 0)
+
+        u = jnp.where(mb, u_new, u)
+        v = jnp.where(mb, v_new, v_ref[...])
+        u_ref[...] = u
+        v_ref[...] = v
+        x_ref[...] = jnp.where(mb, x_new, x_ref[...])
+        y_ref[...] = jnp.where(mb, y_new, y)
+        x2_ref[...] = jnp.where(mb, x2_new, x2_ref[...])
+        y2_ref[...] = jnp.where(mb, y2_new, y2)
+        d_ref[i * P:(i + 1) * P, :] = jnp.where(mb, d, 0).astype(jnp.int8)
+
+        # approx-max H0 walk (oracle extd2 approx branch), vectorized
+        # over the 8 pairs: one masked-sum per operand
+        lt = acc_ref[:, 1:2]
+        h0 = acc_ref[:, 0:1]
+        v_lt = jnp.sum(jnp.where(lane == lt, v, 0), axis=1, keepdims=True)
+        u_lt1 = jnp.sum(jnp.where(lane == lt + 1, u, 0), axis=1,
+                        keepdims=True)
+        c1 = (st0 <= lt) & (lt <= en0)
+        c2 = (st0 <= lt + 1) & (lt + 1 <= en0)
+        take_d1 = c1 & c2 & (u_lt1 >= v_lt)
+        step = jnp.where(c1 & c2,
+                         jnp.where(take_d1, u_lt1, v_lt),
+                         jnp.where(c1, v_lt, u_lt1))
+        new_lt = jnp.where(take_d1 | ~c1, lt + 1, lt)
+        is_r0 = r == 0
+        h0n = jnp.where(is_r0, v_lt - qe_c, h0 + step)
+        ltn = jnp.where(is_r0, 0, new_lt)
+        acc_ref[:, 0:1] = jnp.where(act, h0n, h0)
+        acc_ref[:, 1:2] = jnp.where(act, ltn, lt)
+        acc_ref[:, 2:3] = jnp.where(act & (r == n_rows - 1), h0n,
+                                    acc_ref[:, 2:3])
+
+    p_ref[0, 0, :, :] = d_ref[...]
+    score_ref[0, :, :] = jnp.broadcast_to(acc_ref[:, 2:3], (P, SCORE_LANES))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "nb", "r_pad", "q", "e", "q2", "e2", "mat0", "mat1", "sc_n", "right",
+    "long_thres", "long_diff", "interpret")) if _HAS_JAX else lambda f: f
+def extd2_fwd_tpu(meta, qbytes, tseq, *, nb, r_pad, q, e, q2, e2, mat0, mat1,
+                  sc_n, right, long_thres, long_diff, interpret=False):
+    """Batched forward DP; returns (p, score).
+
+    p: (G, R_pad//32, 32*8, NB) int8 direction rows: row block i holds the
+       8 pairs' rows interleaved as [i*8 + pair].
+    score: (G, 8, SCORE_LANES) int32, lane 0 = ez.score (H0, final row).
+    """
+    G = meta.shape[0]
+    P = PAIRS_PER_GROUP
+    rb = r_pad // ROWS_PER_STEP
+    kern = functools.partial(
+        _extd2_kernel, nb=nb, q=q, e=e, q2=q2, e2=e2,
+        mat0=mat0, mat1=mat1, sc_n=sc_n, right=right,
+        long_thres=long_thres, long_diff=long_diff)
+    return pl.pallas_call(
+        kern,
+        grid=(G, rb),
+        in_specs=[
+            pl.BlockSpec((1, 4, P), lambda g, r: (g, 0, 0)),
+            pl.BlockSpec((1, 1, P, ROWS_PER_STEP), lambda g, r: (g, r, 0, 0)),
+            pl.BlockSpec((1, P, nb), lambda g, r: (g, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, ROWS_PER_STEP * P, nb),
+                         lambda g, r: (g, r, 0, 0)),
+            pl.BlockSpec((1, P, SCORE_LANES), lambda g, r: (g, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((G, rb, ROWS_PER_STEP * P, nb), jnp.int8),
+            jax.ShapeDtypeStruct((G, P, SCORE_LANES), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((P, nb), jnp.int32),   # u
+            pltpu.VMEM((P, nb), jnp.int32),   # v
+            pltpu.VMEM((P, nb), jnp.int32),   # x
+            pltpu.VMEM((P, nb), jnp.int32),   # y
+            pltpu.VMEM((P, nb), jnp.int32),   # x2
+            pltpu.VMEM((P, nb), jnp.int32),   # y2
+            pltpu.VMEM((P, nb), jnp.int32),   # s
+            pltpu.VMEM((P, nb), jnp.int32),   # stq
+            pltpu.VMEM((ROWS_PER_STEP * P, nb), jnp.int8),   # d rows
+            pltpu.VMEM((P, SCORE_LANES), jnp.int32),         # H0/lt/score
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(meta, qbytes, tseq)
+
+
+# ------------------------------------------------------------ host assembly
+def _assemble_ez(call: FillCall, p_rows_abs: np.ndarray, score: int,
+                 flag: int) -> ksw2.Extz:
+    """Host backtrack over the device direction matrix -> Extz."""
+    qlen, tlen = len(call.qseq), len(call.tseq)
+    w = call.w if call.w >= 0 else max(qlen, tlen)
+    rows, st, en, st0, en0, drop, r_true = _row_params(qlen, tlen, w)
+    assert not drop
+    n_rows = qlen + tlen - 1
+    p_rows = [None] * n_rows
+    off = np.zeros(n_rows, np.int64)
+    off_end = np.zeros(n_rows, np.int64)
+    for r in range(n_rows):
+        p_rows[r] = p_rows_abs[r, st[r]:en[r] + 1]
+        off[r], off_end[r] = st[r], en[r]
+    ez = ksw2.Extz()
+    ez.score = int(score)
+    rev = bool(flag & ksw2.KSW_EZ_REV_CIGAR)
+    ez.cigar = ksw2._backtrack(p_rows, off, off_end, tlen - 1, qlen - 1, rev)
+    return ez
+
+
+def extd2_batch_device(calls: list[FillCall], mat: np.ndarray, q: int, e: int,
+                       q2: int, e2: int, flag: int,
+                       interpret: bool = False) -> list[ksw2.Extz]:
+    """Run a batch of gap fills on the device; host fallback per call when
+    the band collapses or the call exceeds the largest size class."""
+    assert flag & ksw2.KSW_EZ_APPROX_MAX
+    assert not (flag & ksw2.KSW_EZ_SCORE_ONLY)
+    mat = np.asarray(mat, np.int8)
+    m = 5
+    mat0, mat1 = int(mat[0]), int(mat[1])
+    qq, ee, qq2, ee2 = (q, e, q2, e2) if q + e <= q2 + e2 else (q2, e2, q, e)
+    sc_n = -ee2 if int(mat[m * m - 1]) == 0 else int(mat[m * m - 1])
+    right = bool(flag & ksw2.KSW_EZ_RIGHT)
+    long_thres = (qq2 - qq) // (ee - ee2) - 1 if ee != ee2 else 0
+    if qq2 + ee2 + long_thres * ee2 > qq + ee + long_thres * ee:
+        long_thres += 1
+    long_diff = long_thres * (ee - ee2) - (qq2 - qq) - ee2
+
+    out: list[ksw2.Extz | None] = [None] * len(calls)
+    by_class: dict[int, list[int]] = {}
+    for idx, c in enumerate(calls):
+        mx = max(len(c.qseq), len(c.tseq))
+        cls = next((s for s in SIZE_CLASSES if mx <= s), None)
+        if cls is None or len(c.qseq) == 0 or len(c.tseq) == 0 \
+                or -int(mat.min()) > 2 * (qq + ee):
+            out[idx] = ksw2.extd2(c.qseq, c.tseq, mat, q, e, q2, e2,
+                                  c.w, -1, 0, flag)
+        else:
+            by_class.setdefault(cls, []).append(idx)
+
+    P = PAIRS_PER_GROUP
+    for cls, idxs in sorted(by_class.items()):
+        batch = [calls[i] for i in idxs]
+        plan = plan_fill_batch(batch, cls)
+        p_dev, score_dev = extd2_fwd_tpu(
+            jnp.asarray(plan.meta), jnp.asarray(plan.qbytes),
+            jnp.asarray(plan.tseq),
+            nb=cls, r_pad=plan.r_pad, q=qq, e=ee, q2=qq2, e2=ee2,
+            mat0=mat0, mat1=mat1, sc_n=sc_n, right=right,
+            long_thres=long_thres, long_diff=long_diff,
+            interpret=interpret)
+        p_host = np.asarray(jax.device_get(p_dev))
+        score_host = np.asarray(jax.device_get(score_dev))[:, :, 0]
+        rbn = plan.r_pad // ROWS_PER_STEP
+        p_host = p_host.reshape(plan.n_groups, rbn, ROWS_PER_STEP, P, cls)
+        for bi, idx in enumerate(idxs):
+            c = calls[idx]
+            if plan.dropped[bi]:
+                out[idx] = ksw2.extd2(c.qseq, c.tseq, mat, q, e, q2, e2,
+                                      c.w, -1, 0, flag)
+                continue
+            g, pp = divmod(bi, P)
+            rows = p_host[g, :, :, pp, :].reshape(plan.r_pad, cls)
+            out[idx] = _assemble_ez(c, rows, int(score_host[g, pp]), flag)
+    return out  # type: ignore[return-value]

@@ -1,0 +1,94 @@
+"""Device extd2 (Pallas wavefront) vs the validated host oracle.
+
+The oracle ops/ksw2.py::extd2 byte-matches ksw2_extd2_sse.c (goldens in
+tests/golden/ksw2_cases.json); the device kernel must agree exactly on
+(score, cigar) for the gap-fill flag configuration."""
+
+import numpy as np
+import pytest
+
+from mm2_gb_tpu.ops import ksw2
+from mm2_gb_tpu.ops.ksw2_tpu import FillCall, extd2_batch_device
+
+MAT = ksw2.gen_simple_mat(5, 2, 4, 1)
+FILL = 0x40000 if hasattr(ksw2, "KSW_EZ_APPROX_MAX") else 0
+APPROX = ksw2.KSW_EZ_APPROX_MAX
+RIGHT = ksw2.KSW_EZ_RIGHT
+
+
+def _rand_pair(rng, qlen, tlen, div=0.1):
+    base = rng.integers(0, 4, max(qlen, tlen)).astype(np.uint8)
+    t = base[:tlen].copy()
+    q = base[:qlen].copy()
+    n_mut = int(qlen * div)
+    if n_mut:
+        pos = rng.integers(0, qlen, n_mut)
+        q[pos] = rng.integers(0, 4, n_mut).astype(np.uint8)
+    return q, t
+
+
+def _check(calls, flag, q=4, e=2, q2=24, e2=1):
+    got = extd2_batch_device(calls, MAT, q, e, q2, e2, flag, interpret=True)
+    for c, g in zip(calls, got):
+        want = ksw2.extd2(c.qseq, c.tseq, MAT, q, e, q2, e2, c.w, -1, 0, flag)
+        assert g.score == want.score, (len(c.qseq), len(c.tseq), c.w)
+        assert np.array_equal(g.cigar, want.cigar), \
+            (len(c.qseq), len(c.tseq), c.w)
+
+
+@pytest.mark.parametrize("qlen,tlen,w", [
+    (40, 40, 751), (100, 97, 751), (128, 128, 50), (357, 402, 751),
+    (500, 480, 100), (512, 512, 751), (33, 200, 751), (200, 33, 751),
+])
+def test_device_extd2_matches_oracle(qlen, tlen, w):
+    rng = np.random.default_rng(qlen * 1000 + tlen)
+    q, t = _rand_pair(rng, qlen, tlen)
+    _check([FillCall(q, t, w, False)], APPROX)
+
+
+def test_device_extd2_right_flag():
+    rng = np.random.default_rng(7)
+    q, t = _rand_pair(rng, 260, 255)
+    _check([FillCall(q, t, 751, True)], APPROX | RIGHT)
+
+
+def test_device_extd2_batch_mixed_sizes():
+    rng = np.random.default_rng(11)
+    calls = []
+    for qlen, tlen in [(60, 63), (300, 290), (700, 710), (129, 1025)]:
+        q, t = _rand_pair(rng, qlen, tlen, div=0.15)
+        calls.append(FillCall(q, t, 751, False))
+    _check(calls, APPROX)
+
+
+def test_device_extd2_with_ambiguous_bases():
+    rng = np.random.default_rng(13)
+    q, t = _rand_pair(rng, 150, 150)
+    q[10:14] = 4
+    t[70:75] = 4
+    _check([FillCall(q, t, 751, False)], APPROX)
+
+
+def test_device_extd2_indels():
+    rng = np.random.default_rng(17)
+    t = rng.integers(0, 4, 400).astype(np.uint8)
+    q = np.concatenate([t[:150], t[190:]]).astype(np.uint8)  # 40bp deletion
+    _check([FillCall(q, t, 751, False)], APPROX)
+    q2 = np.concatenate([t[:200],
+                         rng.integers(0, 4, 25).astype(np.uint8),
+                         t[200:]])  # 25bp insertion
+    _check([FillCall(q2, t, 751, False)], APPROX)
+
+
+def test_device_extd2_narrow_band_collapse_falls_back():
+    # |qlen - tlen| > w collapses the band: host fallback must kick in
+    rng = np.random.default_rng(19)
+    q, t = _rand_pair(rng, 50, 400)
+    _check([FillCall(q, t, 10, False)], APPROX)
+
+
+def test_device_extd2_asymmetric_penalties_swap():
+    # q2+e2 < q+e triggers the cost swap (extd2:96-99)
+    rng = np.random.default_rng(23)
+    q, t = _rand_pair(rng, 200, 200)
+    _check([FillCall(q, t, 751, False)], APPROX, q=24, e=1, q2=4, e2=2)
