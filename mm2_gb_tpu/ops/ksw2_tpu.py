@@ -371,9 +371,16 @@ def _assemble_ez(call: FillCall, p_rows_abs: np.ndarray, score: int,
 
 def extd2_batch_device(calls: list[FillCall], mat: np.ndarray, q: int, e: int,
                        q2: int, e2: int, flag: int,
-                       interpret: bool = False) -> list[ksw2.Extz]:
+                       interpret: bool = False,
+                       backtrack: str = "device") -> list[ksw2.Extz]:
     """Run a batch of gap fills on the device; host fallback per call when
-    the band collapses or the call exceeds the largest size class."""
+    the band collapses or the call exceeds the largest size class.
+
+    backtrack="device" walks the direction matrix on the TPU and ships only
+    unit-op streams (KBs) -- right for link-limited hosts.  backtrack="host"
+    fetches the banded p matrix and reuses ksw2._backtrack -- faster when
+    the device link is wide (the forward kernel alone is ~6x the host DP).
+    """
     assert flag & ksw2.KSW_EZ_APPROX_MAX
     assert not (flag & ksw2.KSW_EZ_SCORE_ONLY)
     mat = np.asarray(mat, np.int8)
@@ -410,10 +417,18 @@ def extd2_batch_device(calls: list[FillCall], mat: np.ndarray, q: int, e: int,
             mat0=mat0, mat1=mat1, sc_n=sc_n, right=right,
             long_thres=long_thres, long_diff=long_diff,
             interpret=interpret)
-        p_host = np.asarray(jax.device_get(p_dev))
         score_host = np.asarray(jax.device_get(score_dev))[:, :, 0]
-        rbn = plan.r_pad // ROWS_PER_STEP
-        p_host = p_host.reshape(plan.n_groups, rbn, ROWS_PER_STEP, P, cls)
+        rev = bool(flag & ksw2.KSW_EZ_REV_CIGAR)
+        if backtrack == "device":
+            # only unit-op streams cross the link
+            ops_dev = backtrack_device(p_dev, jnp.asarray(plan.meta),
+                                       nb=cls, r_pad=plan.r_pad,
+                                       kmax=plan.r_pad + 32)
+            ops_host = np.asarray(jax.device_get(ops_dev))
+        else:
+            rbn = plan.r_pad // ROWS_PER_STEP
+            p_host = np.asarray(jax.device_get(p_dev)).reshape(
+                plan.n_groups, rbn, ROWS_PER_STEP, P, cls)
         for bi, idx in enumerate(idxs):
             c = calls[idx]
             if plan.dropped[bi]:
@@ -421,6 +436,95 @@ def extd2_batch_device(calls: list[FillCall], mat: np.ndarray, q: int, e: int,
                                       c.w, -1, 0, flag)
                 continue
             g, pp = divmod(bi, P)
-            rows = p_host[g, :, :, pp, :].reshape(plan.r_pad, cls)
-            out[idx] = _assemble_ez(c, rows, int(score_host[g, pp]), flag)
+            if backtrack == "device":
+                ez = ksw2.Extz()
+                ez.score = int(score_host[g, pp])
+                ez.cigar = _rle_cigar(ops_host[g * P + pp], rev)
+                out[idx] = ez
+            else:
+                rows = p_host[g, :, :, pp, :].reshape(plan.r_pad, cls)
+                out[idx] = _assemble_ez(c, rows, int(score_host[g, pp]),
+                                        flag)
     return out  # type: ignore[return-value]
+
+
+# ------------------------------------------------------- device backtrack
+@functools.partial(jax.jit, static_argnames=(
+    "nb", "r_pad", "kmax")) if _HAS_JAX else lambda f: f
+def backtrack_device(p, meta, *, nb, r_pad, kmax):
+    """Vectorized ksw_backtrack on the device (ksw2.h:126-158, is_rot).
+
+    Walks all pairs' direction matrices in lockstep without ever moving
+    the p matrix off the device: each step gathers one byte per pair from
+    HBM and emits one unit CIGAR op into an (N, kmax) uint8 array (255 =
+    finished).  The host run-length-encodes the op streams.  D2H shrinks
+    from O(R*NB) direction bytes to O(R) op bytes per pair.
+    """
+    G = meta.shape[0]
+    P = PAIRS_PER_GROUP
+    N = G * P
+    qlen = meta[:, 0, :].reshape(N)
+    tlen = meta[:, 1, :].reshape(N)
+    w = meta[:, 2, :].reshape(N)
+    p_flat = p.reshape(-1)
+    rbn = r_pad // ROWS_PER_STEP
+    gidx = jnp.arange(N, dtype=jnp.int32) // P
+    pidx = jnp.arange(N, dtype=jnp.int32) % P
+
+    def window(r):
+        st0 = jnp.maximum(jnp.maximum(0, r - qlen + 1), (r - w + 1) >> 1)
+        en0 = jnp.minimum(jnp.minimum(tlen - 1, r), (r + w) >> 1)
+        return st0 // 16 * 16, (en0 + 16) // 16 * 16 - 1
+
+    def step(k, carry):
+        i, j, state, ops = carry
+        alive = (i >= 0) | (j >= 0)
+        r = i + j
+        st, en = window(r)
+        in_band = (i >= st) & (i <= en) & (j >= 0) & (i >= 0)
+        # p[g, r//32, (r%32)*P + pp, i]
+        flat = ((gidx * rbn + (r >> 5)) * (ROWS_PER_STEP * P)
+                + (r & 31) * P + pidx) * nb + i
+        tmp = jnp.where(in_band,
+                        p_flat[jnp.clip(flat, 0, p_flat.shape[0] - 1)]
+                        .astype(jnp.int32), 0)
+        s1 = jnp.where(state == 0, tmp & 7,
+                       jnp.where((tmp >> (state + 2)) & 1, state, 0))
+        s1 = jnp.where(s1 == 0, tmp & 7, s1)
+        # force_state overrides (off-band cells)
+        both = (i >= 0) & (j >= 0)
+        s1 = jnp.where(both & (i < st), 2, s1)
+        s1 = jnp.where(both & (i > en), 1, s1)
+        # tails: one side exhausted
+        s1 = jnp.where((j < 0) & (i >= 0), 1, s1)   # remaining -> D run
+        s1 = jnp.where((i < 0) & (j >= 0), 2, s1)   # remaining -> I run
+        # op: state 0 -> M(0); 1/3 (E/E2) -> D(2); 2/4 (F/F2) -> I(1)
+        is_ins = (s1 == 2) | (s1 == 4)
+        op = jnp.where(s1 == 0, 0, jnp.where(is_ins, 1, 2)).astype(jnp.uint8)
+        op = jnp.where(alive, op, jnp.uint8(255))
+        ops = jax.lax.dynamic_update_slice(ops, op.reshape(N, 1), (0, k))
+        di = jnp.where((s1 == 0) | (s1 == 1) | (s1 == 3), 1, 0)
+        dj = jnp.where((s1 == 0) | is_ins, 1, 0)
+        i = jnp.where(alive, i - di, i)
+        j = jnp.where(alive, j - dj, j)
+        state = jnp.where(alive & both, s1, state)
+        return i, j, state, ops
+
+    i0 = tlen - 1
+    j0 = qlen - 1
+    ops0 = jnp.full((N, kmax), 255, jnp.uint8)
+    st0 = jnp.zeros(N, jnp.int32)
+    _, _, _, ops = jax.lax.fori_loop(0, kmax, step, (i0, j0, st0, ops0))
+    return ops
+
+
+def _rle_cigar(op_row: np.ndarray, rev_cigar: bool) -> np.ndarray:
+    """Run-length encode a unit-op stream (emitted back-to-front)."""
+    ops = op_row[op_row != 255]
+    if ops.size == 0:
+        return np.empty(0, np.uint32)
+    brk = np.nonzero(np.diff(ops))[0]
+    starts = np.concatenate(([0], brk + 1))
+    ends = np.concatenate((brk + 1, [ops.size]))
+    runs = ((ends - starts).astype(np.uint32) << 4) | ops[starts]
+    return runs if rev_cigar else runs[::-1].copy()

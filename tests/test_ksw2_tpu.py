@@ -92,3 +92,14 @@ def test_device_extd2_asymmetric_penalties_swap():
     rng = np.random.default_rng(23)
     q, t = _rand_pair(rng, 200, 200)
     _check([FillCall(q, t, 751, False)], APPROX, q=24, e=1, q2=4, e2=2)
+
+
+def test_device_extd2_host_backtrack_mode():
+    rng = np.random.default_rng(29)
+    q, t = _rand_pair(rng, 220, 230)
+    calls = [FillCall(q, t, 751, False)]
+    got = extd2_batch_device(calls, MAT, 4, 2, 24, 1, APPROX,
+                             interpret=True, backtrack="host")
+    want = ksw2.extd2(q, t, MAT, 4, 2, 24, 1, 751, -1, 0, APPROX)
+    assert got[0].score == want.score
+    assert np.array_equal(got[0].cigar, want.cigar)
