@@ -5,7 +5,10 @@ papers (misc/README.md): `mapeval` (ROC over MAPQ from simulated-read
 names, paftools.js:2040-2166) and `stat` (alignment statistics,
 paftools.js:963-1140).  Both accept PAF or SAM.
 
-Usage:  python -m mm2_gb_tpu.tools.paftools <mapeval|stat> [options] <file>
+Usage:  python -m mm2_gb_tpu.tools.paftools <subcommand> [options] <file>
+
+Subcommands: mapeval, stat, sam2paf (paftools.js:1695), liftover
+(paftools.js:206), call (paftools.js:340), view (paftools.js:1365).
 """
 
 from __future__ import annotations
@@ -331,12 +334,702 @@ def stat(argv) -> int:
     return 0
 
 
+
+
+# ------------------------------------------------------------------ sam2paf
+_RE_MD = re.compile(r"(\d+)|(\^[A-Za-z]+)|([A-Za-z])")
+_RE_TAG = re.compile(r"\t(\S\S:[AZif]):(\S+)")
+
+
+def sam2paf(argv) -> int:
+    """SAM -> PAF conversion (paf_sam2paf, paftools.js:1695-1855)."""
+    ap = argparse.ArgumentParser(prog="paftools sam2paf")
+    ap.add_argument("-p", dest="pri_only", action="store_true",
+                    help="primary/supplementary only")
+    ap.add_argument("-L", dest="long_cs", action="store_true",
+                    help="long-form cs")
+    ap.add_argument("sam")
+    args = ap.parse_args(argv)
+    ctg_len: dict[str, int] = {}
+    lineno = 0
+    out = sys.stdout
+    for line in _open(args.sam):
+        line = line.rstrip("\n")
+        lineno += 1
+        if line.startswith("@"):
+            if line.startswith("@SQ"):
+                mn = re.search(r"\tSN:(\S+)", line)
+                ml = re.search(r"\tLN:(\d+)", line)
+                if mn and ml:
+                    ctg_len[mn.group(1)] = int(ml.group(1))
+            continue
+        t = line.split("\t", 11)
+        flag = int(t[1])
+        if t[9] != "*" and t[10] != "*" and len(t[9]) != len(t[10]):
+            raise SystemExit(f"line {lineno}: inconsistent SEQ/QUAL lengths")
+        if t[2] == "*" or (flag & 4) or t[5] == "*":
+            continue
+        if args.pri_only and (flag & 0x100):
+            continue
+        if t[2] not in ctg_len:
+            raise SystemExit(f"line {lineno}: no length for contig {t[2]}")
+        tlen_ctg = ctg_len[t[2]]
+        nn, NM, MD, cs_str = 0, None, None, None
+        for m in _RE_TAG.finditer("\t" + "\t".join(line.split("\t")[11:])):
+            if m.group(1) == "NM:i":
+                NM = int(m.group(2))
+            elif m.group(1) == "nn:i":
+                nn = int(m.group(2))
+            elif m.group(1) == "MD:Z":
+                MD = m.group(2)
+            elif m.group(1) == "cs:Z":
+                cs_str = m.group(2)
+        if t[9] == "*":
+            MD = cs_str = None
+        clip = [0, 0]
+        soft_clip = 0
+        I = [0, 0]
+        D = [0, 0]
+        M = N = mm = 0
+        have_M = have_ext = False
+        cigar = []
+        n_cigar = 0
+        for m in _RE_CIGAR.finditer(t[5]):
+            ln, op = int(m.group(1)), m.group(2)
+            if op == "M":
+                M += ln
+                have_M = True
+            elif op == "I":
+                I[0] += 1
+                I[1] += ln
+            elif op == "D":
+                D[0] += 1
+                D[1] += ln
+            elif op == "N":
+                N += ln
+            elif op == "S":
+                clip[0 if n_cigar == 0 else 1] = ln
+                soft_clip += ln
+            elif op == "H":
+                clip[0 if n_cigar == 0 else 1] = ln
+            elif op == "=":
+                M += ln
+                have_ext = True
+                op = "M"
+            elif op == "X":
+                M += ln
+                mm += ln
+                have_ext = True
+                op = "M"
+            n_cigar += 1
+            if MD is not None and op != "H":
+                if cigar and cigar[-1][1] == op:
+                    cigar[-1][0] += ln
+                else:
+                    cigar.append([ln, op])
+        ql = M + I[1] + soft_clip
+        tl = M + D[1] + N
+        ts = int(t[3]) - 1
+        te = ts + tl
+        if n_cigar > 65535:
+            sys.stderr.write(f"WARNING line {lineno}: {n_cigar} CIGAR ops\n")
+        if te > tlen_ctg:
+            sys.stderr.write(f"WARNING line {lineno}: end > ref length; "
+                             "skipped\n")
+            continue
+        if t[9] != "*" and len(t[9]) != ql:
+            sys.stderr.write(f"WARNING line {lineno}: SEQ length "
+                             f"inconsistent with CIGAR; skipped\n")
+            continue
+        # reconstruct cs from MD (paftools.js:1777-1815)
+        cs: list[str] = []
+        if MD is not None and cs_str is None and t[9] != "*":
+            k = cx = cy = mx = my = 0
+            ok = True
+            for m in _RE_MD.finditer(MD):
+                if m.group(2) is not None:
+                    dln = len(m.group(2)) - 1
+                    cs += ["-", m.group(2)[1:]]
+                    mx += dln
+                    cx += dln
+                    k += 1
+                else:
+                    ml = int(m.group(1)) if m.group(1) is not None else 1
+                    while k < len(cigar) and cigar[k][1] != "D":
+                        cl, op = cigar[k]
+                        if op == "M":
+                            if my + ml < cy + cl:
+                                if ml > 0:
+                                    if m.group(3) is not None:
+                                        cs += ["*", m.group(3), t[9][my]]
+                                    elif args.long_cs:
+                                        cs += ["=", t[9][my:my + ml]]
+                                    else:
+                                        cs += [":", str(ml)]
+                                mx += ml
+                                my += ml
+                                ml = 0
+                                break
+                            dl = cy + cl - my
+                            if args.long_cs:
+                                cs += ["=", t[9][my:my + dl]]
+                            else:
+                                cs += [":", str(dl)]
+                            cx += cl
+                            cy += cl
+                            k += 1
+                            mx += dl
+                            my += dl
+                            ml -= dl
+                        elif op == "I":
+                            cs += ["+", t[9][cy:cy + cl]]
+                            cy += cl
+                            my += cl
+                            k += 1
+                        elif op == "S":
+                            cy += cl
+                            my += cl
+                            k += 1
+                        else:
+                            raise SystemExit(
+                                f"line {lineno}: inconsistent MD tag")
+                    if ml != 0:
+                        raise SystemExit(f"line {lineno}: inconsistent MD")
+            if cx != mx or cy != my:
+                raise SystemExit(f"line {lineno}: inconsistent MD tag")
+        if have_ext and not have_M:
+            if NM is not None and NM != I[1] + D[1] + mm:
+                sys.stderr.write(f"WARNING line {lineno}: NM != gaps+mm\n")
+            NM = I[1] + D[1] + mm
+        elif NM is not None:
+            if NM < I[1] + D[1]:
+                sys.stderr.write(f"WARNING line {lineno}: NM < gaps\n")
+                NM = I[1] + D[1]
+            mm = NM - (I[1] + D[1])
+        else:
+            sys.stderr.write(f"WARNING line {lineno}: no NM; assuming 0 "
+                             "mismatches\n")
+            mm = 0
+        mlen = M - mm
+        blen = M + I[1] + D[1]
+        qlen = M + I[1] + clip[0] + clip[1]
+        qname = t[0]
+        if (flag & 1) and (flag & 0x40):
+            qname += "/1"
+        if (flag & 1) and (flag & 0x80):
+            qname += "/2"
+        if flag & 16:
+            qs, qe = clip[1], qlen - clip[0]
+        else:
+            qs, qe = clip[0], qlen - clip[1]
+        tags = ["tp:A:" + ("S" if flag & 0x100 else "P")]
+        if NM is not None:
+            tags.append(f"mm:i:{mm}")
+        tags += [f"gn:i:{I[1] + D[1]}", f"go:i:{I[0] + D[0]}",
+                 "cg:Z:" + re.sub(r"\d+[SH]", "", t[5])]
+        if cs_str is not None:
+            tags.append("cs:Z:" + cs_str)
+        elif cs:
+            tags.append("cs:Z:" + "".join(cs))
+        a = [qname, qlen, qs, qe, "-" if flag & 16 else "+", t[2],
+             tlen_ctg, ts, te, mlen, blen, t[4]]
+        out.write("\t".join(map(str, a)) + "\t" + "\t".join(tags) + "\n")
+    return 0
+
+
+# ----------------------------------------------------------------- liftover
+def _read_bed(fn, to_merge):
+    bed: dict[str, list] = {}
+    for line in _open(fn):
+        f = line.rstrip("\n").split("\t")
+        bed.setdefault(f[0], []).append([int(f[1]), int(f[2])])
+    for chrom in bed:
+        ivs = sorted(bed[chrom])
+        if to_merge:
+            merged = []
+            for iv in ivs:
+                if merged and iv[0] <= merged[-1][1]:
+                    merged[-1][1] = max(merged[-1][1], iv[1])
+                else:
+                    merged.append(iv)
+            ivs = merged
+        bed[chrom] = ivs
+    return bed
+
+
+_RE_CG_MID = re.compile(r"(\d+)([MID])")
+
+
+def liftover(argv) -> int:
+    """Lift BED intervals through PAF (paf_liftover, paftools.js:206-338)."""
+    ap = argparse.ArgumentParser(prog="paftools liftover")
+    ap.add_argument("-m", dest="merge", action="store_true")
+    ap.add_argument("-q", dest="min_mapq", type=int, default=5)
+    ap.add_argument("-l", dest="min_len", type=int, default=50000)
+    ap.add_argument("-d", dest="max_div", type=float, default=2.0)
+    ap.add_argument("paf")
+    ap.add_argument("bed")
+    args = ap.parse_args(argv)
+    bed = _read_bed(args.bed, args.merge)
+    out = sys.stdout
+    for line in _open(args.paf):
+        t = line.rstrip("\n").split("\t")
+        if t[0] not in bed:
+            continue
+        tp = cg = None
+        for fld in t[12:]:
+            if fld.startswith("tp:A:"):
+                tp = fld[5:]
+            elif fld.startswith("cg:Z:"):
+                cg = fld[5:]
+        if tp not in ("P", "I"):
+            continue
+        if cg is None:
+            raise SystemExit("unable to find the 'cg' tag")
+        qlen, qs, qe = int(t[1]), int(t[2]), int(t[3])
+        tlen_, ts, te, mlen, blen, mapq = (int(t[i]) for i in range(6, 12))
+        if mapq < args.min_mapq or blen < args.min_len:
+            continue
+        regs = [iv for iv in bed[t[0]] if iv[0] < qe and qs < iv[1]]
+        if not regs:
+            continue
+        if 0.0 <= args.max_div < 1.0:
+            n_gaps = n_opens = 0
+            for m in _RE_CG_MID.finditer(cg):
+                if m.group(2) in "ID":
+                    n_gaps += int(m.group(1))
+                    n_opens += 1
+            n_mm = blen - mlen - n_gaps
+            n_diff2 = n_mm + n_opens
+            if n_diff2 / (n_diff2 + mlen) > args.max_div:
+                continue
+        strand = t[4]
+        a = []
+        r = [[-2, -2] for _ in regs]
+        for i, (s0, e0) in enumerate(regs):
+            if strand == "+":
+                a.append([s0, 0, i, -2])
+                a.append([e0 - 1, 1, i, -2])
+            else:
+                a.append([qlen - e0, 0, i, -2])
+                a.append([qlen - s0 - 1, 1, i, -2])
+        a.sort(key=lambda z: z[0])
+        k = 0
+        x = ts
+        y = qs if strand == "+" else qlen - qe
+        for m in _RE_CG_MID.finditer(cg):
+            ln, op = int(m.group(1)), m.group(2)
+            if op == "D":
+                x += ln
+                continue
+            while k < len(a) and a[k][0] < y:
+                k += 1
+            for i in range(k, len(a)):
+                if y <= a[i][0] < y + ln:
+                    a[i][3] = x + (a[i][0] - y) if op == "M" else x
+                else:
+                    break
+            y += ln
+            if op == "M":
+                x += ln
+        if x != te or (strand == "+" and y != qe) \
+                or (strand == "-" and y != qlen - qs):
+            raise SystemExit("CIGAR is inconsistent with mapping coords")
+        for pos, which, i, lifted in a:
+            if which == 0:
+                r[i][0] = lifted
+            else:
+                r[i][1] = lifted + 1
+        for i, (s0, e0) in enumerate(regs):
+            name = f"{t[0]}_{s0}_{e0}"
+            if r[i][0] < 0:
+                name += "_t5"
+                r[i][0] = ts
+            if r[i][1] < 0:
+                name += "_t3"
+                r[i][1] = te
+            out.write(f"{t[5]}\t{r[i][0]}\t{r[i][1]}\t{name}\t0"
+                      f"\t{strand}\n")
+    return 0
+
+
+# --------------------------------------------------------------------- call
+_RE_CS_OP = re.compile(r"([:=*+-])(\d+|[A-Za-z]+)")
+
+
+def call(argv) -> int:
+    """Variant calling from coord-sorted cs PAF (paf_call,
+    paftools.js:340-566).  Text output ('R'/'V' records) or VCF with -f."""
+    ap = argparse.ArgumentParser(prog="paftools call")
+    ap.add_argument("-l", dest="min_cov_len", type=int, default=10000)
+    ap.add_argument("-L", dest="min_var_len", type=int, default=50000)
+    ap.add_argument("-g", dest="gap_thres", type=int, default=50)
+    ap.add_argument("-G", dest="gap_thres_long", type=int, default=1000)
+    ap.add_argument("-q", dest="min_mapq", type=int, default=5)
+    ap.add_argument("-f", dest="fasta", default=None)
+    ap.add_argument("-s", dest="sample", default="sample")
+    ap.add_argument("paf")
+    args = ap.parse_args(argv)
+    out = sys.stdout
+    fa = None
+    if args.fasta:
+        from mm2_gb_tpu.utils.fastx import read_fastx
+        fa = {}
+        fa_lens = []
+        for rec in read_fastx(args.fasta):
+            fa[rec.name] = rec.seq
+            fa_lens.append((rec.name, len(rec.seq)))
+        out.write("##fileformat=VCFv4.1\n")
+        for nm, ln in fa_lens:
+            out.write(f"##contig=<ID={nm},length={ln}>\n")
+        out.write('##INFO=<ID=QNAME,Number=1,Type=String,'
+                  'Description="Query name">\n')
+        out.write('##INFO=<ID=QSTART,Number=1,Type=Integer,'
+                  'Description="Query start">\n')
+        out.write('##INFO=<ID=QSTRAND,Number=1,Type=String,'
+                  'Description="Query strand">\n')
+        out.write('##FORMAT=<ID=GT,Number=1,Type=String,'
+                  'Description="Genotype">\n')
+        out.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO"
+                  f"\tFORMAT\t{args.sample}\n")
+
+    n_sub = [0, 0, 0]
+    n_ins = [0] * 5
+    n_del = [0] * 5
+
+    def emit(o):
+        # o: [ctg, st, en, cov, mapq, ref, alt, qname, qs, qe, strand]
+        if o[3] <= 1 and not (o[5] == "-" and o[6] == "-"):
+            if o[5] == "-":
+                ln = len(o[6])
+                n_ins[0 if ln == 1 else 1 if ln == 2 else
+                      2 if ln < args.gap_thres else
+                      3 if ln < args.gap_thres_long else 4] += 1
+            elif o[6] == "-":
+                ln = len(o[5])
+                n_del[0 if ln == 1 else 1 if ln == 2 else
+                      2 if ln < args.gap_thres else
+                      3 if ln < args.gap_thres_long else 4] += 1
+            else:
+                n_sub[0] += 1
+                pair2 = (o[5] + o[6]).lower()
+                if pair2 in ("ag", "ga", "ct", "tc"):
+                    n_sub[1] += 1
+                else:
+                    n_sub[2] += 1
+        if fa is None:
+            out.write("V\t" + "\t".join(map(str, o)) + "\n")
+            return
+        if o[3] != 1 or (o[5] == "-" and o[6] == "-"):
+            return
+        if o[5] != "-" and o[6] != "-":
+            v = [o[0], o[1] + 1, ".", o[5].upper(), o[6].upper()]
+        elif o[1] > 0:
+            ref = fa[o[0]][o[1] - 1].upper()
+            if o[5] == "-":
+                v = [o[0], o[1], ".", ref, ref + o[6].upper()]
+            else:
+                v = [o[0], o[1], ".", ref + o[5].upper(), ref]
+        else:
+            return
+        v += [o[4], ".", f"QNAME={o[7]};QSTART={o[8] + 1};QSTRAND={o[10]}",
+              "GT", "1/1"]
+        out.write("\t".join(map(str, v)) + "\n")
+
+    a: list = []
+    pend: list = []
+    c1_ctg, c1_start, c1_end, c1_counted, c1_len = None, 0, 0, False, 0
+    for line in _open(args.paf):
+        line = line.rstrip("\n")
+        t = line.split("\t")
+        if len(t) < 12 or t[5] == "*":
+            continue
+        blen, mapq = int(t[10]), int(t[11])
+        if blen < args.min_cov_len or mapq < args.min_mapq:
+            continue
+        qlen, qs_f, qe_f = int(t[1]), int(t[2]), int(t[3])
+        ctg, x, end = t[5], int(t[7]), int(t[8])
+        query, rev = t[0], t[4] == "-"
+        y = qe_f if rev else qs_f
+        cs = tp = None
+        have_s1 = have_s2 = False
+        for fld in t[12:]:
+            if fld.startswith("cs:Z:"):
+                cs = fld[5:]
+            elif fld.startswith("tp:A:"):
+                tp = fld[5:]
+            elif fld.startswith("s1:i:"):
+                have_s1 = True
+            elif fld.startswith("s2:i:"):
+                have_s2 = True
+        if have_s1 and not have_s2:
+            continue
+        if tp in ("S", "i"):
+            continue
+        if ctg != c1_ctg or x >= c1_end:
+            if c1_counted and c1_end > c1_start:
+                c1_len += c1_end - c1_start
+                if fa is None:
+                    out.write(f"R\t{c1_ctg}\t{c1_start}\t{c1_end}\n")
+            c1_ctg, c1_start, c1_end = ctg, x, end
+            c1_counted = blen >= args.min_var_len
+        elif end > c1_end:
+            if c1_counted and x > c1_start:
+                c1_len += x - c1_start
+                if fa is None:
+                    out.write(f"R\t{c1_ctg}\t{c1_start}\t{x}\n")
+            c1_start, c1_end = c1_end, end
+            c1_counted = blen >= args.min_var_len
+        elif end > c1_start:
+            if c1_counted and x > c1_start:
+                c1_len += x - c1_start
+                if fa is None:
+                    out.write(f"R\t{c1_ctg}\t{c1_start}\t{x}\n")
+            c1_start = end
+        while pend:
+            if pend[0][0] != ctg or pend[0][2] <= x:
+                emit(pend.pop(0))
+            else:
+                break
+        for o in pend:
+            if o[1] >= x and o[2] <= end:
+                o[3] += 1
+        a = [z for z in a if z[0] == ctg and z[2] > x]
+        if blen >= args.min_var_len and cs is not None:
+            for m in _RE_CS_OP.finditer(cs):
+                op, val = m.group(1), m.group(2)
+                if op in "*+-":
+                    cov = 1 + sum(1 for z in a if z[2] > x)
+                if op in ":=":
+                    ln = len(val) if op == "=" else int(val)
+                    y = y - ln if rev else y + ln
+                    x += ln
+                elif op == "*":
+                    if rev:
+                        qs, qe = y - 1, y
+                        y -= 1
+                    else:
+                        qs, qe = y, y + 1
+                        y += 1
+                    br, bq = val[0], val[1]
+                    if br != "n" and bq != "n":
+                        pend.append([ctg, x, x + 1, cov, mapq, br, bq,
+                                     query, qs, qe, "-" if rev else "+"])
+                    x += 1
+                elif op == "+":
+                    ln = len(val)
+                    if rev:
+                        qs, qe = y - ln, y
+                        y -= ln
+                    else:
+                        qs, qe = y, y + ln
+                        y += ln
+                    pend.append([ctg, x, x, cov, mapq, "-", val, query,
+                                 qs, qe, "-" if rev else "+"])
+                elif op == "-":
+                    ln = len(val)
+                    pend.append([ctg, x, x + ln, cov, mapq, val, "-",
+                                 query, y, y, "-" if rev else "+"])
+                    x += ln
+        a.append([ctg, int(t[7]), int(t[8])])
+    if c1_counted and c1_end > c1_start:
+        c1_len += c1_end - c1_start
+        if fa is None:
+            out.write(f"R\t{c1_ctg}\t{c1_start}\t{c1_end}\n")
+    while pend:
+        emit(pend.pop(0))
+    w = sys.stderr.write
+    w(f"{c1_len} reference bases covered by exactly one contig\n")
+    if n_sub[2]:
+        tstv = f"{n_sub[1] / n_sub[2]:.3f}"
+    else:  # JS 1/0 -> Infinity, 0/0 -> NaN
+        tstv = "Infinity" if n_sub[1] else "NaN"
+    w(f"{n_sub[0]} substitutions; ts/tv = {tstv}\n")
+    w(f"{n_del[0]} 1bp deletions\n")
+    w(f"{n_ins[0]} 1bp insertions\n")
+    w(f"{n_del[1]} 2bp deletions\n")
+    w(f"{n_ins[1]} 2bp insertions\n")
+    w(f"{n_del[2]} [3,{args.gap_thres}) deletions\n")
+    w(f"{n_ins[2]} [3,{args.gap_thres}) insertions\n")
+    w(f"{n_del[3]} [{args.gap_thres},{args.gap_thres_long}) deletions\n")
+    w(f"{n_ins[3]} [{args.gap_thres},{args.gap_thres_long}) insertions\n")
+    w(f"{n_del[4]} >={args.gap_thres_long} deletions\n")
+    w(f"{n_ins[4]} >={args.gap_thres_long} insertions\n")
+    return 0
+
+
+# --------------------------------------------------------------------- view
+def view(argv) -> int:
+    """BLAST-like / MAF / LASTZ-cigar alignment view (paf_view,
+    paftools.js:1365-1530).  Requires the cs tag (cg for lastz-cigar)."""
+    ap = argparse.ArgumentParser(prog="paftools view")
+    ap.add_argument("-f", dest="fmt", default="aln",
+                    choices=("aln", "lastz-cigar", "maf"))
+    ap.add_argument("-l", dest="line_len", type=int, default=80)
+    ap.add_argument("paf")
+    args = ap.parse_args(argv)
+    line_len = args.line_len or 0x7FFFFFFF
+    out = sys.stdout
+
+    def pad(xv, ln, right):
+        s2 = str(xv)
+        return s2 + " " * (ln - len(s2)) if right \
+            else " " * (ln - len(s2)) + s2
+
+    def update_aln(bufs, elen, op, seq):
+        s_ref, s_qry, s_mid = bufs
+        ln = 1 if op == "*" else len(seq)
+        if op in ":=":
+            s_ref.append(seq)
+            s_qry.append(seq)
+            s_mid.append("|" * ln)
+            elen[0] += ln
+            elen[1] += ln
+        elif op == "*":
+            s_ref.append(seq[0])
+            s_qry.append(seq[1])
+            s_mid.append(" ")
+            elen[0] += 1
+            elen[1] += 1
+        elif op == "+":
+            s_ref.append("-" * ln)
+            s_qry.append(seq)
+            s_mid.append(" " * ln)
+            elen[1] += ln
+        elif op == "-":
+            s_ref.append(seq)
+            s_qry.append("-" * ln)
+            s_mid.append(" " * ln)
+            elen[0] += ln
+
+    def print_aln(rs, qs, strand, slen, elen, bufs):
+        s_ref, s_qry, s_mid = ("".join(b) for b in bufs)
+        out.write(" ".join(["Ref+:", pad(rs + slen[0] + 1, 10, False),
+                            s_ref, pad(rs + elen[0], 10, True)]) + "\n")
+        out.write("                 " + s_mid + "\n")
+        if strand == "+":
+            st2, en2 = qs + slen[1] + 1, qs + elen[1]
+        else:
+            st2, en2 = qs - slen[1], qs - elen[1] + 1
+        out.write(" ".join([f"Qry{strand}:", pad(st2, 10, False),
+                            s_qry, pad(en2, 10, True)]) + "\n")
+
+    if args.fmt == "maf":
+        out.write("##maf version=1\n\n")
+    lineno = 0
+    for line in _open(args.paf):
+        line = line.rstrip("\n")
+        t = line.split("\t", 12)
+        lineno += 1
+        if args.fmt == "lastz-cigar":
+            m = re.search(r"\tcg:Z:(\S+)", line)
+            if m is None:
+                sys.stderr.write(f"WARNING: no cg tag on line {lineno}\n")
+                continue
+            ms = re.search(r"\tAS:i:(\d+)", line)
+            score = ms.group(1) if ms else 0
+            rec = ["cigar:", t[0], t[2], t[3], t[4], t[5], t[7], t[8],
+                   "+", score]
+            for mm_ in _RE_CIGAR.finditer(m.group(1)):
+                rec += [mm_.group(2), mm_.group(1)]
+            out.write(" ".join(map(str, rec)) + "\n")
+            continue
+        m = re.search(r"\tcs:Z:(\S+)", line)
+        if m is None:
+            sys.stderr.write(f"WARNING: no cs tag on line {lineno}\n")
+            continue
+        cs = m.group(1)
+        if args.fmt == "maf":
+            bufs = ([], [], [])
+            elen = [0, 0]
+            for mm_ in _RE_CS_OP.finditer(cs):
+                if mm_.group(1) == ":":
+                    raise SystemExit("MAF conversion needs --cs=long")
+                update_aln(bufs, elen, mm_.group(1), mm_.group(2))
+            ms = re.search(r"\tAS:i:(\d+)", line)
+            score = int(ms.group(1)) if ms else 0
+            ln = max(len(t[0]), len(t[5]))
+            out.write(f"a {score}\n")
+            out.write(" ".join(["s", pad(t[5], ln, True),
+                                pad(t[7], 10, False),
+                                pad(int(t[8]) - int(t[7]), 10, False), "+",
+                                pad(t[6], 10, False),
+                                "".join(bufs[0])]) + "\n")
+            ql = int(t[1])
+            if t[4] == "+":
+                qs2, qe2 = int(t[2]), int(t[3])
+            else:
+                qs2, qe2 = ql - int(t[3]), ql - int(t[2])
+            out.write(" ".join(["s", pad(t[0], ln, True),
+                                pad(qs2, 10, False),
+                                pad(qe2 - qs2, 10, False), t[4],
+                                pad(ql, 10, False),
+                                "".join(bufs[1])]) + "\n\n")
+            continue
+        # BLAST-like
+        n_mm = n_oi = n_od = n_ei = n_ed = 0
+        for mm_ in _RE_CS_OP.finditer(cs):
+            if mm_.group(1) == "*":
+                n_mm += 1
+            elif mm_.group(1) == "+":
+                n_oi += 1
+                n_ei += len(mm_.group(2))
+            elif mm_.group(1) == "-":
+                n_od += 1
+                n_ed += len(mm_.group(2))
+        stripped = re.sub(r"\tc[sg]:Z:\S+", "", line)
+        out.write(f">{stripped}\tmm:i:{n_mm}\toi:i:{n_oi}\tei:i:{n_ei}"
+                  f"\tod:i:{n_od}\ted:i:{n_ed}\n")
+        rs = int(t[7])
+        qs2 = int(t[2]) if t[4] == "+" else int(t[3])
+        bufs = ([], [], [])
+        slen = [0, 0]
+        elen = [0, 0]
+        cur = 0
+        n_blocks = 0
+        for mm_ in _RE_CS_OP.finditer(cs):
+            op, val = mm_.group(1), mm_.group(2)
+            if op == ":":
+                val = "=" * int(val)
+            start, rest = 0, 1 if op == "*" else len(val)
+            while rest > 0:
+                if cur + rest >= line_len:
+                    l_proc = line_len - cur
+                    update_aln(bufs, elen, op,
+                               val if op == "*" else
+                               val[start:start + l_proc])
+                    cur += l_proc if op != "*" else 1
+                    if n_blocks > 0:
+                        out.write("\n")
+                    print_aln(rs, qs2, t[4], slen, elen, bufs)
+                    n_blocks += 1
+                    bufs = ([], [], [])
+                    cur = 0
+                    slen = [elen[0], elen[1]]
+                else:
+                    l_proc = rest
+                    update_aln(bufs, elen, op,
+                               val if op == "*" else
+                               val[start:start + l_proc])
+                    cur += l_proc
+                rest -= l_proc
+                start += l_proc
+        if cur > 0:
+            if n_blocks > 0:
+                out.write("\n")
+            print_aln(rs, qs2, t[4], slen, elen, bufs)
+        out.write("//\n")
+    return 0
+
+
 def main(argv=None) -> int:
     argv = sys.argv[1:] if argv is None else argv
-    if not argv or argv[0] not in ("mapeval", "stat"):
+    cmds = {"mapeval": mapeval, "stat": stat, "sam2paf": sam2paf,
+            "liftover": liftover, "call": call, "view": view}
+    if not argv or argv[0] not in cmds:
         sys.stderr.write(__doc__ + "\n")
         return 1
-    return {"mapeval": mapeval, "stat": stat}[argv[0]](argv[1:])
+    return cmds[argv[0]](argv[1:])
 
 
 if __name__ == "__main__":
