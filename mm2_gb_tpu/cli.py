@@ -44,6 +44,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--rmq", action="store_true")
     p.add_argument("--tpu-chain", action="store_true",
                    help="run chaining on the TPU (analog of --gpu-chain)")
+    p.add_argument("--tpu-align", action="store_true",
+                   help="batch gap-fill extension DP on the TPU")
     p.add_argument("--tpu-cfg", default=None,
                    help="device batch config JSON (analog of --gpu-cfg)")
     p.add_argument("-u", dest="splice_strand", choices=["f", "b", "r", "n"],
@@ -197,6 +199,8 @@ def apply_overrides(args, io: O.IndexOptions, mo: O.MapOptions) -> None:
         mo.flag |= O.MM_F_QSTRAND | O.MM_F_NO_INV
     if args.tpu_chain:
         mo.flag |= O.MM_F_TPU_CHAIN
+    if args.tpu_align:
+        mo.flag |= O.MM_F_TPU_ALIGN
     if args.tpu_cfg:
         mo.tpu_config_file = args.tpu_cfg
         from mm2_gb_tpu.utils.tpucfg import apply_tpu_config, load_tpu_config

@@ -32,11 +32,12 @@ from mm2_gb_tpu.ops.sketch import sketch
 from mm2_gb_tpu.utils import ksort, native
 from mm2_gb_tpu.utils.fastx import SeqRecord, read_batches
 from mm2_gb_tpu.utils.hashkit import read_order_hash
-from mm2_gb_tpu.utils.opts import (MapOptions, MM_F_HEAP_SORT,
+from mm2_gb_tpu.utils.opts import (MapOptions, MM_F_CIGAR, MM_F_HEAP_SORT,
                                    MM_F_NO_HASH_NAME,
                                    MM_F_NO_LJOIN, MM_F_NO_PRINT_2ND,
                                    MM_F_PAF_NO_HIT, MM_F_QSTRAND,
-                                   MM_F_SPLICE, MM_F_SR, MM_I_HPC)
+                                   MM_F_SPLICE, MM_F_SR, MM_F_TPU_ALIGN,
+                                   MM_I_HPC)
 from mm2_gb_tpu.utils.paf import write_paf
 
 INT32_MAX = 2**31 - 1
@@ -128,14 +129,59 @@ def map_batch_tpu(index: MinimizerIndex, opt: MapOptions,
         ax, ay, bounds, max_gap_ref, max_gap_qry, opt.bw,
         opt.max_chain_iter, float(chn_pen_gap), float(chn_pen_skip))
 
-    out = []
+    slices = []
     for i, sr in enumerate(seeded):
         s, e = int(bounds[i]), int(bounds[i + 1])
         fp = f[s:e]
         pp = np.where(p[s:e] >= 0, p[s:e] - s, -1)
-        regs = finish_read(index, opt, sr, fp, pp)
-        out.append((sr, regs))
+        slices.append((sr, fp, pp))
+
+    if _use_device_align(opt):
+        _prefill_device(index, opt, slices)
+    out = []
+    try:
+        for sr, fp, pp in slices:
+            out.append((sr, finish_read(index, opt, sr, fp, pp)))
+    finally:
+        from mm2_gb_tpu.ops import align as align_ops
+        align_ops.set_fill_cache(None)
     return out
+
+
+def _use_device_align(opt: MapOptions) -> bool:
+    return bool(opt.flag & MM_F_TPU_ALIGN) and bool(opt.flag & MM_F_CIGAR) \
+        and not (opt.flag & (MM_F_SPLICE | MM_F_SR)) \
+        and not (opt.q == opt.q2 and opt.e == opt.e2)
+
+
+def _prefill_device(index: MinimizerIndex, opt: MapOptions,
+                    slices: list) -> None:
+    """Speculative gap-fill batching: a collect pass with fake DP records
+    every extd2 gap subproblem of the batch (boundaries are pure functions
+    of the anchors), one Pallas dispatch solves them, the real pass reads
+    the cache (host fallback on any miss).  Analog of mm2-gb's
+    score-on-device / control-flow-on-host split (plchain.cu:292-464)."""
+    from mm2_gb_tpu.ops import align as align_ops
+    from mm2_gb_tpu.ops import ksw2, ksw2_tpu
+
+    align_ops.begin_fill_collect()
+    try:
+        for sr, fp, pp in slices:
+            finish_read(index, opt, sr, fp, pp)
+    finally:
+        fills = align_ops.end_fill_collect()
+    if not fills:
+        return
+    uniq: dict = {}
+    for qseq, tseq, w in fills:
+        uniq.setdefault(align_ops._fill_key(qseq, tseq, w),
+                        (qseq, tseq, w))
+    calls = [ksw2_tpu.FillCall(q, t, w, False)
+             for q, t, w in uniq.values()]
+    mat = ksw2.gen_simple_mat(5, opt.a, opt.b, opt.sc_ambi)
+    ezs = ksw2_tpu.extd2_batch_device(
+        calls, mat, opt.q, opt.e, opt.q2, opt.e2, ksw2.KSW_EZ_APPROX_MAX)
+    align_ops.set_fill_cache(dict(zip(uniq.keys(), ezs)))
 
 
 def map_file_tpu(index: MinimizerIndex, opt: MapOptions,
@@ -148,7 +194,8 @@ def map_file_tpu(index: MinimizerIndex, opt: MapOptions,
                     if (opt.flag & MM_F_NO_PRINT_2ND) and r.id != r.parent:
                         continue
                     yield write_paf(r, sr.rec.name, sr.rec.length, index,
-                                    opt.flag, sr.rep_len, sr.rec.comment)
+                                    opt.flag, sr.rep_len, sr.rec.comment,
+                                    sr.rec.seq)
             elif opt.flag & MM_F_PAF_NO_HIT:
                 yield write_paf(None, sr.rec.name, sr.rec.length, index,
                                 opt.flag, sr.rep_len)

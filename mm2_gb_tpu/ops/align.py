@@ -55,6 +55,46 @@ def _mg_log2(x: float) -> float:
 
 # ------------------------------------------------------------------ ksw glue
 
+# ---- speculative device-fill service -----------------------------------
+# The TPU batch pipeline runs alignment twice per read batch: a collect
+# pass with fake DP results records every gap-fill subproblem (they are
+# pure functions of the anchors -- results only steer cigar/score/Z-drop
+# splits), one Pallas dispatch solves them (ops/ksw2_tpu.py), and the real
+# pass consumes the cache.  The same split as mm2-gb's GPU chaining
+# (scores on device, control flow on host, plchain.cu:292-464).
+_fill_collect: list | None = None
+_fill_cache: dict | None = None
+
+
+def _fill_key(qseq: np.ndarray, tseq: np.ndarray, w: int):
+    return (qseq.tobytes(), tseq.tobytes(), int(w))
+
+
+def begin_fill_collect() -> None:
+    global _fill_collect
+    _fill_collect = []
+
+
+def end_fill_collect() -> list:
+    global _fill_collect
+    out, _fill_collect = _fill_collect, None
+    return out or []
+
+
+def set_fill_cache(cache: dict | None) -> None:
+    global _fill_cache
+    _fill_cache = cache
+
+
+def _fake_ez(qlen: int, tlen: int) -> ksw2.Extz:
+    ez = ksw2.Extz()
+    ez.score = 0
+    ez.max = 0
+    ez.max_q, ez.max_t = qlen - 1, tlen - 1
+    ez.cigar = np.array([min(qlen, tlen) << 4 | 0], np.uint32)
+    return ez
+
+
 def align_pair(opt: MapOptions, qseq: np.ndarray, tseq: np.ndarray,
                junc, mat: np.ndarray, w: int, end_bonus: int, zdrop: int,
                flag: int) -> ksw2.Extz:
@@ -68,6 +108,17 @@ def align_pair(opt: MapOptions, qseq: np.ndarray, tseq: np.ndarray,
         from mm2_gb_tpu.ops.ksw2_splice import exts2
         return exts2(qseq, tseq, mat, opt.q, opt.e, opt.q2, opt.noncan,
                      zdrop, opt.junc_bonus, flag, junc)
+    is_fill = (flag == ksw2.KSW_EZ_APPROX_MAX and junc is None
+               and qlen > 0 and tlen > 0
+               and not (opt.q == opt.q2 and opt.e == opt.e2))
+    if _fill_collect is not None:
+        if is_fill:
+            _fill_collect.append((qseq.copy(), tseq.copy(), int(w)))
+        return _fake_ez(qlen, tlen)
+    if is_fill and _fill_cache is not None:
+        hit = _fill_cache.get(_fill_key(qseq, tseq, w))
+        if hit is not None:
+            return hit
     if opt.q == opt.q2 and opt.e == opt.e2:
         return ksw2.extz2(qseq, tseq, mat, opt.q, opt.e, w, zdrop,
                           end_bonus, flag)
@@ -350,6 +401,8 @@ def _update_max_zdrop(score, i, j, state, e):
 
 
 def test_zdrop(opt: MapOptions, qseq, tseq, cigar, mat) -> int:
+    if _fill_collect is not None:  # collect pass runs on fake cigars
+        return 0
     """0 = pass, 1 = Z-dropped, 2 = potential inversion
     (mm_test_zdrop, align.c:47-89)."""
     mat = np.asarray(mat, np.int64)
@@ -543,7 +596,13 @@ def _update_cigar_eqx(r: Region, qseq, tseq) -> None:
     r.p.cigar[:] = out
 
 
-def _update_extra(r: Region, qseq, tseq, mat, q: int, e: int, is_eqx: bool,
+def _update_extra(r, *a, **k):
+    if _fill_collect is not None:  # collect pass: stats of fake cigars
+        return                     # are never read; skip the consistency
+    return _update_extra_real(r, *a, **k)
+
+
+def _update_extra_real(r: Region, qseq, tseq, mat, q: int, e: int, is_eqx: bool,
                   log_gap: bool) -> None:
     """blen/mlen/n_ambi/dp_max recomputation (mm_update_extra, align.c:240-289)."""
     p = r.p

@@ -77,7 +77,8 @@ def compute_ranges(ax: np.ndarray, read_bounds: np.ndarray,
     grp_change = np.zeros(n, dtype=bool)
     grp_change[0] = True
     grp_change[1:] = hi[1:] != hi[:-1]
-    grp_change[read_bounds[:-1]] = True
+    starts = read_bounds[:-1]
+    grp_change[starts[starts < n]] = True  # anchor-less reads share bounds
     g = np.cumsum(grp_change).astype(np.int64)
     rpos = (ax & np.uint64(0xFFFFFFFF)).astype(np.int64)
     comp = (g << 33) | rpos

@@ -47,6 +47,7 @@ MM_F_QSTRAND = 0x100000000
 MM_F_NO_INV = 0x200000000
 MM_F_NO_HASH_NAME = 0x400000000
 MM_F_TPU_CHAIN = 0x800000000  # analog of MM_F_GPU_CHAIN: chain on the TPU
+MM_F_TPU_ALIGN = 0x1000000000  # gap-fill extension DP on the TPU (ksw2_tpu)
 
 # index flags
 MM_I_HPC = 0x1

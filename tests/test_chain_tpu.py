@@ -199,3 +199,35 @@ print("MULTICHIP_OK")
     r = subprocess.run([sys.executable, "-c", script], env=env,
                        capture_output=True, text=True, timeout=900)
     assert "MULTICHIP_OK" in r.stdout, r.stderr[-2000:]
+
+
+def test_device_align_pipeline_matches_host_e2e():
+    """--tpu-align path: speculative gap-fill batching through the device
+    extd2 kernel produces byte-identical PAF records (cigar included)."""
+    from mm2_gb_tpu.models.index import MinimizerIndex
+    from mm2_gb_tpu.models.mapper import map_frag
+    from mm2_gb_tpu.models.pipeline import map_batch_tpu
+    from mm2_gb_tpu.utils import opts as O
+    from mm2_gb_tpu.utils.fastx import SeqRecord
+    from mm2_gb_tpu.utils.paf import write_paf
+    from mm2_gb_tpu.utils.simulate import random_reference, simulate_readset
+
+    ref = random_reference(60_000, seed=17)
+    reads = simulate_readset(ref, 5, 1_000, 4_000, seed=18)
+    io, mo = O.set_preset(None)
+    mo.max_chain_skip = 2**31 - 1
+    mo.flag |= (O.MM_F_CIGAR | O.MM_F_OUT_CG | O.MM_F_OUT_CS
+                | O.MM_F_TPU_ALIGN)
+    index = MinimizerIndex.from_strings([ref], io, names=["c"])
+    O.mapopt_update(mo, index)
+    recs = [SeqRecord(i, n, s) for i, (n, s) in enumerate(reads)]
+    dev = map_batch_tpu(index, mo, recs)
+    host_flag = mo.flag & ~O.MM_F_TPU_ALIGN
+    mo_host = O.MapOptions(**{**mo.__dict__, "flag": host_flag})
+    for rec, (sr, regs) in zip(recs, dev):
+        host = map_frag(index, mo_host, [rec.seq], rec.name)
+        got = [write_paf(r, rec.name, rec.length, index, mo.flag, sr.rep_len)
+               for r in regs]
+        want = [write_paf(r, rec.name, rec.length, index, mo_host.flag,
+                          host.rep_len) for r in host.regs]
+        assert got == want
