@@ -74,6 +74,7 @@ def make_workload(seed):
         ["-w", "5", "-c"], ["--rmq=yes", "-c"], ["-T", "20", "-c"],
         ["-A", "1", "-B", "9", "-O", "16,41", "-E", "2,1", "-c"],
         ["--for-only", "-c"], ["-g", "1000", "-c"], ["-z", "200", "-c"],
+        ["--tpu-chain", "-c", "--cs"], ["--tpu-chain", "--tpu-align", "-c"],
     ]
     return rng.choice(flag_pool)
 
@@ -85,7 +86,8 @@ def main():
     for it in range(n_iters):
         seed = seed0 + it
         flags = make_workload(seed)
-        ref_flags = ["-t", "1", "--max-chain-skip=2147483647"] + flags
+        ref_flags = ["-t", "1", "--max-chain-skip=2147483647"] + [
+            f for f in flags if not f.startswith("--tpu")]
         our_flags = ["--max-chain-skip=2147483647"] + [
             f if f != "--rmq=yes" else "--rmq" for f in flags]
         g = subprocess.run([REF] + ref_flags + ["/tmp/fz_ref.fa", "/tmp/fz_q.fa"],
