@@ -161,9 +161,12 @@ def _prefill_device(index: MinimizerIndex, opt: MapOptions,
     of the anchors), one Pallas dispatch solves them, the real pass reads
     the cache (host fallback on any miss).  Analog of mm2-gb's
     score-on-device / control-flow-on-host split (plchain.cu:292-464)."""
+    import os
+
     from mm2_gb_tpu.ops import align as align_ops
     from mm2_gb_tpu.ops import ksw2, ksw2_tpu
 
+    align_ops.collect_ext = os.environ.get("MM2TPU_DEVICE_EXT", "") == "1"
     align_ops.begin_fill_collect()
     try:
         for sr, fp, pp in slices:
@@ -172,16 +175,25 @@ def _prefill_device(index: MinimizerIndex, opt: MapOptions,
         fills = align_ops.end_fill_collect()
     if not fills:
         return
-    uniq: dict = {}
-    for qseq, tseq, w in fills:
-        uniq.setdefault(align_ops._fill_key(qseq, tseq, w),
-                        (qseq, tseq, w))
-    calls = [ksw2_tpu.FillCall(q, t, w, False)
-             for q, t, w in uniq.values()]
     mat = ksw2.gen_simple_mat(5, opt.a, opt.b, opt.sc_ambi)
-    ezs = ksw2_tpu.extd2_batch_device(
-        calls, mat, opt.q, opt.e, opt.q2, opt.e2, ksw2.KSW_EZ_APPROX_MAX)
-    align_ops.set_fill_cache(dict(zip(uniq.keys(), ezs)))
+    cache: dict = {}
+    groups: dict = {}
+    for kind, qseq, tseq, w, flag, zdrop, end_bonus in fills:
+        key = align_ops._fill_key(qseq, tseq, w, flag, zdrop, end_bonus)
+        groups.setdefault((kind, flag, end_bonus), {}).setdefault(
+            key, (qseq, tseq, w, zdrop))
+    for (kind, flag, end_bonus), uniq in groups.items():
+        right = bool(flag & ksw2.KSW_EZ_RIGHT)
+        calls = [ksw2_tpu.FillCall(q, t, w, right, zd)
+                 for q, t, w, zd in uniq.values()]
+        if kind == "fill":
+            ezs = ksw2_tpu.extd2_batch_device(
+                calls, mat, opt.q, opt.e, opt.q2, opt.e2, flag)
+        else:
+            ezs = ksw2_tpu.ext_batch_device(
+                calls, mat, opt.q, opt.e, opt.q2, opt.e2, flag, end_bonus)
+        cache.update(zip(uniq.keys(), ezs))
+    align_ops.set_fill_cache(cache)
 
 
 def map_file_tpu(index: MinimizerIndex, opt: MapOptions,

@@ -64,10 +64,16 @@ def _mg_log2(x: float) -> float:
 # (scores on device, control flow on host, plchain.cu:292-464).
 _fill_collect: list | None = None
 _fill_cache: dict | None = None
+# device extensions are profitable only on wide device links: the
+# EXTZ_ONLY problems are small and numerous, so dispatch latency dominates
+# on tunneled hosts.  Off by default; the pipeline enables it per config.
+collect_ext = False
 
 
-def _fill_key(qseq: np.ndarray, tseq: np.ndarray, w: int):
-    return (qseq.tobytes(), tseq.tobytes(), int(w))
+def _fill_key(qseq: np.ndarray, tseq: np.ndarray, w: int, flag: int,
+              zdrop: int, end_bonus: int):
+    return (qseq.tobytes(), tseq.tobytes(), int(w), int(flag), int(zdrop),
+            int(end_bonus))
 
 
 def begin_fill_collect() -> None:
@@ -108,15 +114,24 @@ def align_pair(opt: MapOptions, qseq: np.ndarray, tseq: np.ndarray,
         from mm2_gb_tpu.ops.ksw2_splice import exts2
         return exts2(qseq, tseq, mat, opt.q, opt.e, opt.q2, opt.noncan,
                      zdrop, opt.junc_bonus, flag, junc)
-    is_fill = (flag == ksw2.KSW_EZ_APPROX_MAX and junc is None
-               and qlen > 0 and tlen > 0
-               and not (opt.q == opt.q2 and opt.e == opt.e2))
+    _EXT_FLAGS = (ksw2.KSW_EZ_EXTZ_ONLY,
+                  ksw2.KSW_EZ_EXTZ_ONLY | ksw2.KSW_EZ_RIGHT
+                  | ksw2.KSW_EZ_REV_CIGAR)
+    dev_kind = None
+    if junc is None and qlen > 0 and tlen > 0 \
+            and not (opt.q == opt.q2 and opt.e == opt.e2):
+        if flag == ksw2.KSW_EZ_APPROX_MAX:
+            dev_kind = "fill"
+        elif flag in _EXT_FLAGS and (collect_ext or _fill_cache is not None):
+            dev_kind = "ext"
     if _fill_collect is not None:
-        if is_fill:
-            _fill_collect.append((qseq.copy(), tseq.copy(), int(w)))
+        if dev_kind is not None:
+            _fill_collect.append((dev_kind, qseq.copy(), tseq.copy(),
+                                  int(w), flag, int(zdrop), int(end_bonus)))
         return _fake_ez(qlen, tlen)
-    if is_fill and _fill_cache is not None:
-        hit = _fill_cache.get(_fill_key(qseq, tseq, w))
+    if dev_kind is not None and _fill_cache is not None:
+        hit = _fill_cache.get(_fill_key(qseq, tseq, w, flag, zdrop,
+                                        end_bonus))
         if hit is not None:
             return hit
     if opt.q == opt.q2 and opt.e == opt.e2:

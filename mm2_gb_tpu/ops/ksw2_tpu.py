@@ -50,6 +50,7 @@ except Exception:  # pragma: no cover
 
 ROWS_PER_STEP = 32
 PAIRS_PER_GROUP = 8
+KSW_NEG_INF_I32 = -0x40000000
 SIZE_CLASSES = (512, 1024, 2048, 4096)
 SCORE_LANES = 128
 
@@ -57,11 +58,12 @@ SCORE_LANES = 128
 # --------------------------------------------------------------------- plan
 @dataclass
 class FillCall:
-    """One gap-fill alignment request (qseq, tseq uint8 codes 0..4)."""
+    """One alignment request (qseq, tseq uint8 codes 0..4)."""
     qseq: np.ndarray
     tseq: np.ndarray
     w: int
     right: bool
+    zdrop: int = -1
 
 
 @dataclass
@@ -102,7 +104,8 @@ def plan_fill_batch(calls: list[FillCall], nb: int) -> FillPlan:
     rb = r_pad // ROWS_PER_STEP
     G = (len(calls) + P - 1) // P
     plan = FillPlan(nb=nb, r_pad=r_pad, n_groups=G, calls=calls)
-    meta = np.zeros((G, 4, P), np.int32)
+    meta = np.zeros((G, 8, P), np.int32)
+    meta[:, 4, :] = -1
     qbytes = np.zeros((G, rb, P, ROWS_PER_STEP), np.int32)
     tarr = np.zeros((G, P, nb), np.uint8)
     dropped = np.zeros(len(calls), bool)
@@ -114,7 +117,8 @@ def plan_fill_batch(calls: list[FillCall], nb: int) -> FillPlan:
         dropped[bi] = drop
         if drop:          # caller falls back to the host kernel
             continue
-        meta[g, :, pp] = (qlen, tlen, w, r_true)
+        meta[g, :4, pp] = (qlen, tlen, w, r_true)
+        meta[g, 4, pp] = c.zdrop
         qb = np.zeros(r_pad, np.int32)
         qb[:qlen] = c.qseq
         qbytes[g, :, pp, :] = qb.reshape(rb, ROWS_PER_STEP)
@@ -129,10 +133,10 @@ def plan_fill_batch(calls: list[FillCall], nb: int) -> FillPlan:
 # ------------------------------------------------------------------- kernel
 def _extd2_kernel(meta_ref, qb_ref, tseq_ref, p_ref, score_ref,
                   u_ref, v_ref, x_ref, y_ref, x2_ref, y2_ref,
-                  s_ref, stq_ref, d_ref, acc_ref, *,
+                  s_ref, stq_ref, d_ref, acc_ref, h_ref, *,
                   nb: int, q: int, e: int, q2: int, e2: int,
                   mat0: int, mat1: int, sc_n: int, right: bool,
-                  long_thres: int, long_diff: int):
+                  long_thres: int, long_diff: int, track_h: bool):
     rb = pl.program_id(1)
     P = PAIRS_PER_GROUP
     qe_c = q + e
@@ -143,6 +147,7 @@ def _extd2_kernel(meta_ref, qb_ref, tseq_ref, p_ref, score_ref,
     tlen = meta_ref[0, 1, :].reshape(P, 1)
     w = meta_ref[0, 2, :].reshape(P, 1)
     n_rows = meta_ref[0, 3, :].reshape(P, 1)
+    zdrop = meta_ref[0, 4, :].reshape(P, 1)
 
     @pl.when(rb == 0)
     def _init():
@@ -154,7 +159,17 @@ def _extd2_kernel(meta_ref, qb_ref, tseq_ref, p_ref, score_ref,
         y2_ref[...] = jnp.full((P, nb), -q2e2, jnp.int32)
         s_ref[...] = jnp.zeros((P, nb), jnp.int32)
         stq_ref[...] = jnp.zeros((P, nb), jnp.int32)
-        acc_ref[...] = jnp.zeros((P, SCORE_LANES), jnp.int32)
+        acc = jnp.zeros((P, SCORE_LANES), jnp.int32)
+        if track_h:
+            # [2]=score [3]=max [4]=max_t [5]=max_q [6]=mqe [7]=mqe_t
+            # [8]=mte [9]=mte_q [10]=dropped (Extz init, ksw2.h:30-39)
+            cidx = jax.lax.broadcasted_iota(jnp.int32, (P, SCORE_LANES), 1)
+            acc = jnp.where((cidx == 2) | (cidx == 6) | (cidx == 8),
+                            KSW_NEG_INF_I32, acc)
+            acc = jnp.where((cidx == 4) | (cidx == 5) | (cidx == 7)
+                            | (cidx == 9), -1, acc)
+            h_ref[...] = jnp.full((P, nb), KSW_NEG_INF_I32, jnp.int32)
+        acc_ref[...] = acc
 
     def _window(r):
         st0 = jnp.maximum(jnp.maximum(0, r - qlen + 1), (r - w + 1) >> 1)
@@ -268,6 +283,73 @@ def _extd2_kernel(meta_ref, qb_ref, tseq_ref, p_ref, score_ref,
         y2_ref[...] = jnp.where(mb, y2_new, y2)
         d_ref[i * P:(i + 1) * P, :] = jnp.where(mb, d, 0).astype(jnp.int8)
 
+        if track_h:
+            # full H tracking (oracle extd2 non-approx branch):
+            # H[en0] from the previous row's corner, H[st0:en0] += v,
+            # then the kernels' 4-lane blocked row argmax + Z-drop
+            def msum(arr, cond):
+                return jnp.sum(jnp.where(cond, arr, 0), axis=1,
+                               keepdims=True)
+            H = h_ref[...]
+            h_en0 = jnp.where(
+                en0 > 0,
+                msum(H, lane == en0 - 1) + msum(u, lane == en0),
+                msum(H, lane == en0) + msum(v, lane == en0))
+            body = (lane >= st0) & (lane < en0)
+            Hn = jnp.where(lane == en0, h_en0,
+                           jnp.where(body, H + v, H))
+            Hn = jnp.where(r == 0,
+                           jnp.where(lane == 0, v - qe_c, H), Hn)
+            H = jnp.where(act, Hn, H)
+            h_ref[...] = H
+            # row max with C tie-break ranks: en0 first, body lanes by
+            # ((t-st0)%4, (t-st0)//4), tail by position (_row_max)
+            en1 = st0 + (en0 - st0) // 4 * 4
+            win = (lane >= st0) & (lane <= en0)
+            dt = lane - st0
+            rank = jnp.where(lane == en0, 0,
+                             jnp.where(lane < en1,
+                                       1 + (dt & 3) * nb + (dt >> 2),
+                                       8 * nb + (lane - en1)))
+            m = jnp.max(jnp.where(win, H, KSW_NEG_INF_I32), axis=1,
+                        keepdims=True)
+            is_m = win & (H == m)
+            r_star = jnp.min(jnp.where(is_m, rank, 0x7FFFFFFF), axis=1,
+                             keepdims=True)
+            row_t = msum(lane, is_m & (rank == r_star))
+            row_t = jnp.where(r == 0, 0, row_t)
+            m = jnp.where(r == 0, msum(H, lane == 0), m)
+            alive = act & (acc_ref[:, 10:11] == 0)
+            # mte / mqe (updated u/v row ends)
+            mte, mte_q = acc_ref[:, 8:9], acc_ref[:, 9:10]
+            h_at_en0 = msum(H, lane == en0)
+            upd = alive & (en0 == tlen - 1) & (h_at_en0 > mte)
+            acc_ref[:, 8:9] = jnp.where(upd, h_at_en0, mte)
+            acc_ref[:, 9:10] = jnp.where(upd, r - en, mte_q)
+            mqe, mqe_t = acc_ref[:, 6:7], acc_ref[:, 7:8]
+            h_at_st0 = msum(H, lane == st0)
+            upd = alive & (r - st0 == qlen - 1) & (h_at_st0 > mqe)
+            acc_ref[:, 6:7] = jnp.where(upd, h_at_st0, mqe)
+            acc_ref[:, 7:8] = jnp.where(upd, st0, mqe_t)
+            # _apply_zdrop (ksw2.h:167-183, is_rot), e2 as the gap ext
+            mx, mx_t, mx_q = (acc_ref[:, 3:4], acc_ref[:, 4:5],
+                              acc_ref[:, 5:6])
+            row_q = r - row_t
+            better = alive & (m > mx)
+            acc_ref[:, 3:4] = jnp.where(better, m, mx)
+            acc_ref[:, 4:5] = jnp.where(better, row_t, mx_t)
+            acc_ref[:, 5:6] = jnp.where(better, row_q, mx_q)
+            tl_ = row_t - mx_t
+            ql_ = row_q - mx_q
+            l_ = jnp.abs(tl_ - ql_)
+            drop = alive & ~better & (row_t >= mx_t) & (row_q >= mx_q) \
+                & (zdrop >= 0) & (mx - m > zdrop + l_ * e2)
+            acc_ref[:, 10:11] = jnp.where(drop, 1, acc_ref[:, 10:11])
+            fin = alive & ~drop & (r == n_rows - 1) & (en0 == tlen - 1)
+            acc_ref[:, 2:3] = jnp.where(
+                fin, msum(H, lane == tlen - 1), acc_ref[:, 2:3])
+            continue
+
         # approx-max H0 walk (oracle extd2 approx branch), vectorized
         # over the 8 pairs: one masked-sum per operand
         lt = acc_ref[:, 1:2]
@@ -291,19 +373,23 @@ def _extd2_kernel(meta_ref, qb_ref, tseq_ref, p_ref, score_ref,
                                     acc_ref[:, 2:3])
 
     p_ref[0, 0, :, :] = d_ref[...]
-    score_ref[0, :, :] = jnp.broadcast_to(acc_ref[:, 2:3], (P, SCORE_LANES))
+    score_ref[0, :, :] = acc_ref[...]
 
 
 @functools.partial(jax.jit, static_argnames=(
     "nb", "r_pad", "q", "e", "q2", "e2", "mat0", "mat1", "sc_n", "right",
-    "long_thres", "long_diff", "interpret")) if _HAS_JAX else lambda f: f
+    "long_thres", "long_diff", "track_h",
+    "interpret")) if _HAS_JAX else lambda f: f
 def extd2_fwd_tpu(meta, qbytes, tseq, *, nb, r_pad, q, e, q2, e2, mat0, mat1,
-                  sc_n, right, long_thres, long_diff, interpret=False):
+                  sc_n, right, long_thres, long_diff, track_h=False,
+                  interpret=False):
     """Batched forward DP; returns (p, score).
 
     p: (G, R_pad//32, 32*8, NB) int8 direction rows: row block i holds the
        8 pairs' rows interleaved as [i*8 + pair].
-    score: (G, 8, SCORE_LANES) int32, lane 0 = ez.score (H0, final row).
+    score: (G, 8, SCORE_LANES) int32.  Fill mode: lane 2 = ez.score.
+    track_h mode: lanes [2..10] = score, max, max_t, max_q, mqe, mqe_t,
+    mte, mte_q, dropped.
     """
     G = meta.shape[0]
     P = PAIRS_PER_GROUP
@@ -311,12 +397,12 @@ def extd2_fwd_tpu(meta, qbytes, tseq, *, nb, r_pad, q, e, q2, e2, mat0, mat1,
     kern = functools.partial(
         _extd2_kernel, nb=nb, q=q, e=e, q2=q2, e2=e2,
         mat0=mat0, mat1=mat1, sc_n=sc_n, right=right,
-        long_thres=long_thres, long_diff=long_diff)
+        long_thres=long_thres, long_diff=long_diff, track_h=track_h)
     return pl.pallas_call(
         kern,
         grid=(G, rb),
         in_specs=[
-            pl.BlockSpec((1, 4, P), lambda g, r: (g, 0, 0)),
+            pl.BlockSpec((1, 8, P), lambda g, r: (g, 0, 0)),
             pl.BlockSpec((1, 1, P, ROWS_PER_STEP), lambda g, r: (g, r, 0, 0)),
             pl.BlockSpec((1, P, nb), lambda g, r: (g, 0, 0)),
         ],
@@ -339,7 +425,8 @@ def extd2_fwd_tpu(meta, qbytes, tseq, *, nb, r_pad, q, e, q2, e2, mat0, mat1,
             pltpu.VMEM((P, nb), jnp.int32),   # s
             pltpu.VMEM((P, nb), jnp.int32),   # stq
             pltpu.VMEM((ROWS_PER_STEP * P, nb), jnp.int8),   # d rows
-            pltpu.VMEM((P, SCORE_LANES), jnp.int32),         # H0/lt/score
+            pltpu.VMEM((P, SCORE_LANES), jnp.int32),         # acc
+            pltpu.VMEM((P, nb), jnp.int32),                  # H (track_h)
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
@@ -417,7 +504,7 @@ def extd2_batch_device(calls: list[FillCall], mat: np.ndarray, q: int, e: int,
             mat0=mat0, mat1=mat1, sc_n=sc_n, right=right,
             long_thres=long_thres, long_diff=long_diff,
             interpret=interpret)
-        score_host = np.asarray(jax.device_get(score_dev))[:, :, 0]
+        score_host = np.asarray(jax.device_get(score_dev))[:, :, 2]
         rev = bool(flag & ksw2.KSW_EZ_REV_CIGAR)
         if backtrack == "device":
             # only unit-op streams cross the link
@@ -451,7 +538,7 @@ def extd2_batch_device(calls: list[FillCall], mat: np.ndarray, q: int, e: int,
 # ------------------------------------------------------- device backtrack
 @functools.partial(jax.jit, static_argnames=(
     "nb", "r_pad", "kmax")) if _HAS_JAX else lambda f: f
-def backtrack_device(p, meta, *, nb, r_pad, kmax):
+def backtrack_device(p, meta, starts=None, *, nb, r_pad, kmax):
     """Vectorized ksw_backtrack on the device (ksw2.h:126-158, is_rot).
 
     Walks all pairs' direction matrices in lockstep without ever moving
@@ -510,8 +597,12 @@ def backtrack_device(p, meta, *, nb, r_pad, kmax):
         state = jnp.where(alive & both, s1, state)
         return i, j, state, ops
 
-    i0 = tlen - 1
-    j0 = qlen - 1
+    if starts is None:
+        i0 = tlen - 1
+        j0 = qlen - 1
+    else:
+        i0 = starts[:, 0]
+        j0 = starts[:, 1]
     ops0 = jnp.full((N, kmax), 255, jnp.uint8)
     st0 = jnp.zeros(N, jnp.int32)
     _, _, _, ops = jax.lax.fori_loop(0, kmax, step, (i0, j0, st0, ops0))
@@ -528,3 +619,92 @@ def _rle_cigar(op_row: np.ndarray, rev_cigar: bool) -> np.ndarray:
     ends = np.concatenate((brk + 1, [ops.size]))
     runs = ((ends - starts).astype(np.uint32) << 4) | ops[starts]
     return runs if rev_cigar else runs[::-1].copy()
+
+
+def ext_batch_device(calls: list[FillCall], mat: np.ndarray, q: int, e: int,
+                     q2: int, e2: int, flag: int, end_bonus: int,
+                     interpret: bool = False) -> list[ksw2.Extz]:
+    """Left/right extension DP (KSW_EZ_EXTZ_ONLY) on the device with full
+    H tracking and Z-drop (ksw2_extd2_sse.c non-approx path).  Per-call
+    zdrop comes from FillCall.zdrop; KSW_EZ_RIGHT selects the kernel
+    variant; KSW_EZ_REV_CIGAR only affects the host RLE direction."""
+    assert flag & ksw2.KSW_EZ_EXTZ_ONLY
+    assert not (flag & (ksw2.KSW_EZ_APPROX_MAX | ksw2.KSW_EZ_SCORE_ONLY))
+    mat = np.asarray(mat, np.int8)
+    m = 5
+    mat0, mat1 = int(mat[0]), int(mat[1])
+    qq, ee, qq2, ee2 = (q, e, q2, e2) if q + e <= q2 + e2 else (q2, e2, q, e)
+    sc_n = -ee2 if int(mat[m * m - 1]) == 0 else int(mat[m * m - 1])
+    right = bool(flag & ksw2.KSW_EZ_RIGHT)
+    rev = bool(flag & ksw2.KSW_EZ_REV_CIGAR)
+    long_thres = (qq2 - qq) // (ee - ee2) - 1 if ee != ee2 else 0
+    if qq2 + ee2 + long_thres * ee2 > qq + ee + long_thres * ee:
+        long_thres += 1
+    long_diff = long_thres * (ee - ee2) - (qq2 - qq) - ee2
+
+    out: list[ksw2.Extz | None] = [None] * len(calls)
+
+    def host(c):
+        return ksw2.extd2(c.qseq, c.tseq, mat, q, e, q2, e2, c.w,
+                          c.zdrop, end_bonus, flag)
+
+    by_class: dict[int, list[int]] = {}
+    for idx, c in enumerate(calls):
+        mx = max(len(c.qseq), len(c.tseq))
+        cls = next((sz for sz in SIZE_CLASSES if mx <= sz), None)
+        if cls is None or len(c.qseq) == 0 or len(c.tseq) == 0 \
+                or -int(mat.min()) > 2 * (qq + ee):
+            out[idx] = host(calls[idx])
+        else:
+            by_class.setdefault(cls, []).append(idx)
+
+    P = PAIRS_PER_GROUP
+    for cls, idxs in sorted(by_class.items()):
+        batch = [calls[i] for i in idxs]
+        plan = plan_fill_batch(batch, cls)
+        p_dev, acc_dev = extd2_fwd_tpu(
+            jnp.asarray(plan.meta), jnp.asarray(plan.qbytes),
+            jnp.asarray(plan.tseq),
+            nb=cls, r_pad=plan.r_pad, q=qq, e=ee, q2=qq2, e2=ee2,
+            mat0=mat0, mat1=mat1, sc_n=sc_n, right=right,
+            long_thres=long_thres, long_diff=long_diff, track_h=True,
+            interpret=interpret)
+        acc = np.asarray(jax.device_get(acc_dev))   # (G, P, 128)
+        # decide per-pair backtrack starts on the host (ksw2 epilogue)
+        starts = np.full((plan.n_groups * P, 2), -1, np.int32)
+        info = []
+        for bi, idx in enumerate(idxs):
+            c = calls[idx]
+            if plan.dropped[bi]:
+                info.append(None)
+                continue
+            g, pp = divmod(bi, P)
+            a = acc[g, pp]
+            ez = ksw2.Extz()
+            ez.score = int(a[2]) if not a[10] else ksw2.KSW_NEG_INF
+            ez.max, ez.max_t, ez.max_q = int(a[3]), int(a[4]), int(a[5])
+            ez.mqe, ez.mqe_t = int(a[6]), int(a[7])
+            ez.mte, ez.mte_q = int(a[8]), int(a[9])
+            ez.zdropped = bool(a[10])
+            if not ez.zdropped and ez.mqe + end_bonus > ez.max:
+                ez.reach_end = True
+                starts[bi] = (ez.mqe_t, len(c.qseq) - 1)
+            elif ez.max_t >= 0 and ez.max_q >= 0:
+                starts[bi] = (ez.max_t, ez.max_q)
+            info.append(ez)
+        ops_dev = backtrack_device(p_dev, jnp.asarray(plan.meta),
+                                   jnp.asarray(starts.reshape(
+                                       plan.n_groups * P, 2)),
+                                   nb=cls, r_pad=plan.r_pad,
+                                   kmax=plan.r_pad + 32)
+        ops_host = np.asarray(jax.device_get(ops_dev))
+        for bi, idx in enumerate(idxs):
+            c = calls[idx]
+            ez = info[bi]
+            if ez is None:
+                out[idx] = host(c)
+                continue
+            if starts[bi][0] >= 0:
+                ez.cigar = _rle_cigar(ops_host[bi], rev)
+            out[idx] = ez
+    return out  # type: ignore[return-value]

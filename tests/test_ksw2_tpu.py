@@ -103,3 +103,62 @@ def test_device_extd2_host_backtrack_mode():
     want = ksw2.extd2(q, t, MAT, 4, 2, 24, 1, 751, -1, 0, APPROX)
     assert got[0].score == want.score
     assert np.array_equal(got[0].cigar, want.cigar)
+
+
+# ---------------------------------------------- extension (EXTZ_ONLY) mode
+from mm2_gb_tpu.ops.ksw2_tpu import ext_batch_device
+
+EXTO = ksw2.KSW_EZ_EXTZ_ONLY
+REVC = ksw2.KSW_EZ_REV_CIGAR
+
+
+def _check_ext(calls, flag, end_bonus=-1, q=4, e=2, q2=24, e2=1):
+    got = ext_batch_device(calls, MAT, q, e, q2, e2, flag, end_bonus,
+                           interpret=True)
+    for c, g in zip(calls, got):
+        want = ksw2.extd2(c.qseq, c.tseq, MAT, q, e, q2, e2, c.w,
+                          c.zdrop, end_bonus, flag)
+        assert (g.score, g.max, g.max_t, g.max_q, g.mqe, g.mqe_t,
+                g.zdropped, g.reach_end) == \
+               (want.score, want.max, want.max_t, want.max_q, want.mqe,
+                want.mqe_t, want.zdropped, want.reach_end), \
+            (len(c.qseq), len(c.tseq), c.w, c.zdrop)
+        assert np.array_equal(g.cigar, want.cigar), \
+            (len(c.qseq), len(c.tseq), c.w, c.zdrop)
+
+
+@pytest.mark.parametrize("qlen,tlen", [(80, 90), (300, 280), (511, 700)])
+def test_device_extension_matches_oracle(qlen, tlen):
+    rng = np.random.default_rng(qlen)
+    q, t = _rand_pair(rng, qlen, tlen)
+    _check_ext([FillCall(q, t, 500, False, 400)], EXTO)
+
+
+def test_device_extension_right_rev():
+    # the left-extension configuration (align.c:700-711)
+    rng = np.random.default_rng(41)
+    q, t = _rand_pair(rng, 250, 260)
+    _check_ext([FillCall(q[::-1].copy(), t[::-1].copy(), 500, True, 400)],
+               EXTO | ksw2.KSW_EZ_RIGHT | REVC)
+
+
+def test_device_extension_zdrop_triggers():
+    # matched head then unrelated tail: the DP must Z-drop mid-matrix
+    rng = np.random.default_rng(43)
+    base = rng.integers(0, 4, 1200).astype(np.uint8)
+    q = base[:1000].copy()
+    t = base[:1200].copy()
+    q[500:] = rng.integers(0, 4, 500).astype(np.uint8)  # diverge tail
+    calls = [FillCall(q, t, 500, False, 100)]
+    want = ksw2.extd2(q, t, MAT, 4, 2, 24, 1, 500, 100, -1, EXTO)
+    assert want.zdropped    # the case must actually trigger
+    _check_ext(calls, EXTO)
+
+
+def test_device_extension_reach_end():
+    # near-identical pair with end bonus: extension reaches the query end
+    rng = np.random.default_rng(47)
+    q, t = _rand_pair(rng, 200, 210, div=0.02)
+    want = ksw2.extd2(q, t, MAT, 4, 2, 24, 1, 500, 400, 10, EXTO)
+    assert want.reach_end
+    _check_ext([FillCall(q, t, 500, False, 400)], EXTO, end_bonus=10)
