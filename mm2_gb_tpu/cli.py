@@ -85,6 +85,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--for-only", action="store_true")
     p.add_argument("--qstrand", action="store_true")
     p.add_argument("--rev-only", action="store_true")
+    p.add_argument("--print-seeds", action="store_true")
+    p.add_argument("--print-chains", action="store_true")
     return p
 
 
@@ -197,6 +199,12 @@ def apply_overrides(args, io: O.IndexOptions, mo: O.MapOptions) -> None:
         mo.flag |= O.MM_F_REV_ONLY
     if args.qstrand:  # main.c:242
         mo.flag |= O.MM_F_QSTRAND | O.MM_F_NO_INV
+    if args.print_seeds:  # --print-seeds implies chain dumps (main.c:209)
+        mo.dbg_print_seed = True
+    if args.print_chains:  # main.c:245
+        mo.dbg_print_chain = True
+    if mo.dbg_print_seed or mo.dbg_print_chain:
+        args.threads = 1   # keep dumps read-ordered (main.c:209)
     if args.tpu_chain:
         mo.flag |= O.MM_F_TPU_CHAIN
     if args.tpu_align:
@@ -278,11 +286,6 @@ def _run(args, argv, io, mo) -> int:
                 st["total_occurrences"]))
 
     out = sys.stdout
-    if mo.flag & O.MM_F_TPU_CHAIN:
-        from mm2_gb_tpu.models.pipeline import map_file_tpu
-        for line in map_file_tpu(index, mo, args.query):
-            out.write(line + "\n")
-        return 0
     is_sam = bool(mo.flag & O.MM_F_OUT_SAM)
     rg_id = None
     if is_sam:
@@ -295,6 +298,12 @@ def _run(args, argv, io, mo) -> int:
         out.write(write_sam_header(index, args.rg, __version__,
                                    (argv if argv is not None
                                     else sys.argv[1:])) + "\n")
+    if mo.flag & O.MM_F_TPU_CHAIN:
+        from mm2_gb_tpu.models.pipeline import map_file_tpu_records
+        for sr, regs in map_file_tpu_records(index, mo, args.query):
+            res_regs_out(out, index, mo, sr.rec, regs, sr.rep_len,
+                         is_sam, rg_id, 0, 1, [regs])
+        return 0
     from mm2_gb_tpu.models.stream import Metrics, map_file_stream
     metrics = Metrics()
     map_file_stream(index, mo, args.query, out, args.threads, rg_id, metrics)

@@ -122,6 +122,43 @@ def chain_anchors(index: MinimizerIndex, opt: MapOptions, qlen_sum: int,
     return u, cx, cy
 
 
+def _dbg_anchor_line(index, ax, ay, i, gap_ref_i):
+    x = int(ax[i])
+    y = int(ay[i])
+    rid = (x << 1 & 0xFFFFFFFFFFFFFFFF) >> 33
+    x32 = int(np.int32(np.uint32(x & 0xFFFFFFFF)))
+    y32 = int(np.int32(np.uint32(y & 0xFFFFFFFF)))
+    span = (y >> 32) & 0xFF
+    strand = "+-"[x >> 63]
+    if gap_ref_i < 0:
+        gap = 0
+    else:
+        xp, yp = int(ax[gap_ref_i]), int(ay[gap_ref_i])
+        gap = (y32 - int(np.int32(np.uint32(yp & 0xFFFFFFFF)))) \
+            - (x32 - int(np.int32(np.uint32(xp & 0xFFFFFFFF))))
+    return (index.names[rid] + "\t" + str(x32) + "\t" + strand + "\t"
+            + str(y32) + "\t" + str(span) + "\t" + str(gap))
+
+
+def _dbg_seed_dump(index, ax, ay, rep_len):
+    """RS/SD anchor dump, byte-identical to --print-seeds (map.c:383-388)."""
+    import sys
+    w = sys.stderr.write
+    w("RS\t" + str(rep_len) + "\n")
+    for i in range(ax.shape[0]):
+        w("SD\t" + _dbg_anchor_line(index, ax, ay, i, i - 1) + "\n")
+
+
+def _dbg_chain_dump(index, regs, ax, ay):
+    """CN per-chain anchor dump (map.c:600-604)."""
+    import sys
+    w = sys.stderr.write
+    for j, r in enumerate(regs):
+        for i in range(r.as_, r.as_ + r.cnt):
+            w("CN\t" + str(j) + "\t" + _dbg_anchor_line(
+                index, ax, ay, i, -1 if i == r.as_ else i - 1) + "\n")
+
+
 def map_frag(index: MinimizerIndex, opt: MapOptions, seqs: list[str],
              qname: str | None = None) -> MapResult:
     """Map one read (or multi-segment fragment); returns candidate regions.
@@ -149,6 +186,8 @@ def map_frag(index: MinimizerIndex, opt: MapOptions, seqs: list[str],
                seed_ops.collect_seed_hits)
     ax, ay, rep_len, mini_pos = collect(
         index, opt, opt.mid_occ, mv, qlen_sum, qname)
+    if opt.dbg_print_seed:
+        _dbg_seed_dump(index, ax, ay, rep_len)
 
     u, cx, cy = chain_anchors(index, opt, qlen_sum, n_segs, ax, ay)
 
@@ -185,6 +224,8 @@ def map_frag(index: MinimizerIndex, opt: MapOptions, seqs: list[str],
     if index.n_alt:  # map.c:738-741
         hitmod.mark_alt(index, regs)
         regs = hitmod.hit_sort(regs, opt.alt_drop)
+    if opt.dbg_print_seed or opt.dbg_print_chain:
+        _dbg_chain_dump(index, regs, cx, cy)  # regs index the compacted a[]
     if n_segs == 1:
         regs = post_process(index, opt, qlen_sum, n_segs, qlens, regs, cx, cy,
                             mini_pos, rep_len, seqs)

@@ -24,7 +24,8 @@ import numpy as np
 
 from mm2_gb_tpu.models import hit as hitmod
 from mm2_gb_tpu.models.index import MinimizerIndex
-from mm2_gb_tpu.models.mapper import _chain_gaps, post_process
+from mm2_gb_tpu.models.mapper import (_chain_gaps, _dbg_chain_dump,
+                                       _dbg_seed_dump, post_process)
 from mm2_gb_tpu.ops import chain as chain_ops
 from mm2_gb_tpu.ops import chain_rmq as rmq_ops
 from mm2_gb_tpu.ops import chain_tpu, seed as seed_ops
@@ -106,6 +107,12 @@ def finish_read(index: MinimizerIndex, opt: MapOptions, sr: SeededRead,
     if index.n_alt:
         hitmod.mark_alt(index, regs)
         regs = hitmod.hit_sort(regs, opt.alt_drop)
+    if opt.dbg_print_seed or opt.dbg_print_chain:
+        from mm2_gb_tpu.ops import align as align_ops
+        if align_ops._fill_collect is None:   # not the collect pass
+            if opt.dbg_print_seed:
+                _dbg_seed_dump(index, sr.ax, sr.ay, sr.rep_len)
+            _dbg_chain_dump(index, regs, cx, cy)
     return post_process(index, opt, qlen, 1, [qlen], regs, cx, cy,
                         sr.mini_pos, sr.rep_len, [sr.rec.seq])
 
@@ -194,6 +201,13 @@ def _prefill_device(index: MinimizerIndex, opt: MapOptions,
                 calls, mat, opt.q, opt.e, opt.q2, opt.e2, flag, end_bonus)
         cache.update(zip(uniq.keys(), ezs))
     align_ops.set_fill_cache(cache)
+
+
+def map_file_tpu_records(index: MinimizerIndex, opt: MapOptions,
+                         paths: list[str]):
+    """Stream (SeededRead, regions) for query files, chaining on the TPU."""
+    for batch in read_batches(paths, opt.mini_batch_size):
+        yield from map_batch_tpu(index, opt, batch)
 
 
 def map_file_tpu(index: MinimizerIndex, opt: MapOptions,

@@ -134,6 +134,9 @@ class MapOptions:
     max_sw_mat: int = 100_000_000
     cap_kalloc: int = 1_000_000_000
     split_prefix: str | None = None
+    # debug dumps (mm_dbg_flag analog; --print-seeds / --print-chains)
+    dbg_print_seed: bool = False
+    dbg_print_chain: bool = False
     # device (TPU) chaining config — analog of the reference's GPU JSON tier
     tpu_config_file: str = ""
 

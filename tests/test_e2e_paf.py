@@ -249,3 +249,17 @@ def test_flag_combo_byte_match(flags, golden, capsys):
     assert rc == 0
     with gzip.open(golden_path(golden), "rt") as f:
         assert capsys.readouterr().out == f.read()
+
+
+def test_print_seeds_dump_byte_match(capsys):
+    """--print-seeds/--print-chains RS/SD/CN stderr dumps byte-match the
+    reference (map.c:383-388, 600-604); QM allocator lines excluded."""
+    import gzip
+    rc = main(["--max-chain-skip=2147483647", "--print-seeds",
+               golden_path("invq4.ref.fa.gz"), golden_path("invq4.q.fa.gz")])
+    assert rc == 0
+    err = [l for l in capsys.readouterr().err.splitlines()
+           if l[:3] in ("RS\t", "SD\t", "CN\t")]
+    with gzip.open(golden_path("invq4.print-seeds.txt.gz"), "rt") as f:
+        want = f.read().splitlines()
+    assert err == want
