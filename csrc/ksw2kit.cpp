@@ -853,3 +853,60 @@ extern "C" int64_t mmt_ksw_exts2(const uint8_t *qseq, int32_t qlen,
     }
     return finish(ez, cig, ez_out, cigar_out, cigar_cap);
 }
+
+// mm_test_zdrop (align.c:32-89): walk the cigar along the diagonal, find
+// the largest diagonal-corrected score drop, optionally probe the dropped
+// window for an inversion with the small SW kernel.
+extern "C" int32_t mmt_test_zdrop(const uint8_t *qseq, const uint8_t *tseq,
+                                  const uint32_t *cigar, int64_t n_cigar,
+                                  const int8_t *mat, int32_t q, int32_t e,
+                                  int32_t zdrop, int32_t zdrop_inv,
+                                  int32_t max_gap, int32_t try_inv,
+                                  int32_t min_sc, int32_t min_dp_max) {
+    int32_t score = 0, mx = INT32_MIN, max_i = -1, max_j = -1;
+    int32_t max_zdrop = 0, i = 0, j = 0;
+    int32_t pos[2][2] = {{-1, -1}, {-1, -1}};
+    auto upd = [&](int32_t sc, int32_t ii, int32_t jj) {
+        if (sc < mx) {
+            int32_t li = ii - max_i, lj = jj - max_j;
+            int32_t diff = li > lj ? li - lj : lj - li;
+            int32_t z = mx - sc - diff * e;
+            if (z > max_zdrop) {
+                max_zdrop = z;
+                pos[0][0] = max_i; pos[0][1] = ii;
+                pos[1][0] = max_j; pos[1][1] = jj;
+            }
+        } else {
+            mx = sc; max_i = ii; max_j = jj;
+        }
+    };
+    for (int64_t k = 0; k < n_cigar; ++k) {
+        uint32_t op = cigar[k] & 0xF, len = cigar[k] >> 4;
+        if (op == 0) {  // M
+            for (uint32_t l = 0; l < len; ++l) {
+                score += mat[tseq[i + l] * 5 + qseq[j + l]];
+                upd(score, i + l, j + l);
+            }
+            i += len; j += len;
+        } else if (op == 1 || op == 2 || op == 3) {  // I/D/N
+            score -= q + e * (int32_t)len;
+            if (op == 1) j += len; else i += len;
+            upd(score, i, j);
+        }
+    }
+    int32_t q_len = pos[1][1] - pos[1][0], t_len = pos[0][1] - pos[0][0];
+    if (try_inv && max_zdrop > zdrop_inv && q_len < max_gap
+            && t_len < max_gap) {
+        std::vector<uint8_t> q2(q_len);
+        for (int32_t l = 0; l < q_len; ++l) {
+            int c = qseq[pos[1][1] - l - 1];
+            q2[l] = c >= 4 ? 4 : 3 - c;
+        }
+        int32_t qe_ = 0, te_ = 0;
+        int32_t sc = mmt_sw_ll(q2.data(), q_len, tseq + pos[0][0], t_len,
+                               mat, 5, q, e, &qe_, &te_);
+        if (sc >= min_sc && sc >= min_dp_max)
+            return 2;
+    }
+    return max_zdrop > zdrop ? 1 : 0;
+}

@@ -310,34 +310,40 @@ def est_err(index, qlen: int, regs: list[Region], ax: np.ndarray,
     avg_k = np.float32(float(spans.sum(dtype=np.uint64)) / n)
     mp_low = (mini_pos & np.uint64(0xFFFFFFFF)).astype(np.int64)
 
-    def for_qpos(k: int) -> int:
-        x = int(ay[k] & np.uint64(0xFFFFFFFF))
-        q_span = int((ay[k] >> np.uint64(32)) & np.uint64(0xFF))
-        if ax[k] >> np.uint64(63):
-            x = qlen - 1 - (x + 1 - q_span)
-        return x
+    y_low = (ay & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    y_span = ((ay >> np.uint64(32)) & np.uint64(0xFF)).astype(np.int64)
+    a_rev = (ax >> np.uint64(63)).astype(bool)
+    qpos_all = np.where(a_rev, qlen - 1 - (y_low + 1 - y_span), y_low)
 
     for r in regs:
         r.div = -1.0
         if r.cnt == 0:
             continue
-        first = r.as_ + r.cnt - 1 if r.rev else r.as_
-        x0 = for_qpos(first)
+        seq = qpos_all[r.as_:r.as_ + r.cnt]
+        if r.rev:
+            seq = seq[::-1]
+        x0 = int(seq[0])
         # binary search in mini_pos (esterr.c:16-28)
         idx = np.searchsorted(mp_low, x0)
         if idx >= n or mp_low[idx] != x0:
             continue
         st = en = int(idx)
         n_match = 1
-        k = 1
-        j = st + 1
-        while j < n and k < r.cnt:
-            ki = r.as_ + r.cnt - 1 - k if r.rev else r.as_ + k
-            if for_qpos(ki) == int(mp_low[j]):
-                k += 1
-                en = j
-                n_match += 1
-            j += 1
+        if r.cnt > 1:
+            # the reference's two-pointer (esterr.c:40-49) matches seed
+            # query positions against mini_pos in order; it stops at the
+            # first chain seed that is absent or non-advancing
+            jp = np.searchsorted(mp_low, seq[1:])
+            ok = (jp < n)
+            ok &= np.where(ok, mp_low[np.minimum(jp, n - 1)] == seq[1:],
+                           False)
+            prev = np.concatenate(([st], jp[:-1]))
+            ok &= jp > prev
+            bad = np.nonzero(~ok)[0]
+            run = int(bad[0]) if bad.size else ok.shape[0]
+            if run > 0:
+                n_match += run
+                en = int(jp[run - 1])
         n_tot = en - st + 1
         l_ref = int(index.lens[r.rid])
         if r.qs > avg_k and r.rs > avg_k:

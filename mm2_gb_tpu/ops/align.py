@@ -418,6 +418,14 @@ def _update_max_zdrop(score, i, j, state, e):
 def test_zdrop(opt: MapOptions, qseq, tseq, cigar, mat) -> int:
     if _fill_collect is not None:  # collect pass runs on fake cigars
         return 0
+    from mm2_gb_tpu.utils import native
+    if native.available() and len(cigar):
+        try_inv = not (opt.flag & (MM_F_SPLICE | MM_F_SR | MM_F_FOR_ONLY
+                                   | MM_F_REV_ONLY))
+        return native.test_zdrop(
+            qseq, tseq, cigar, mat, opt.q, opt.e, opt.zdrop, opt.zdrop_inv,
+            opt.max_gap, try_inv, opt.min_chain_score * opt.a,
+            opt.min_dp_max)
     """0 = pass, 1 = Z-dropped, 2 = potential inversion
     (mm_test_zdrop, align.c:47-89)."""
     mat = np.asarray(mat, np.int64)

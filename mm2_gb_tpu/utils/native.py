@@ -108,6 +108,12 @@ def _load():
         u8p, ctypes.c_int32, u8p, ctypes.c_int32, i8p, ctypes.c_int32,
         ctypes.c_int32, ctypes.c_int32, i32p, i32p,
     ]
+    lib.mmt_test_zdrop.restype = ctypes.c_int32
+    lib.mmt_test_zdrop.argtypes = [
+        u8p, u8p, ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64, i8p,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+    ]
     _LIB = lib
     return _LIB
 
@@ -207,6 +213,22 @@ def ksw_extd2(qseq, tseq, mat, q, e, q2, e2, w, zdrop, end_bonus, flag):
     if n < 0:
         raise RuntimeError("mmt_ksw_extd2: cigar capacity exceeded")
     return ez, cig[:n].copy()
+
+
+def test_zdrop(qseq, tseq, cigar, mat, q, e, zdrop, zdrop_inv, max_gap,
+               try_inv, min_sc, min_dp_max):
+    """Native mm_test_zdrop; returns 0/1/2."""
+    lib = _load()
+    qseq = np.ascontiguousarray(qseq, np.uint8)
+    tseq = np.ascontiguousarray(tseq, np.uint8)
+    cig = np.ascontiguousarray(cigar, np.uint32)
+    mat = np.ascontiguousarray(mat, np.int8)
+    return int(lib.mmt_test_zdrop(
+        _u8(qseq), _u8(tseq),
+        cig.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), cig.shape[0],
+        mat.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        q, e, zdrop, zdrop_inv, max_gap, 1 if try_inv else 0,
+        min_sc, min_dp_max))
 
 
 def sw_ll(qseq, tseq, mat, gapo, gape):
