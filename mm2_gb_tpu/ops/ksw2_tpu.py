@@ -71,10 +71,12 @@ class FillPlan:
     nb: int
     r_pad: int
     n_groups: int
+    w_band: int = 0
     calls: list = field(default_factory=list)
-    meta: np.ndarray | None = None      # (G, 4, 8) int32: qlen/tlen/w/R
-    qbytes: np.ndarray | None = None    # (G, RB, 8, 32) int32: qseq[r]
-    tseq: np.ndarray | None = None      # (G, 8, NB) uint8
+    meta: np.ndarray | None = None      # (G, 8, 8) int32: qlen/tlen/w/R/zd
+    qbytes: np.ndarray | None = None    # (G, RB, 8, 32) int32: stq lane-0
+    tband: np.ndarray | None = None     # (G, RB, 8, W) uint8: tseq band
+    qblk: np.ndarray | None = None      # (G, RB, 8, W) uint8: stq at row0
     dropped: np.ndarray | None = None   # (B,) bool: band collapsed
 
 
@@ -97,51 +99,90 @@ def _row_params(qlen: int, tlen: int, w: int):
     return rows, st, en, st0, en0, dropped, r_true
 
 
-def plan_fill_batch(calls: list[FillCall], nb: int) -> FillPlan:
-    """Pack calls of one size class into device arrays (8 pairs/group)."""
+def band_width(w: int, nb: int) -> int:
+    """Band-compressed state width: window span + rebase margins."""
+    want = (min(w, nb) + 160 + 127) // 128 * 128
+    return min(nb, max(256, want))
+
+
+def _blk_base(st0_blk0: np.ndarray) -> np.ndarray:
+    return np.maximum(st0_blk0 // 16 * 16 - 16, 0)
+
+
+def plan_fill_batch(calls: list[FillCall], nb: int, w_band: int) -> FillPlan:
+    """Pack calls of one (size, band-width) class into device arrays
+    (8 pairs/group).  State lives in band coordinates: per 32-row block,
+    lane j maps to t = base(block) + j with base recomputed from the
+    window formula; tband/qblk carry the target and diagonal-query bytes
+    for each block's window."""
     P = PAIRS_PER_GROUP
+    W = w_band
     r_pad = 2 * nb
     rb = r_pad // ROWS_PER_STEP
     G = (len(calls) + P - 1) // P
-    plan = FillPlan(nb=nb, r_pad=r_pad, n_groups=G, calls=calls)
+    plan = FillPlan(nb=nb, r_pad=r_pad, n_groups=G, w_band=W, calls=calls)
     meta = np.zeros((G, 8, P), np.int32)
     meta[:, 4, :] = -1
     qbytes = np.zeros((G, rb, P, ROWS_PER_STEP), np.int32)
-    tarr = np.zeros((G, P, nb), np.uint8)
+    tband = np.zeros((G, rb, P, W), np.uint8)
+    qblk = np.zeros((G, rb, P, W), np.uint8)
     dropped = np.zeros(len(calls), bool)
+    jj = np.arange(W, dtype=np.int64)
     for bi, c in enumerate(calls):
         g, pp = divmod(bi, P)
         qlen, tlen = len(c.qseq), len(c.tseq)
         w = c.w if c.w >= 0 else max(qlen, tlen)
-        *_, drop, r_true = _row_params(qlen, tlen, w)
+        rows, st, en, st0, en0, drop, r_true = _row_params(qlen, tlen, w)
+        if not drop:
+            # per-block base + coverage/rebase-step validation
+            nblk = (r_true + ROWS_PER_STEP - 1) // ROWS_PER_STEP
+            r0s = np.arange(nblk, dtype=np.int64) * ROWS_PER_STEP
+            bases = _blk_base(st0[np.minimum(r0s, r_true - 1)])
+            blk_of = rows // ROWS_PER_STEP
+            if (int((en - bases[blk_of]).max()) >= W
+                    or int(np.diff(bases).max(initial=0)) > 48
+                    or int(np.diff(bases).min(initial=0)) < 0):
+                drop = True
         dropped[bi] = drop
         if drop:          # caller falls back to the host kernel
             continue
         meta[g, :4, pp] = (qlen, tlen, w, r_true)
         meta[g, 4, pp] = c.zdrop
-        qb = np.zeros(r_pad, np.int32)
-        qb[:qlen] = c.qseq
-        qbytes[g, :, pp, :] = qb.reshape(rb, ROWS_PER_STEP)
-        tarr[g, pp, :tlen] = c.tseq
+        qpad = np.zeros(qlen + 1, np.uint8)
+        qpad[:qlen] = c.qseq
+        tpad = np.zeros(tlen + 1, np.uint8)
+        tpad[:tlen] = c.tseq
+        for blk in range(nblk):
+            base = int(bases[blk])
+            r0 = blk * ROWS_PER_STEP
+            tband[g, blk, pp, :] = tpad[np.minimum(base + jj, tlen)]
+            qi = r0 - base - jj           # stq[j] = qseq[r0 - base - j]
+            qblk[g, blk, pp, :] = np.where(
+                (qi >= 0) & (qi < qlen), c.qseq[np.clip(qi, 0, qlen - 1)], 0)
+            ri = r0 + np.arange(ROWS_PER_STEP) - base
+            qbytes[g, blk, pp, :] = np.where(
+                (ri >= 0) & (ri < qlen),
+                c.qseq[np.clip(ri, 0, qlen - 1)], 0)
     plan.meta = meta
     plan.qbytes = qbytes
-    plan.tseq = tarr
+    plan.tband = tband
+    plan.qblk = qblk
     plan.dropped = dropped
     return plan
 
 
 # ------------------------------------------------------------------- kernel
-def _extd2_kernel(meta_ref, qb_ref, tseq_ref, p_ref, score_ref,
+def _extd2_kernel(meta_ref, qb_ref, tband_ref, qblk_ref, p_ref, score_ref,
                   u_ref, v_ref, x_ref, y_ref, x2_ref, y2_ref,
                   s_ref, stq_ref, d_ref, acc_ref, h_ref, *,
-                  nb: int, q: int, e: int, q2: int, e2: int,
+                  wb: int, q: int, e: int, q2: int, e2: int,
                   mat0: int, mat1: int, sc_n: int, right: bool,
                   long_thres: int, long_diff: int, track_h: bool):
     rb = pl.program_id(1)
     P = PAIRS_PER_GROUP
     qe_c = q + e
     q2e2 = q2 + e2
-    lane = jax.lax.broadcasted_iota(jnp.int32, (P, nb), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (P, wb), 1)
 
     qlen = meta_ref[0, 0, :].reshape(P, 1)
     tlen = meta_ref[0, 1, :].reshape(P, 1)
@@ -149,16 +190,26 @@ def _extd2_kernel(meta_ref, qb_ref, tseq_ref, p_ref, score_ref,
     n_rows = meta_ref[0, 3, :].reshape(P, 1)
     zdrop = meta_ref[0, 4, :].reshape(P, 1)
 
+    def _window(r):
+        st0 = jnp.maximum(jnp.maximum(0, r - qlen + 1), (r - w + 1) >> 1)
+        en0 = jnp.minimum(jnp.minimum(tlen - 1, r), (r + w) >> 1)
+        return st0, en0
+
+    def _base_at(r0):
+        st0, _ = _window(r0)
+        return jnp.maximum(st0 // 16 * 16 - 16, 0)
+
+    base = _base_at(rb * ROWS_PER_STEP)            # (P, 1) band origin
+
     @pl.when(rb == 0)
     def _init():
-        u_ref[...] = jnp.full((P, nb), -qe_c, jnp.int32)
-        v_ref[...] = jnp.full((P, nb), -qe_c, jnp.int32)
-        x_ref[...] = jnp.full((P, nb), -qe_c, jnp.int32)
-        y_ref[...] = jnp.full((P, nb), -qe_c, jnp.int32)
-        x2_ref[...] = jnp.full((P, nb), -q2e2, jnp.int32)
-        y2_ref[...] = jnp.full((P, nb), -q2e2, jnp.int32)
-        s_ref[...] = jnp.zeros((P, nb), jnp.int32)
-        stq_ref[...] = jnp.zeros((P, nb), jnp.int32)
+        u_ref[...] = jnp.full((P, wb), -qe_c, jnp.int32)
+        v_ref[...] = jnp.full((P, wb), -qe_c, jnp.int32)
+        x_ref[...] = jnp.full((P, wb), -qe_c, jnp.int32)
+        y_ref[...] = jnp.full((P, wb), -qe_c, jnp.int32)
+        x2_ref[...] = jnp.full((P, wb), -q2e2, jnp.int32)
+        y2_ref[...] = jnp.full((P, wb), -q2e2, jnp.int32)
+        s_ref[...] = jnp.zeros((P, wb), jnp.int32)
         acc = jnp.zeros((P, SCORE_LANES), jnp.int32)
         if track_h:
             # [2]=score [3]=max [4]=max_t [5]=max_q [6]=mqe [7]=mqe_t
@@ -168,28 +219,55 @@ def _extd2_kernel(meta_ref, qb_ref, tseq_ref, p_ref, score_ref,
                             KSW_NEG_INF_I32, acc)
             acc = jnp.where((cidx == 4) | (cidx == 5) | (cidx == 7)
                             | (cidx == 9), -1, acc)
-            h_ref[...] = jnp.full((P, nb), KSW_NEG_INF_I32, jnp.int32)
+            h_ref[...] = jnp.full((P, wb), KSW_NEG_INF_I32, jnp.int32)
         acc_ref[...] = acc
 
-    def _window(r):
-        st0 = jnp.maximum(jnp.maximum(0, r - qlen + 1), (r - w + 1) >> 1)
-        en0 = jnp.minimum(jnp.minimum(tlen - 1, r), (r + w) >> 1)
-        return st0, en0
+    @pl.when(rb > 0)
+    def _rebase():
+        # the band origin advances by a 16-multiple <= 48 per block
+        # (validated by the planner); roll the persistent state left and
+        # reset the freshly exposed right lanes to their init values
+        delta = base - _base_at((rb - 1) * ROWS_PER_STEP)
+        fresh = lane >= wb - delta
 
-    tq_seq = tseq_ref[0].astype(jnp.int32)
+        def shift(arr, init):
+            r16 = pltpu.roll(arr, wb - 16, 1)
+            r32 = pltpu.roll(arr, wb - 32, 1)
+            r48 = pltpu.roll(arr, wb - 48, 1)
+            out = jnp.where(delta == 16, r16,
+                            jnp.where(delta == 32, r32,
+                                      jnp.where(delta == 48, r48, arr)))
+            return jnp.where(fresh & (delta > 0), init, out)
+
+        u_ref[...] = shift(u_ref[...], -qe_c)
+        v_ref[...] = shift(v_ref[...], -qe_c)
+        x_ref[...] = shift(x_ref[...], -qe_c)
+        y_ref[...] = shift(y_ref[...], -qe_c)
+        x2_ref[...] = shift(x2_ref[...], -q2e2)
+        y2_ref[...] = shift(y2_ref[...], -q2e2)
+        s_ref[...] = shift(s_ref[...], 0)
+        if track_h:
+            h_ref[...] = shift(h_ref[...], KSW_NEG_INF_I32)
+
+    # the diagonal query register is a pure function of (r, base):
+    # reset from the host-prepared block row, then roll(+1) per row
+    stq_ref[...] = qblk_ref[0, 0].astype(jnp.int32)
+    tq_seq = tband_ref[0, 0].astype(jnp.int32)
     qb_blk = qb_ref[0, 0]                        # (P, 32) int32
 
     for i in range(ROWS_PER_STEP):
         r = rb * ROWS_PER_STEP + i
-        st0, en0 = _window(r)                    # (P, 1) columns
-        act = (r < n_rows) & (st0 <= en0)
-        st = st0 // 16 * 16
-        en = (en0 + 16) // 16 * 16 - 1
-        lst0, len0 = _window(r - 1)
-        lst = lst0 // 16 * 16
-        len_ = (len0 + 16) // 16 * 16 - 1
-        x1c = (st > 0) & (lst <= st - 1) & (st - 1 <= len_) \
-            & (lst0 <= len0) & (r > 0)
+        st0a, en0a = _window(r)                  # absolute t columns
+        act = (r < n_rows) & (st0a <= en0a)
+        st = st0a // 16 * 16 - base
+        en = (en0a + 16) // 16 * 16 - 1 - base
+        st0 = st0a - base
+        en0 = en0a - base
+        lst0a, len0a = _window(r - 1)
+        lst = lst0a // 16 * 16 - base
+        len_ = (len0a + 16) // 16 * 16 - 1 - base
+        x1c = (st > -base) & (lst <= st - 1) & (st - 1 <= len_) \
+            & (lst0a <= len0a) & (r > 0)
         sshi = st0 + 16 * ((en0 - st0) // 16 + 1)
         bv_s = jnp.where(r == 0, -qe_c,
                          jnp.where(r < long_thres, -e,
@@ -200,10 +278,12 @@ def _extd2_kernel(meta_ref, qb_ref, tseq_ref, p_ref, score_ref,
 
         mb = (lane >= st) & (lane <= en) & act
 
-        # diagonal query register: stq[t] = qr[qlen-1-r+t]
-        stq = jnp.roll(stq_ref[...], 1, axis=1)
-        stq = jnp.where(lane == 0, qbyte, stq)
-        stq_ref[...] = stq
+        if i > 0:
+            stq = jnp.roll(stq_ref[...], 1, axis=1)
+            stq = jnp.where(lane == 0, qbyte, stq)
+            stq_ref[...] = stq
+        else:
+            stq = stq_ref[...]
 
         # score row, stored over the unaligned 16-byte span
         ms = (lane >= st0) & (lane < sshi) & act
@@ -215,7 +295,7 @@ def _extd2_kernel(meta_ref, qb_ref, tseq_ref, p_ref, score_ref,
         u = u_ref[...]
         y = y_ref[...]
         y2 = y2_ref[...]
-        pr = (lane == r) & (en >= r) & act
+        pr = (lane == r - base) & (en >= r - base) & act
         y = jnp.where(pr, -qe_c, y)
         y2 = jnp.where(pr, -q2e2, y2)
         u = jnp.where(pr, bv, u)
@@ -224,7 +304,7 @@ def _extd2_kernel(meta_ref, qb_ref, tseq_ref, p_ref, score_ref,
         xt1 = jnp.roll(x_ref[...], 1, axis=1)
         vt1 = jnp.roll(v_ref[...], 1, axis=1)
         x2t1 = jnp.roll(x2_ref[...], 1, axis=1)
-        v1_fb = jnp.where(st == 0, bv, -qe_c)
+        v1_fb = jnp.where(st0a // 16 * 16 == 0, bv, -qe_c)
         fb = (lane == st) & ~x1c
         xt1 = jnp.where(fb, -qe_c, xt1)
         x2t1 = jnp.where(fb, -q2e2, x2t1)
@@ -292,14 +372,14 @@ def _extd2_kernel(meta_ref, qb_ref, tseq_ref, p_ref, score_ref,
                                keepdims=True)
             H = h_ref[...]
             h_en0 = jnp.where(
-                en0 > 0,
+                en0a > 0,
                 msum(H, lane == en0 - 1) + msum(u, lane == en0),
                 msum(H, lane == en0) + msum(v, lane == en0))
             body = (lane >= st0) & (lane < en0)
             Hn = jnp.where(lane == en0, h_en0,
                            jnp.where(body, H + v, H))
             Hn = jnp.where(r == 0,
-                           jnp.where(lane == 0, v - qe_c, H), Hn)
+                           jnp.where(lane == -base, v - qe_c, H), Hn)
             H = jnp.where(act, Hn, H)
             h_ref[...] = H
             # row max with C tie-break ranks: en0 first, body lanes by
@@ -309,28 +389,28 @@ def _extd2_kernel(meta_ref, qb_ref, tseq_ref, p_ref, score_ref,
             dt = lane - st0
             rank = jnp.where(lane == en0, 0,
                              jnp.where(lane < en1,
-                                       1 + (dt & 3) * nb + (dt >> 2),
-                                       8 * nb + (lane - en1)))
+                                       1 + (dt & 3) * wb + (dt >> 2),
+                                       8 * wb + (lane - en1)))
             m = jnp.max(jnp.where(win, H, KSW_NEG_INF_I32), axis=1,
                         keepdims=True)
             is_m = win & (H == m)
             r_star = jnp.min(jnp.where(is_m, rank, 0x7FFFFFFF), axis=1,
                              keepdims=True)
-            row_t = msum(lane, is_m & (rank == r_star))
+            row_t = msum(lane, is_m & (rank == r_star)) + base
             row_t = jnp.where(r == 0, 0, row_t)
-            m = jnp.where(r == 0, msum(H, lane == 0), m)
+            m = jnp.where(r == 0, msum(H, lane == -base), m)
             alive = act & (acc_ref[:, 10:11] == 0)
             # mte / mqe (updated u/v row ends)
             mte, mte_q = acc_ref[:, 8:9], acc_ref[:, 9:10]
             h_at_en0 = msum(H, lane == en0)
-            upd = alive & (en0 == tlen - 1) & (h_at_en0 > mte)
+            upd = alive & (en0a == tlen - 1) & (h_at_en0 > mte)
             acc_ref[:, 8:9] = jnp.where(upd, h_at_en0, mte)
-            acc_ref[:, 9:10] = jnp.where(upd, r - en, mte_q)
+            acc_ref[:, 9:10] = jnp.where(upd, r - (en + base), mte_q)
             mqe, mqe_t = acc_ref[:, 6:7], acc_ref[:, 7:8]
             h_at_st0 = msum(H, lane == st0)
-            upd = alive & (r - st0 == qlen - 1) & (h_at_st0 > mqe)
+            upd = alive & (r - st0a == qlen - 1) & (h_at_st0 > mqe)
             acc_ref[:, 6:7] = jnp.where(upd, h_at_st0, mqe)
-            acc_ref[:, 7:8] = jnp.where(upd, st0, mqe_t)
+            acc_ref[:, 7:8] = jnp.where(upd, st0a, mqe_t)
             # _apply_zdrop (ksw2.h:167-183, is_rot), e2 as the gap ext
             mx, mx_t, mx_q = (acc_ref[:, 3:4], acc_ref[:, 4:5],
                               acc_ref[:, 5:6])
@@ -345,20 +425,21 @@ def _extd2_kernel(meta_ref, qb_ref, tseq_ref, p_ref, score_ref,
             drop = alive & ~better & (row_t >= mx_t) & (row_q >= mx_q) \
                 & (zdrop >= 0) & (mx - m > zdrop + l_ * e2)
             acc_ref[:, 10:11] = jnp.where(drop, 1, acc_ref[:, 10:11])
-            fin = alive & ~drop & (r == n_rows - 1) & (en0 == tlen - 1)
+            fin = alive & ~drop & (r == n_rows - 1) & (en0a == tlen - 1)
             acc_ref[:, 2:3] = jnp.where(
-                fin, msum(H, lane == tlen - 1), acc_ref[:, 2:3])
+                fin, msum(H, lane == tlen - 1 - base), acc_ref[:, 2:3])
             continue
 
         # approx-max H0 walk (oracle extd2 approx branch), vectorized
-        # over the 8 pairs: one masked-sum per operand
+        # over the 8 pairs: one masked-sum per operand; lt is absolute
         lt = acc_ref[:, 1:2]
         h0 = acc_ref[:, 0:1]
-        v_lt = jnp.sum(jnp.where(lane == lt, v, 0), axis=1, keepdims=True)
-        u_lt1 = jnp.sum(jnp.where(lane == lt + 1, u, 0), axis=1,
+        v_lt = jnp.sum(jnp.where(lane == lt - base, v, 0), axis=1,
+                       keepdims=True)
+        u_lt1 = jnp.sum(jnp.where(lane == lt + 1 - base, u, 0), axis=1,
                         keepdims=True)
-        c1 = (st0 <= lt) & (lt <= en0)
-        c2 = (st0 <= lt + 1) & (lt + 1 <= en0)
+        c1 = (st0a <= lt) & (lt <= en0a)
+        c2 = (st0a <= lt + 1) & (lt + 1 <= en0a)
         take_d1 = c1 & c2 & (u_lt1 >= v_lt)
         step = jnp.where(c1 & c2,
                          jnp.where(take_d1, u_lt1, v_lt),
@@ -377,17 +458,16 @@ def _extd2_kernel(meta_ref, qb_ref, tseq_ref, p_ref, score_ref,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "nb", "r_pad", "q", "e", "q2", "e2", "mat0", "mat1", "sc_n", "right",
+    "wb", "r_pad", "q", "e", "q2", "e2", "mat0", "mat1", "sc_n", "right",
     "long_thres", "long_diff", "track_h",
     "interpret")) if _HAS_JAX else lambda f: f
-def extd2_fwd_tpu(meta, qbytes, tseq, *, nb, r_pad, q, e, q2, e2, mat0, mat1,
-                  sc_n, right, long_thres, long_diff, track_h=False,
-                  interpret=False):
-    """Batched forward DP; returns (p, score).
+def extd2_fwd_tpu(meta, qbytes, tband, qblk, *, wb, r_pad, q, e, q2, e2,
+                  mat0, mat1, sc_n, right, long_thres, long_diff,
+                  track_h=False, interpret=False):
+    """Batched forward DP in band coordinates; returns (p, acc).
 
-    p: (G, R_pad//32, 32*8, NB) int8 direction rows: row block i holds the
-       8 pairs' rows interleaved as [i*8 + pair].
-    score: (G, 8, SCORE_LANES) int32.  Fill mode: lane 2 = ez.score.
+    p: (G, R_pad//32, 32*8, W) int8 direction rows, lane j = t - base(blk).
+    acc: (G, 8, SCORE_LANES) int32.  Fill mode: lane 2 = ez.score.
     track_h mode: lanes [2..10] = score, max, max_t, max_q, mqe, mqe_t,
     mte, mte_q, dropped.
     """
@@ -395,7 +475,7 @@ def extd2_fwd_tpu(meta, qbytes, tseq, *, nb, r_pad, q, e, q2, e2, mat0, mat1,
     P = PAIRS_PER_GROUP
     rb = r_pad // ROWS_PER_STEP
     kern = functools.partial(
-        _extd2_kernel, nb=nb, q=q, e=e, q2=q2, e2=e2,
+        _extd2_kernel, wb=wb, q=q, e=e, q2=q2, e2=e2,
         mat0=mat0, mat1=mat1, sc_n=sc_n, right=right,
         long_thres=long_thres, long_diff=long_diff, track_h=track_h)
     return pl.pallas_call(
@@ -404,34 +484,35 @@ def extd2_fwd_tpu(meta, qbytes, tseq, *, nb, r_pad, q, e, q2, e2, mat0, mat1,
         in_specs=[
             pl.BlockSpec((1, 8, P), lambda g, r: (g, 0, 0)),
             pl.BlockSpec((1, 1, P, ROWS_PER_STEP), lambda g, r: (g, r, 0, 0)),
-            pl.BlockSpec((1, P, nb), lambda g, r: (g, 0, 0)),
+            pl.BlockSpec((1, 1, P, wb), lambda g, r: (g, r, 0, 0)),
+            pl.BlockSpec((1, 1, P, wb), lambda g, r: (g, r, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, ROWS_PER_STEP * P, nb),
+            pl.BlockSpec((1, 1, ROWS_PER_STEP * P, wb),
                          lambda g, r: (g, r, 0, 0)),
             pl.BlockSpec((1, P, SCORE_LANES), lambda g, r: (g, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((G, rb, ROWS_PER_STEP * P, nb), jnp.int8),
+            jax.ShapeDtypeStruct((G, rb, ROWS_PER_STEP * P, wb), jnp.int8),
             jax.ShapeDtypeStruct((G, P, SCORE_LANES), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((P, nb), jnp.int32),   # u
-            pltpu.VMEM((P, nb), jnp.int32),   # v
-            pltpu.VMEM((P, nb), jnp.int32),   # x
-            pltpu.VMEM((P, nb), jnp.int32),   # y
-            pltpu.VMEM((P, nb), jnp.int32),   # x2
-            pltpu.VMEM((P, nb), jnp.int32),   # y2
-            pltpu.VMEM((P, nb), jnp.int32),   # s
-            pltpu.VMEM((P, nb), jnp.int32),   # stq
-            pltpu.VMEM((ROWS_PER_STEP * P, nb), jnp.int8),   # d rows
+            pltpu.VMEM((P, wb), jnp.int32),   # u
+            pltpu.VMEM((P, wb), jnp.int32),   # v
+            pltpu.VMEM((P, wb), jnp.int32),   # x
+            pltpu.VMEM((P, wb), jnp.int32),   # y
+            pltpu.VMEM((P, wb), jnp.int32),   # x2
+            pltpu.VMEM((P, wb), jnp.int32),   # y2
+            pltpu.VMEM((P, wb), jnp.int32),   # s
+            pltpu.VMEM((P, wb), jnp.int32),   # stq
+            pltpu.VMEM((ROWS_PER_STEP * P, wb), jnp.int8),   # d rows
             pltpu.VMEM((P, SCORE_LANES), jnp.int32),         # acc
-            pltpu.VMEM((P, nb), jnp.int32),                  # H (track_h)
+            pltpu.VMEM((P, wb), jnp.int32),                  # H (track_h)
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
-    )(meta, qbytes, tseq)
+    )(meta, qbytes, tband, qblk)
 
 
 # ------------------------------------------------------------ host assembly
@@ -446,8 +527,12 @@ def _assemble_ez(call: FillCall, p_rows_abs: np.ndarray, score: int,
     p_rows = [None] * n_rows
     off = np.zeros(n_rows, np.int64)
     off_end = np.zeros(n_rows, np.int64)
+    r0s = np.arange((r_true + ROWS_PER_STEP - 1) // ROWS_PER_STEP,
+                    dtype=np.int64) * ROWS_PER_STEP
+    bases = _blk_base(st0[np.minimum(r0s, r_true - 1)])
     for r in range(n_rows):
-        p_rows[r] = p_rows_abs[r, st[r]:en[r] + 1]
+        base = int(bases[r // ROWS_PER_STEP])
+        p_rows[r] = p_rows_abs[r, st[r] - base:en[r] + 1 - base]
         off[r], off_end[r] = st[r], en[r]
     ez = ksw2.Extz()
     ez.score = int(score)
@@ -491,16 +576,17 @@ def extd2_batch_device(calls: list[FillCall], mat: np.ndarray, q: int, e: int,
             out[idx] = ksw2.extd2(c.qseq, c.tseq, mat, q, e, q2, e2,
                                   c.w, -1, 0, flag)
         else:
-            by_class.setdefault(cls, []).append(idx)
+            wv = c.w if c.w >= 0 else max(len(c.qseq), len(c.tseq))
+            by_class.setdefault((cls, band_width(wv, cls)), []).append(idx)
 
     P = PAIRS_PER_GROUP
-    for cls, idxs in sorted(by_class.items()):
+    for (cls, wbnd), idxs in sorted(by_class.items()):
         batch = [calls[i] for i in idxs]
-        plan = plan_fill_batch(batch, cls)
+        plan = plan_fill_batch(batch, cls, wbnd)
         p_dev, score_dev = extd2_fwd_tpu(
             jnp.asarray(plan.meta), jnp.asarray(plan.qbytes),
-            jnp.asarray(plan.tseq),
-            nb=cls, r_pad=plan.r_pad, q=qq, e=ee, q2=qq2, e2=ee2,
+            jnp.asarray(plan.tband), jnp.asarray(plan.qblk),
+            wb=wbnd, r_pad=plan.r_pad, q=qq, e=ee, q2=qq2, e2=ee2,
             mat0=mat0, mat1=mat1, sc_n=sc_n, right=right,
             long_thres=long_thres, long_diff=long_diff,
             interpret=interpret)
@@ -509,13 +595,13 @@ def extd2_batch_device(calls: list[FillCall], mat: np.ndarray, q: int, e: int,
         if backtrack == "device":
             # only unit-op streams cross the link
             ops_dev = backtrack_device(p_dev, jnp.asarray(plan.meta),
-                                       nb=cls, r_pad=plan.r_pad,
+                                       wb=wbnd, r_pad=plan.r_pad,
                                        kmax=plan.r_pad + 32)
             ops_host = np.asarray(jax.device_get(ops_dev))
         else:
             rbn = plan.r_pad // ROWS_PER_STEP
             p_host = np.asarray(jax.device_get(p_dev)).reshape(
-                plan.n_groups, rbn, ROWS_PER_STEP, P, cls)
+                plan.n_groups, rbn, ROWS_PER_STEP, P, wbnd)
         for bi, idx in enumerate(idxs):
             c = calls[idx]
             if plan.dropped[bi]:
@@ -529,7 +615,7 @@ def extd2_batch_device(calls: list[FillCall], mat: np.ndarray, q: int, e: int,
                 ez.cigar = _rle_cigar(ops_host[g * P + pp], rev)
                 out[idx] = ez
             else:
-                rows = p_host[g, :, :, pp, :].reshape(plan.r_pad, cls)
+                rows = p_host[g, :, :, pp, :].reshape(plan.r_pad, wbnd)
                 out[idx] = _assemble_ez(c, rows, int(score_host[g, pp]),
                                         flag)
     return out  # type: ignore[return-value]
@@ -537,8 +623,8 @@ def extd2_batch_device(calls: list[FillCall], mat: np.ndarray, q: int, e: int,
 
 # ------------------------------------------------------- device backtrack
 @functools.partial(jax.jit, static_argnames=(
-    "nb", "r_pad", "kmax")) if _HAS_JAX else lambda f: f
-def backtrack_device(p, meta, starts=None, *, nb, r_pad, kmax):
+    "wb", "r_pad", "kmax")) if _HAS_JAX else lambda f: f
+def backtrack_device(p, meta, starts=None, *, wb, r_pad, kmax):
     """Vectorized ksw_backtrack on the device (ksw2.h:126-158, is_rot).
 
     Walks all pairs' direction matrices in lockstep without ever moving
@@ -555,6 +641,7 @@ def backtrack_device(p, meta, starts=None, *, nb, r_pad, kmax):
     w = meta[:, 2, :].reshape(N)
     p_flat = p.reshape(-1)
     rbn = r_pad // ROWS_PER_STEP
+    nb = wb
     gidx = jnp.arange(N, dtype=jnp.int32) // P
     pidx = jnp.arange(N, dtype=jnp.int32) % P
 
@@ -568,10 +655,17 @@ def backtrack_device(p, meta, starts=None, *, nb, r_pad, kmax):
         alive = (i >= 0) | (j >= 0)
         r = i + j
         st, en = window(r)
-        in_band = (i >= st) & (i <= en) & (j >= 0) & (i >= 0)
-        # p[g, r//32, (r%32)*P + pp, i]
+        # the band origin of r's 32-row block (same formula the forward
+        # kernel and the planner use)
+        st0b = jnp.maximum(jnp.maximum(0, (r >> 5 << 5) - qlen + 1),
+                           ((r >> 5 << 5) - w + 1) >> 1)
+        bbase = jnp.maximum(st0b // 16 * 16 - 16, 0)
+        jb = i - bbase
+        in_band = (i >= st) & (i <= en) & (j >= 0) & (i >= 0) \
+            & (jb >= 0) & (jb < nb)
+        # p[g, r//32, (r%32)*P + pp, i - base]
         flat = ((gidx * rbn + (r >> 5)) * (ROWS_PER_STEP * P)
-                + (r & 31) * P + pidx) * nb + i
+                + (r & 31) * P + pidx) * nb + jb
         tmp = jnp.where(in_band,
                         p_flat[jnp.clip(flat, 0, p_flat.shape[0] - 1)]
                         .astype(jnp.int32), 0)
@@ -656,16 +750,17 @@ def ext_batch_device(calls: list[FillCall], mat: np.ndarray, q: int, e: int,
                 or -int(mat.min()) > 2 * (qq + ee):
             out[idx] = host(calls[idx])
         else:
-            by_class.setdefault(cls, []).append(idx)
+            wv = c.w if c.w >= 0 else max(len(c.qseq), len(c.tseq))
+            by_class.setdefault((cls, band_width(wv, cls)), []).append(idx)
 
     P = PAIRS_PER_GROUP
-    for cls, idxs in sorted(by_class.items()):
+    for (cls, wbnd), idxs in sorted(by_class.items()):
         batch = [calls[i] for i in idxs]
-        plan = plan_fill_batch(batch, cls)
+        plan = plan_fill_batch(batch, cls, wbnd)
         p_dev, acc_dev = extd2_fwd_tpu(
             jnp.asarray(plan.meta), jnp.asarray(plan.qbytes),
-            jnp.asarray(plan.tseq),
-            nb=cls, r_pad=plan.r_pad, q=qq, e=ee, q2=qq2, e2=ee2,
+            jnp.asarray(plan.tband), jnp.asarray(plan.qblk),
+            wb=wbnd, r_pad=plan.r_pad, q=qq, e=ee, q2=qq2, e2=ee2,
             mat0=mat0, mat1=mat1, sc_n=sc_n, right=right,
             long_thres=long_thres, long_diff=long_diff, track_h=True,
             interpret=interpret)
@@ -695,7 +790,7 @@ def ext_batch_device(calls: list[FillCall], mat: np.ndarray, q: int, e: int,
         ops_dev = backtrack_device(p_dev, jnp.asarray(plan.meta),
                                    jnp.asarray(starts.reshape(
                                        plan.n_groups * P, 2)),
-                                   nb=cls, r_pad=plan.r_pad,
+                                   wb=wbnd, r_pad=plan.r_pad,
                                    kmax=plan.r_pad + 32)
         ops_host = np.asarray(jax.device_get(ops_dev))
         for bi, idx in enumerate(idxs):
