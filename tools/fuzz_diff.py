@@ -75,7 +75,17 @@ def make_genomic(rng, tag):
             s = s.translate(comp)[::-1]
         reads.append((f"q{i}", s))
     rfa, qfa = f"/tmp/fz_{tag}_r.fa", f"/tmp/fz_{tag}_q.fa"
-    write_fa(rfa, [("fr", ref)])
+    if rng.random() < 0.3:  # multi-contig reference (exercises rid paths)
+        n_ctg = rng.randrange(2, 5)
+        cuts = sorted(rng.sample(range(5000, max(5001, ref_len - 5000)),
+                                 n_ctg - 1))
+        bounds = [0] + cuts + [ref_len]
+        write_fa(rfa, [(f"ctg{k}", ref[bounds[k]:bounds[k + 1]])
+                       for k in range(n_ctg)])
+        multi_ctg = True
+    else:
+        write_fa(rfa, [("fr", ref)])
+        multi_ctg = False
     write_fa(qfa, reads)
     flag_pool = [
         [], ["-c"], ["-c", "--cs"], ["-a"], ["-c", "--eqx"],
@@ -86,8 +96,12 @@ def make_genomic(rng, tag):
         ["-A", "1", "-B", "9", "-O", "16,41", "-E", "2,1", "-c"],
         ["--for-only", "-c"], ["-g", "1000", "-c"], ["-z", "200", "-c"],
         ["--qstrand", "-c"], ["--qstrand", "-c", "--cs"],
+        ["--cs=long", "-c"], ["-a", "--MD"], ["-a", "--eqx"],
         ["--tpu-chain", "-c", "--cs"], ["--tpu-chain", "--tpu-align", "-c"],
     ]
+    if multi_ctg:  # multi-part index build + two-phase merge
+        flag_pool += [["-I", "100k", "--split-prefix", f"/tmp/fz_{tag}_sp",
+                       "-c"]] * 4
     return rng.choice(flag_pool), [rfa, qfa]
 
 
