@@ -226,6 +226,9 @@ def main(argv: list[str] | None = None) -> int:
     except ValueError as e:
         sys.stderr.write(f"[ERROR] {e}\n")
         return 1
+    if args.tpu_chain or args.tpu_align:
+        from mm2_gb_tpu.utils.tpucfg import enable_compile_cache
+        enable_compile_cache()
     try:
         return _run(args, argv, io, mo)
     except FileNotFoundError as e:  # main.c:414 open-failure message

@@ -52,3 +52,23 @@ def apply_tpu_config(cfg: TpuConfig) -> None:
     """Install the window classes into the kernel dispatch."""
     from mm2_gb_tpu.ops import chain_tpu
     chain_tpu.WINDOW_CLASSES = tuple(sorted(cfg.window_classes))
+
+
+def enable_compile_cache() -> None:
+    """Persistent XLA compilation cache: fresh CLI processes reuse compiled
+    Pallas kernels (~5x faster cold start over the device tunnel).  Opt out
+    with MM2TPU_JAX_CACHE=0; override the directory with MM2TPU_JAX_CACHE."""
+    import os
+    loc = os.environ.get("MM2TPU_JAX_CACHE", "")
+    if loc == "0":
+        return
+    if not loc:
+        loc = os.path.join(os.path.expanduser("~"), ".cache",
+                           "mm2_gb_tpu", "jaxcache")
+    try:
+        import jax
+        os.makedirs(loc, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", loc)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
