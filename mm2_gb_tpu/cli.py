@@ -19,7 +19,24 @@ from mm2_gb_tpu.utils.fastx import read_fastx
 from mm2_gb_tpu.utils.paf import write_paf
 
 
+def _parse_num(s: str) -> int:
+    """mm_parse_num (main.c:99-115): float prefix + optional k/M/G suffix,
+    rounded with +.499 like the reference."""
+    import re
+    m = re.match(r"\s*[-+]?(\d+\.?\d*|\.\d+)([eE][-+]?\d+)?", s)
+    x = float(m.group(0)) if m else 0.0
+    rest = s[m.end():] if m else s
+    if rest[:1] in ("G", "g"):
+        x *= 1e9
+    elif rest[:1] in ("M", "m"):
+        x *= 1e6
+    elif rest[:1] in ("K", "k"):
+        x *= 1e3
+    return int(x + .499)
+
+
 def build_parser() -> argparse.ArgumentParser:
+    from mm2_gb_tpu import __version__
     p = argparse.ArgumentParser(prog="mm2-gb-tpu", add_help=True)
     p.add_argument("target")
     p.add_argument("query", nargs="*")
@@ -27,21 +44,68 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-k", type=int, default=None)
     p.add_argument("-w", type=int, default=None)
     p.add_argument("-H", dest="hpc", action="store_true")
-    p.add_argument("-f", dest="mid_occ_frac", type=float, default=None)
-    p.add_argument("-g", dest="max_gap", type=int, default=None)
-    p.add_argument("-G", dest="max_gap_ref", type=int, default=None)
-    p.add_argument("-n", dest="min_cnt", type=int, default=None)
-    p.add_argument("-m", dest="min_chain_score", type=int, default=None)
+    p.add_argument("-f", dest="occ_frac", type=str, default=None)
+    p.add_argument("-g", dest="max_gap", type=str, default=None)
+    p.add_argument("-G", "--max-intron-len", dest="max_intron_len",
+                   type=str, default=None)
+    p.add_argument("-n", "--min-count", dest="min_cnt", type=int,
+                   default=None)
+    p.add_argument("-m", "--min-chain-score", dest="min_chain_score",
+                   type=int, default=None)
     p.add_argument("-p", dest="pri_ratio", type=float, default=None)
     p.add_argument("-N", dest="best_n", type=int, default=None)
     p.add_argument("-r", dest="bw", type=str, default=None)
+    p.add_argument("-V", "--version", action="version", version=__version__)
     p.add_argument("-c", dest="cigar", action="store_true")
-    p.add_argument("-a", dest="sam", action="store_true")
+    p.add_argument("-a", "--sam", dest="sam", action="store_true")
     p.add_argument("-t", dest="threads", type=int, default=3)
     p.add_argument("-d", dest="dump_index", default=None)
+    p.add_argument("-o", dest="output", default=None)
+    p.add_argument("-D", "--no-self", dest="no_diag", action="store_true")
+    p.add_argument("-P", "--all-chain", dest="all_chain",
+                   action="store_true")
+    p.add_argument("-X", dest="ava", action="store_true")
+    p.add_argument("-Q", dest="no_qual", action="store_true")
+    p.add_argument("-Y", dest="softclip", action="store_true")
+    p.add_argument("-L", dest="long_cigar", action="store_true")
+    p.add_argument("-y", dest="copy_comment", action="store_true")
+    p.add_argument("-2", dest="two_io_threads", action="store_true")
+    p.add_argument("-e", dest="occ_dist", type=str, default=None)
+    p.add_argument("-S", dest="deprecated_S", action="store_true")
     p.add_argument("--max-chain-skip", type=int, default=None)
     p.add_argument("--max-chain-iter", type=int, default=None)
-    p.add_argument("--rmq", action="store_true")
+    p.add_argument("--rmq", nargs="?", const="yes", default=None)
+    p.add_argument("--splice", action="store_true")
+    p.add_argument("--sr", action="store_true")
+    p.add_argument("--no-long-join", action="store_true")
+    p.add_argument("--no-pairing", action="store_true")
+    p.add_argument("--splice-flank", default=None, metavar="yes|no")
+    p.add_argument("--heap-sort", default=None, metavar="yes|no")
+    p.add_argument("--dual", default=None, metavar="yes|no")
+    p.add_argument("--no-end-flt", action="store_true")
+    p.add_argument("--hard-mask-level", action="store_true")
+    p.add_argument("--no-hash-name", action="store_true")
+    p.add_argument("--end-bonus", type=int, default=None)
+    p.add_argument("--end-seed-pen", type=int, default=None)
+    p.add_argument("--min-dp-len", type=int, default=None)
+    p.add_argument("-s", "--min-dp-score", dest="min_dp_max", type=int,
+                   default=None)
+    p.add_argument("--score-N", dest="score_n", type=int, default=None)
+    p.add_argument("--mask-len", type=str, default=None)
+    p.add_argument("--max-clip-ratio", type=float, default=None)
+    p.add_argument("--max-qlen", type=str, default=None)
+    p.add_argument("--cap-sw-mem", type=str, default=None)
+    p.add_argument("--cap-kalloc", type=str, default=None)
+    p.add_argument("--no-kalloc", action="store_true")
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--q-occ-frac", type=float, default=None)
+    p.add_argument("--chain-gap-scale", type=float, default=None)
+    p.add_argument("--chain-skip-scale", type=float, default=None)
+    p.add_argument("--bucket-bits", type=int, default=None)
+    p.add_argument("--idx-no-seq", action="store_true")
+    p.add_argument("--lj-min-ratio", type=float, default=None)
+    p.add_argument("--print-qname", action="store_true")
+    p.add_argument("--print-aln-seq", action="store_true")
     p.add_argument("--tpu-chain", action="store_true",
                    help="run chaining on the TPU (analog of --gpu-chain)")
     p.add_argument("--tpu-align", action="store_true",
@@ -50,7 +114,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="device batch config JSON (analog of --gpu-cfg)")
     p.add_argument("-u", dest="splice_strand", choices=["f", "b", "r", "n"],
                    default=None)
-    p.add_argument("-C", dest="noncan", type=int, default=None)
+    p.add_argument("-C", "--cost-non-gt-ag", dest="noncan", type=int,
+                   default=None)
     p.add_argument("--cs", nargs="?", const="short",
                    choices=["short", "long"], default=None)
     p.add_argument("--MD", action="store_true")
@@ -58,9 +123,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-R", dest="rg", default=None,
                    help="SAM read group line (@RG\\tID:...)")
     p.add_argument("--sam-hit-only", action="store_true")
-    p.add_argument("--secondary", choices=["yes", "no"], default="yes")
+    p.add_argument("--secondary", choices=["yes", "y", "no", "n"],
+                   default="yes")
     p.add_argument("--paf-no-hit", action="store_true")
-    p.add_argument("--frag", choices=["yes", "no"], default=None)
+    p.add_argument("--frag", choices=["yes", "y", "no", "n"], default=None)
     p.add_argument("-F", dest="max_frag_len", type=int, default=None)
     p.add_argument("-T", dest="sdust_thres", type=int, default=None)
     p.add_argument("-A", dest="match_sc", type=int, default=None)
@@ -68,11 +134,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-O", dest="gap_open", default=None)
     p.add_argument("-E", dest="gap_ext", default=None)
     p.add_argument("-z", dest="zdrop", default=None)
-    p.add_argument("-s", dest="min_dp_max", type=int, default=None)
     p.add_argument("-U", dest="occ_range", default=None)
-    p.add_argument("--mask-level", type=float, default=None)
+    p.add_argument("-M", "--mask-level", dest="mask_level", type=float,
+                   default=None)
     p.add_argument("--min-occ-floor", type=int, default=None)
-    p.add_argument("-K", dest="mini_batch", default=None,
+    p.add_argument("-K", "--mb-size", dest="mini_batch", default=None,
                    help="minibatch size in bases (500M default; k/M/G suffix)")
     p.add_argument("-v", dest="verbose", type=int, default=1)
     p.add_argument("-I", dest="batch_size", default=None,
@@ -90,6 +156,23 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _yes_or_no(mo, flag: int, name: str, arg: str, yes_to_set: bool) -> None:
+    """yes_or_no (main.c:117-128): set/clear flag, warn on bad values."""
+    if arg in ("yes", "y"):
+        if yes_to_set:
+            mo.flag |= flag
+        else:
+            mo.flag &= ~flag
+    elif arg in ("no", "n"):
+        if yes_to_set:
+            mo.flag &= ~flag
+        else:
+            mo.flag |= flag
+    else:
+        sys.stderr.write(f"[WARNING] option '--{name}' only accepts 'yes' "
+                         "or 'no'.\n")
+
+
 def apply_overrides(args, io: O.IndexOptions, mo: O.MapOptions) -> None:
     if args.k is not None:
         io.k = args.k
@@ -97,12 +180,21 @@ def apply_overrides(args, io: O.IndexOptions, mo: O.MapOptions) -> None:
         io.w = args.w
     if args.hpc:
         io.flag |= O.MM_I_HPC
-    if args.mid_occ_frac is not None:
-        mo.mid_occ_frac = args.mid_occ_frac
+    if args.bucket_bits is not None:
+        io.bucket_bits = args.bucket_bits
+    if args.idx_no_seq:
+        io.flag |= O.MM_I_NO_SEQ
+    if args.occ_frac is not None:  # -f frac-or-count[,max-occ] (main.c:288-293)
+        parts = args.occ_frac.split(",")
+        x = float(parts[0])
+        if x < 1.0:
+            mo.mid_occ_frac, mo.mid_occ = x, 0
+        else:
+            mo.mid_occ = int(x + .499)
+        if len(parts) > 1:
+            mo.max_occ = int(float(parts[1]) + .499)
     if args.max_gap is not None:
-        mo.max_gap = args.max_gap
-    if args.max_gap_ref is not None:
-        mo.max_gap_ref = args.max_gap_ref
+        mo.max_gap = _parse_num(args.max_gap)
     if args.min_cnt is not None:
         mo.min_cnt = args.min_cnt
     if args.min_chain_score is not None:
@@ -110,18 +202,95 @@ def apply_overrides(args, io: O.IndexOptions, mo: O.MapOptions) -> None:
     if args.pri_ratio is not None:
         mo.pri_ratio = args.pri_ratio
     if args.best_n is not None:
-        mo.best_n = args.best_n
+        if args.best_n == 0:  # main.c:337-340
+            sys.stderr.write("[WARNING] changed '-N 0' to '-N %d "
+                             "--secondary=no'.\n" % mo.best_n)
+            mo.flag |= O.MM_F_NO_PRINT_2ND
+        else:
+            mo.best_n = args.best_n
     if args.bw is not None:
         parts = args.bw.split(",")
-        mo.bw = int(parts[0])
+        mo.bw = _parse_num(parts[0])
         if len(parts) > 1:
-            mo.bw_long = int(parts[1])
+            mo.bw_long = _parse_num(parts[1])
     if args.max_chain_skip is not None:
         mo.max_chain_skip = args.max_chain_skip
     if args.max_chain_iter is not None:
         mo.max_chain_iter = args.max_chain_iter
-    if args.rmq:
-        mo.flag |= O.MM_F_RMQ
+    if args.rmq is not None:
+        _yes_or_no(mo, O.MM_F_RMQ, "rmq", args.rmq, True)
+    if args.splice:
+        mo.flag |= O.MM_F_SPLICE
+    if args.sr:
+        mo.flag |= O.MM_F_SR
+    if args.no_diag:
+        mo.flag |= O.MM_F_NO_DIAG
+    if args.all_chain:
+        mo.flag |= O.MM_F_ALL_CHAINS
+    if args.ava:  # -X = -D -P --no-long-join --dual=no (main.c:178)
+        mo.flag |= (O.MM_F_ALL_CHAINS | O.MM_F_NO_DIAG | O.MM_F_NO_DUAL
+                    | O.MM_F_NO_LJOIN)
+    if args.no_qual:
+        mo.flag |= O.MM_F_NO_QUAL
+    if args.softclip:
+        mo.flag |= O.MM_F_SOFTCLIP
+    if args.long_cigar:
+        mo.flag |= O.MM_F_LONG_CIGAR
+    if args.copy_comment:
+        mo.flag |= O.MM_F_COPY_COMMENT
+    if args.two_io_threads:
+        mo.flag |= O.MM_F_2_IO_THREADS
+    if args.no_long_join:
+        mo.flag |= O.MM_F_NO_LJOIN
+    if args.no_pairing:
+        mo.flag |= O.MM_F_INDEPEND_SEG
+    if args.splice_flank is not None:
+        _yes_or_no(mo, O.MM_F_SPLICE_FLANK, "splice-flank",
+                   args.splice_flank, True)
+    if args.heap_sort is not None:
+        _yes_or_no(mo, O.MM_F_HEAP_SORT, "heap-sort", args.heap_sort, True)
+    if args.dual is not None:  # yes clears NO_DUAL (main.c:267-268)
+        _yes_or_no(mo, O.MM_F_NO_DUAL, "dual", args.dual, False)
+    if args.no_end_flt:
+        mo.flag |= O.MM_F_NO_END_FLT
+    if args.hard_mask_level:
+        mo.flag |= O.MM_F_HARD_MLEVEL
+    if args.no_hash_name:
+        mo.flag |= O.MM_F_NO_HASH_NAME
+    if args.end_bonus is not None:
+        mo.end_bonus = args.end_bonus
+    if args.end_seed_pen is not None:
+        mo.anchor_ext_shift = args.end_seed_pen
+    if args.min_dp_len is not None:
+        mo.min_ksw_len = args.min_dp_len
+    if args.score_n is not None:
+        mo.sc_ambi = args.score_n
+    if args.mask_len is not None:
+        mo.mask_len = _parse_num(args.mask_len)
+    if args.max_clip_ratio is not None:
+        mo.max_clip_ratio = args.max_clip_ratio
+    if args.max_qlen is not None:
+        mo.max_qlen = _parse_num(args.max_qlen)
+    if args.cap_sw_mem is not None:
+        mo.max_sw_mat = _parse_num(args.cap_sw_mem)
+    if args.cap_kalloc is not None:  # arena knob; NumPy owns memory here
+        mo.cap_kalloc = _parse_num(args.cap_kalloc)
+    if args.seed is not None:
+        mo.seed = args.seed
+    if args.q_occ_frac is not None:
+        mo.q_occ_frac = args.q_occ_frac
+    if args.chain_gap_scale is not None:
+        mo.chain_gap_scale = args.chain_gap_scale
+    if args.chain_skip_scale is not None:
+        mo.chain_skip_scale = args.chain_skip_scale
+    if args.occ_dist is not None:
+        mo.occ_dist = _parse_num(args.occ_dist)
+    if args.lj_min_ratio is not None:
+        sys.stderr.write("[WARNING]  --lj-min-ratio has been deprecated.\n")
+    if args.deprecated_S:  # main.c:272-275
+        mo.flag |= O.MM_F_OUT_CS | O.MM_F_CIGAR | O.MM_F_OUT_CS_LONG
+        sys.stderr.write("[WARNING] option -S is deprecated and may be "
+                         "removed in future. Please use --cs=long instead.\n")
     if args.cigar:
         mo.flag |= O.MM_F_CIGAR | O.MM_F_OUT_CG
     if args.sam:
@@ -146,9 +315,9 @@ def apply_overrides(args, io: O.IndexOptions, mo: O.MapOptions) -> None:
             mo.flag |= O.MM_F_SPLICE_FOR | O.MM_F_SPLICE_REV
     if args.noncan is not None:
         mo.noncan = args.noncan
-    if args.frag == "yes":
+    if args.frag in ("yes", "y"):
         mo.flag |= O.MM_F_FRAG_MODE
-    elif args.frag == "no":
+    elif args.frag in ("no", "n"):
         mo.flag &= ~O.MM_F_FRAG_MODE
     if args.max_frag_len is not None:
         mo.max_frag_len = args.max_frag_len
@@ -189,7 +358,7 @@ def apply_overrides(args, io: O.IndexOptions, mo: O.MapOptions) -> None:
         mult = {"k": 10**3, "K": 10**3, "m": 10**6, "M": 10**6,
                 "g": 10**9, "G": 10**9}.get(s[-1], 1)
         mo.mini_batch_size = int(float(s[:-1] if mult > 1 else s) * mult)
-    if args.secondary == "no":
+    if args.secondary in ("no", "n"):
         mo.flag |= O.MM_F_NO_PRINT_2ND
     if args.paf_no_hit:
         mo.flag |= O.MM_F_PAF_NO_HIT
@@ -199,12 +368,19 @@ def apply_overrides(args, io: O.IndexOptions, mo: O.MapOptions) -> None:
         mo.flag |= O.MM_F_REV_ONLY
     if args.qstrand:  # main.c:242
         mo.flag |= O.MM_F_QSTRAND | O.MM_F_NO_INV
-    if args.print_seeds:  # --print-seeds implies chain dumps (main.c:209)
+    if args.print_seeds:  # --print-seeds implies QR dumps too (main.c:209)
         mo.dbg_print_seed = True
+        mo.dbg_print_qname = True
     if args.print_chains:  # main.c:245
         mo.dbg_print_chain = True
-    if mo.dbg_print_seed or mo.dbg_print_chain:
-        args.threads = 1   # keep dumps read-ordered (main.c:209)
+    if args.print_qname:  # main.c:208
+        mo.dbg_print_qname = True
+    if args.print_aln_seq:  # main.c:213
+        mo.dbg_print_aln_seq = True
+        mo.dbg_print_qname = True
+    if (mo.dbg_print_seed or mo.dbg_print_chain or mo.dbg_print_qname
+            or mo.dbg_print_aln_seq):
+        args.threads = 1   # keep dumps read-ordered (main.c:209,213)
     if args.tpu_chain:
         mo.flag |= O.MM_F_TPU_CHAIN
     if args.tpu_align:
@@ -213,6 +389,14 @@ def apply_overrides(args, io: O.IndexOptions, mo: O.MapOptions) -> None:
         mo.tpu_config_file = args.tpu_cfg
         from mm2_gb_tpu.utils.tpucfg import apply_tpu_config, load_tpu_config
         apply_tpu_config(load_tpu_config(args.tpu_cfg))
+    if args.max_intron_len is not None:
+        # mm_mapopt_max_intron_len (options.c:84-88): only acts in splice
+        # mode; applied after flags so --splice -G works in either order
+        v = _parse_num(args.max_intron_len)
+        if (mo.flag & O.MM_F_SPLICE) and v > 0:
+            mo.max_gap_ref = mo.bw = mo.bw_long = v
+    if mo.flag & O.MM_F_SR:  # mm2-gb: SR forces exhaustive DP (main.c:316-319)
+        mo.max_chain_skip = 2**31 - 1
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -239,11 +423,22 @@ def main(argv: list[str] | None = None) -> int:
 
 def _run(args, argv, io, mo) -> int:
     apply_overrides(args, io, mo)
+    if (mo.flag & O.MM_F_SPLICE) and (mo.flag & O.MM_F_FRAG_MODE):
+        sys.stderr.write("[ERROR] --splice and --frag should not be "
+                         "specified at the same time.\n")  # main.c:321-324
+        return 1
     try:
         O.check_opt(io, mo)
     except ValueError as e:
         sys.stderr.write(f"[ERROR] {e}\n")
         return 1
+    if args.output and args.output != "-":  # -o (main.c:197-204 freopen)
+        try:
+            sys.stdout = open(args.output, "w")
+        except OSError as e:
+            sys.stderr.write(f"[ERROR] failed to write the output to file "
+                             f"'{args.output}': {e.strerror}\n")
+            return 1
 
     if args.batch_size is not None and args.query:
         s = args.batch_size
@@ -259,6 +454,10 @@ def _run(args, argv, io, mo) -> int:
     from mm2_gb_tpu.models.index import _is_mmi
     if args.target.endswith(".npz") or _is_mmi(args.target):
         index = MinimizerIndex.load(args.target)
+        if (mo.flag & O.MM_F_CIGAR) and (index.flag & O.MM_I_NO_SEQ):
+            sys.stderr.write("[ERROR] the prebuilt index doesn't contain "
+                             "sequences.\n")  # main.c:406-408
+            return 1
     else:
         index = MinimizerIndex.from_fasta(args.target, io)
     if args.dump_index:

@@ -207,6 +207,10 @@ def map_file_tpu_records(index: MinimizerIndex, opt: MapOptions,
                          paths: list[str]):
     """Stream (SeededRead, regions) for query files, chaining on the TPU."""
     for batch in read_batches(paths, opt.mini_batch_size):
+        if opt.dbg_print_qname:  # QR dump, GPU-path analog (map.c:938-941)
+            import sys
+            for rec in batch:
+                sys.stderr.write(f"QR\t{rec.name}\t0\t{rec.length}\n")
         yield from map_batch_tpu(index, opt, batch)
 
 

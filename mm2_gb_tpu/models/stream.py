@@ -106,6 +106,9 @@ def read_frag_batches(paths: list[str], mo, mini_batch: int,
 def _map_one(index: MinimizerIndex, mo, frag: list[SeqRecord]):
     """Map one fragment with pe_ori revcomp/flip (worker_for, map.c:1157-1203)."""
     from mm2_gb_tpu.cli import rc_record
+    if mo.dbg_print_qname:  # QR dump (map.c:1165-1167); dumps force -t 1
+        import sys
+        sys.stderr.write(f"QR\t{frag[0].name}\t0\t{frag[0].length}\n")
     n_seg = len(frag)
     pe_flip = [n_seg == 2 and ((j == 0 and (mo.pe_ori >> 1 & 1))
                                or (j == 1 and (mo.pe_ori & 1)))

@@ -101,10 +101,45 @@ def _fake_ez(qlen: int, tlen: int) -> ksw2.Extz:
     return ez
 
 
+_BASES = "ACGTN"
+_CIGAR_STR = "MIDNSHP=XB"
+
+
+def _dump_aln_seq_pre(opt, qseq, tseq, w: int, flag: int) -> None:
+    """MM_DBG_PRINT_ALN_SEQ pre-kernel dump (align.c:318-325)."""
+    import sys
+    sys.stderr.write("===> q=(%d,%d), e=(%d,%d), bw=%d, flag=%d, "
+                     "zdrop=%d <===\n" % (opt.q, opt.q2, opt.e, opt.e2,
+                                          w, flag, opt.zdrop))
+    sys.stderr.write("".join(_BASES[c] for c in tseq) + "\n")
+    sys.stderr.write("".join(_BASES[c] for c in qseq) + "\n")
+
+
+def _dump_aln_seq_post(ez: ksw2.Extz) -> None:
+    """Post-kernel score/cigar dump (align.c:335-341)."""
+    import sys
+    cig = "" if ez.cigar is None else "".join(
+        "%d%c" % (int(c) >> 4, _CIGAR_STR[int(c) & 0xF]) for c in ez.cigar)
+    sys.stderr.write("score=%d, cigar=%s\n" % (ez.score, cig))
+
+
 def align_pair(opt: MapOptions, qseq: np.ndarray, tseq: np.ndarray,
                junc, mat: np.ndarray, w: int, end_bonus: int, zdrop: int,
                flag: int) -> ksw2.Extz:
     """Kernel dispatch (mm_align_pair, align.c:316-342)."""
+    if opt.dbg_print_aln_seq and _fill_collect is None:
+        _dump_aln_seq_pre(opt, qseq, tseq, w, flag)
+        ez = _align_pair(opt, qseq, tseq, junc, mat, w, end_bonus, zdrop,
+                         flag)
+        _dump_aln_seq_post(ez)
+        return ez
+    return _align_pair(opt, qseq, tseq, junc, mat, w, end_bonus, zdrop,
+                       flag)
+
+
+def _align_pair(opt: MapOptions, qseq: np.ndarray, tseq: np.ndarray,
+                junc, mat: np.ndarray, w: int, end_bonus: int, zdrop: int,
+                flag: int) -> ksw2.Extz:
     qlen, tlen = len(qseq), len(tseq)
     if opt.max_sw_mat > 0 and tlen * qlen > opt.max_sw_mat:
         ez = ksw2.Extz()

@@ -134,9 +134,12 @@ class MapOptions:
     max_sw_mat: int = 100_000_000
     cap_kalloc: int = 1_000_000_000
     split_prefix: str | None = None
-    # debug dumps (mm_dbg_flag analog; --print-seeds / --print-chains)
+    # debug dumps (mm_dbg_flag analog; --print-seeds / --print-chains /
+    # --print-qname / --print-aln-seq)
     dbg_print_seed: bool = False
     dbg_print_chain: bool = False
+    dbg_print_qname: bool = False
+    dbg_print_aln_seq: bool = False
     # device (TPU) chaining config — analog of the reference's GPU JSON tier
     tpu_config_file: str = ""
 

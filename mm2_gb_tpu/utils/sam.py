@@ -12,8 +12,9 @@ from mm2_gb_tpu.models.hit import Region
 from mm2_gb_tpu.ops.sketch import _NT4
 from mm2_gb_tpu.utils.fastx import SeqRecord
 from mm2_gb_tpu.utils.opts import (MM_F_COPY_COMMENT, MM_F_LONG_CIGAR,
-                                   MM_F_OUT_CS, MM_F_OUT_CS_LONG,
-                                   MM_F_OUT_MD, MM_F_SOFTCLIP)
+                                   MM_F_NO_QUAL, MM_F_OUT_CS,
+                                   MM_F_OUT_CS_LONG, MM_F_OUT_MD,
+                                   MM_F_SOFTCLIP)
 
 CIGAR_STR = "MIDNSHP=XB"
 _COMP = {"A": "T", "C": "G", "G": "C", "T": "A", "a": "t", "c": "g",
@@ -161,6 +162,8 @@ def write_sam_record(index, rec: SeqRecord, reg_idx: int,
                      ) -> str:
     """One SAM line (mm_write_sam3, format.c:389-546)."""
     qlen = rec.length
+    if opt_flag & MM_F_NO_QUAL:  # -Q: reader drops quality (map.c:1275)
+        rec = SeqRecord(rec.rid, rec.name, rec.seq, None, rec.comment)
     r = regs[reg_idx] if regs and 0 <= reg_idx < len(regs) else None
 
     # primaries of the previous/next segments (format.c:397-410)

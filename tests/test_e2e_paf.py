@@ -148,6 +148,21 @@ def test_pe_sr_sam_byte_match(capsys):
     assert got == want
 
 
+def test_pe_sr_sam_no_qual_byte_match(capsys):
+    """-Q drops the QUAL column like the reference's reader-side strip
+    (map.c:1275: with_qual is false under MM_F_NO_QUAL)."""
+    import gzip
+    rc = main(["--max-chain-skip=2147483647", "-x", "sr", "-a", "-Q",
+               golden_path("simref.fa.gz"), golden_path("pe_1.fq.gz"),
+               golden_path("pe_2.fq.gz")])
+    assert rc == 0
+    got = [l for l in capsys.readouterr().out.splitlines()
+           if not l.startswith("@PG")]
+    with gzip.open(golden_path("pe300.sr.noqual.sam.gz"), "rt") as f:
+        want = [l for l in f.read().splitlines() if not l.startswith("@PG")]
+    assert got == want
+
+
 def test_ava_ont_byte_match(capsys):
     """All-vs-all overlap mode (-x ava-ont: NO_DIAG/NO_DUAL/ALL_CHAINS)."""
     import gzip
@@ -236,6 +251,13 @@ FLAG_CASES = [
     (["--rmq", "-c"], "sim200.rmq.paf.gz"),
     (["-k", "13", "-w", "7", "-c"], "sim200.k13w7.paf.gz"),
     (["--for-only", "-c"], "sim200.for-only.paf.gz"),
+    # round-1 flag-surface completion: options that alter output
+    (["--max-qlen", "9000", "-c"], "sim200.max-qlen9k.c.paf.gz"),
+    (["--end-bonus", "12", "-c"], "sim200.end-bonus12.c.paf.gz"),
+    (["--chain-skip-scale", "0.5", "-c"], "sim200.chain-skip-scale.c.paf.gz"),
+    # -G goes through mm_mapopt_max_intron_len (options.c:84-88): in splice
+    # mode it sets bw/bw_long too, not just max_gap_ref
+    (["-x", "splice", "-G", "8000", "-c"], "sim200.splice-G8k.c.paf.gz"),
 ]
 
 

@@ -98,6 +98,17 @@ def make_genomic(rng, tag):
         ["--qstrand", "-c"], ["--qstrand", "-c", "--cs"],
         ["--cs=long", "-c"], ["-a", "--MD"], ["-a", "--eqx"],
         ["--tpu-chain", "-c", "--cs"], ["--tpu-chain", "--tpu-align", "-c"],
+        # round-1 flag-surface completion
+        ["-P", "-c"], ["-D", "-c"], ["--end-bonus", "12", "-c"],
+        ["--max-qlen", "50k", "-c"], ["--chain-skip-scale", "0.5", "-c"],
+        ["--chain-gap-scale", "1.5", "-c"], ["--mask-len", "500", "-c"],
+        ["--max-clip-ratio", "0.2", "-c"], ["--no-end-flt", "-c"],
+        ["--hard-mask-level", "-c"], ["--no-hash-name", "-c"],
+        ["--min-dp-len", "500", "-c"], ["--score-N", "0", "-c"],
+        ["-f", "30", "-c"], ["-e", "200", "-c"], ["--q-occ-frac", "0.05"],
+        ["--no-long-join", "-c"], ["-M", "0.3", "-c"], ["-N", "0", "-c"],
+        ["--cap-sw-mem", "1m", "-c"], ["-a", "-Y"], ["-a", "-Q"],
+        ["--heap-sort=yes", "-c"], ["--dual=no"], ["-g", "2k", "-c"],
     ]
     if multi_ctg:  # multi-part index build + two-phase merge
         flag_pool += [["-I", "100k", "--split-prefix", f"/tmp/fz_{tag}_sp",
@@ -143,6 +154,10 @@ def make_splice(rng, tag):
         ["-x", "splice", "-u", "f", "-c"], ["-x", "splice", "-u", "b", "-c"],
         ["-x", "splice", "-C", "5", "-c"], ["-x", "splice:hq", "-c"],
         ["-x", "splice", "-G", "10000", "-c"],
+        ["-x", "splice", "--splice-flank=no", "-c"],
+        ["-x", "splice", "--max-intron-len", "20k", "-c"],
+        ["-x", "splice", "--cost-non-gt-ag", "4", "-c"],
+        ["--splice", "-u", "b", "-c"],
     ]
     return rng.choice(flag_pool), [rfa, qfa]
 
@@ -170,6 +185,8 @@ def make_pe(rng, tag):
     flag_pool = [
         ["-x", "sr"], ["-x", "sr", "-a"], ["-x", "sr", "-c"],
         ["-x", "sr", "-a", "--secondary", "no"],
+        ["-x", "sr", "--no-pairing"], ["-x", "sr", "-a", "-Q"],
+        ["--sr", "--frag", "yes"],
     ]
     return rng.choice(flag_pool), [rfa, q1, q2]
 
