@@ -500,6 +500,14 @@ def _run(args, argv, io, mo) -> int:
         out.write(write_sam_header(index, args.rg, __version__,
                                    (argv if argv is not None
                                     else sys.argv[1:])) + "\n")
+    if (mo.flag & O.MM_F_TPU_CHAIN) and (
+            (mo.flag & O.MM_F_FRAG_MODE) or len(args.query) > 1):
+        # the reference's GPU path is single-segment only
+        # (assert(opt->max_frag_len <= 0), plchain.cu:499); instead of
+        # aborting, chain multi-segment fragments on the host
+        sys.stderr.write("[WARNING] --tpu-chain supports single-segment "
+                         "reads only; falling back to host chaining.\n")
+        mo.flag &= ~(O.MM_F_TPU_CHAIN | O.MM_F_TPU_ALIGN)
     if mo.flag & O.MM_F_TPU_CHAIN:
         from mm2_gb_tpu.models.pipeline import map_file_tpu_records
         for sr, regs in map_file_tpu_records(index, mo, args.query):

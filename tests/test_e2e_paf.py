@@ -148,6 +148,24 @@ def test_pe_sr_sam_byte_match(capsys):
     assert got == want
 
 
+def test_tpu_chain_pe_falls_back_to_host(capsys):
+    """--tpu-chain with multi-segment input must not silently skip PE
+    pairing: the reference GPU path is single-segment only
+    (assert plchain.cu:499), so we warn and chain on the host."""
+    import gzip
+    rc = main(["--max-chain-skip=2147483647", "-x", "sr", "-a",
+               "--tpu-chain",
+               golden_path("simref.fa.gz"), golden_path("pe_1.fq.gz"),
+               golden_path("pe_2.fq.gz")])
+    assert rc == 0
+    cap = capsys.readouterr()
+    assert "falling back to host chaining" in cap.err
+    got = [l for l in cap.out.splitlines() if not l.startswith("@PG")]
+    with gzip.open(golden_path("pe300.sr.skipinf.sam.gz"), "rt") as f:
+        want = [l for l in f.read().splitlines() if not l.startswith("@PG")]
+    assert got == want
+
+
 def test_pe_sr_sam_no_qual_byte_match(capsys):
     """-Q drops the QUAL column like the reference's reader-side strip
     (map.c:1275: with_qual is false under MM_F_NO_QUAL)."""
