@@ -124,7 +124,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="SAM read group line (@RG\\tID:...)")
     p.add_argument("--sam-hit-only", action="store_true")
     p.add_argument("--secondary", choices=["yes", "y", "no", "n"],
-                   default="yes")
+                   default=None)
     p.add_argument("--paf-no-hit", action="store_true")
     p.add_argument("--frag", choices=["yes", "y", "no", "n"], default=None)
     p.add_argument("-F", dest="max_frag_len", type=int, default=None)
@@ -358,8 +358,9 @@ def apply_overrides(args, io: O.IndexOptions, mo: O.MapOptions) -> None:
         mult = {"k": 10**3, "K": 10**3, "m": 10**6, "M": 10**6,
                 "g": 10**9, "G": 10**9}.get(s[-1], 1)
         mo.mini_batch_size = int(float(s[:-1] if mult > 1 else s) * mult)
-    if args.secondary in ("no", "n"):
-        mo.flag |= O.MM_F_NO_PRINT_2ND
+    if args.secondary is not None:  # yes_or_no w/ yes_to_set=0 (main.c:252)
+        _yes_or_no(mo, O.MM_F_NO_PRINT_2ND, "secondary", args.secondary,
+                   False)
     if args.paf_no_hit:
         mo.flag |= O.MM_F_PAF_NO_HIT
     if args.for_only:
@@ -446,11 +447,18 @@ def _run(args, argv, io, mo) -> int:
                 "g": 10**9, "G": 10**9}.get(s[-1], 1)
         bs = int(float(s[:-1] if mult > 1 else s) * mult)
         mo.split_prefix = args.split_prefix
+        if mo.flag & O.MM_F_TPU_CHAIN:
+            # the reference GPU path is single-index only (plchain.cu:499
+            # asserts; gpu init happens once per process, main.c:440-449)
+            sys.stderr.write("[WARNING] --tpu-chain does not compose with "
+                             "a multi-part index (-I/--split-prefix); "
+                             "falling back to host chaining.\n")
+            mo.flag &= ~(O.MM_F_TPU_CHAIN | O.MM_F_TPU_ALIGN)
         from mm2_gb_tpu.models.splitmerge import map_multipart
         return map_multipart(args.target, args.query, io, mo, sys.stdout,
-                             bs, args.split_prefix, None,
+                             bs, args.split_prefix, args.rg,
                              (argv if argv is not None else sys.argv[1:]),
-                             args.verbose)
+                             args.verbose, args.threads)
     from mm2_gb_tpu.models.index import _is_mmi
     if args.target.endswith(".npz") or _is_mmi(args.target):
         index = MinimizerIndex.load(args.target)
@@ -500,8 +508,7 @@ def _run(args, argv, io, mo) -> int:
         out.write(write_sam_header(index, args.rg, __version__,
                                    (argv if argv is not None
                                     else sys.argv[1:])) + "\n")
-    if (mo.flag & O.MM_F_TPU_CHAIN) and (
-            (mo.flag & O.MM_F_FRAG_MODE) or len(args.query) > 1):
+    if (mo.flag & O.MM_F_TPU_CHAIN) and (mo.flag & O.MM_F_FRAG_MODE):
         # the reference's GPU path is single-segment only
         # (assert(opt->max_frag_len <= 0), plchain.cu:499); instead of
         # aborting, chain multi-segment fragments on the host
@@ -510,9 +517,10 @@ def _run(args, argv, io, mo) -> int:
         mo.flag &= ~(O.MM_F_TPU_CHAIN | O.MM_F_TPU_ALIGN)
     if mo.flag & O.MM_F_TPU_CHAIN:
         from mm2_gb_tpu.models.pipeline import map_file_tpu_records
-        for sr, regs in map_file_tpu_records(index, mo, args.query):
-            res_regs_out(out, index, mo, sr.rec, regs, sr.rep_len,
-                         is_sam, rg_id, 0, 1, [regs])
+        for q in args.query:  # per-file sequential (main.c:451-455)
+            for sr, regs in map_file_tpu_records(index, mo, [q]):
+                res_regs_out(out, index, mo, sr.rec, regs, sr.rep_len,
+                             is_sam, rg_id, 0, 1, [regs])
         return 0
     from mm2_gb_tpu.models.stream import Metrics, map_file_stream
     metrics = Metrics()
@@ -533,39 +541,6 @@ def _qname_same(a: str, b: str) -> bool:
     from mm2_gb_tpu.utils.sam import _qname_len
     la, lb = _qname_len(a), _qname_len(b)
     return la == lb and a[:la] == b[:lb]
-
-
-def iter_frags(paths: list[str], mo):
-    """Group reads into fragments: multiple files interleave record-by-
-    record (mm_bseq_read_frag2, bseq.c:131-159); one file in frag mode
-    groups consecutive same-qname reads (map.c:1299-1304)."""
-    if len(paths) > 1:
-        iters = [read_fastx(p) for p in paths]
-        while True:
-            frag = []
-            for it in iters:
-                rec = next(it, None)
-                if rec is not None:
-                    frag.append(rec)
-            if len(frag) < len(iters):
-                if frag:
-                    sys.stderr.write("[W] query files have different number "
-                                     "of records; extra records skipped.\n")
-                return
-            yield frag
-    else:
-        frag_mode = bool(mo.flag & O.MM_F_FRAG_MODE)
-        pending = None
-        for rec in read_fastx(paths[0]):
-            if pending is not None and frag_mode and \
-                    _qname_same(pending[-1].name, rec.name):
-                pending.append(rec)
-            else:
-                if pending is not None:
-                    yield pending
-                pending = [rec]
-        if pending is not None:
-            yield pending
 
 
 def res_regs_out(out, index, mo, rec, regs, rep_len, is_sam, rg_id,

@@ -17,6 +17,8 @@ to the reference's 4-bit packed mm_idx_t::S.
 
 from __future__ import annotations
 
+import gzip
+
 import numpy as np
 
 from mm2_gb_tpu.ops.sketch import sketch, _NT4
@@ -312,28 +314,37 @@ def _save_mmi(index: "MinimizerIndex", path: str) -> None:
             S.tofile(f)
 
 
-def from_fasta_parts(path: str, opts: IndexOptions, batch_size: int):
-    """Yield multi-part indices of <= batch_size bases each
-    (mm_idx_reader_read batching, index.c:583-628)."""
+def from_fasta_parts2(path: str, opts: IndexOptions, batch_size: int):
+    """Yield (index, is_last) multi-part indices of >= batch_size bases
+    each (mm_idx_reader_read batching, index.c:583-628).  is_last mirrors
+    mm_idx_reader_eof (main.c:413) via a one-record lookahead."""
+    it = read_fastx(path)
     part: list[SeqRecord] = []
     total = 0
     part_id = 0
-    for rec in read_fastx(path):
-        part.append(rec)
-        total += rec.length
-        if total >= batch_size:
-            yield MinimizerIndex.build(part, opts, part_id)
+    pending = next(it, None)
+    while pending is not None:
+        part.append(pending)
+        total += pending.length
+        pending = next(it, None)
+        if total >= batch_size or pending is None:
+            yield MinimizerIndex.build(part, opts, part_id), pending is None
             part, total = [], 0
             part_id += 1
-    if part:
-        yield MinimizerIndex.build(part, opts, part_id)
+
+
+def from_fasta_parts(path: str, opts: IndexOptions, batch_size: int):
+    """Yield multi-part indices (see from_fasta_parts2)."""
+    for index, _last in from_fasta_parts2(path, opts, batch_size):
+        yield index
 
 
 def read_alt_list(index: "MinimizerIndex", path: str) -> int:
     """Mark ALT contigs by name (mm_idx_alt_read, index.c:636-658)."""
     n_alt = 0
     name2id = {n: i for i, n in enumerate(index.names)}
-    with open(path) as f:
+    opener = gzip.open if path.endswith(".gz") else open  # gzopen index.c:642
+    with opener(path, "rt") as f:
         for line in f:
             name = line.split()[0] if line.split() else ""
             rid = name2id.get(name, -1)

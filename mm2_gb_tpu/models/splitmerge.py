@@ -22,9 +22,40 @@ from mm2_gb_tpu.utils import opts as O
 
 def map_multipart(target: str, paths: list[str], io, mo, out,
                   batch_size: int, split_prefix: str | None,
-                  rg_id: str | None, cli_args, verbose: int = 1) -> int:
+                  rg: str | None, cli_args, verbose: int = 1,
+                  threads: int = 3) -> int:
     from mm2_gb_tpu.cli import res_regs_out
     from mm2_gb_tpu.ops import align as align_ops
+
+    is_sam = bool(mo.flag & O.MM_F_OUT_SAM)
+    if not split_prefix:
+        # Without --split-prefix there is NO merge: queries map against
+        # each part independently and print as they go (main.c:404-462
+        # index-reader loop).  For SAM, @SQ lines are suppressed when
+        # more parts follow (mm_write_sam_hdr(0,...), main.c:418-421).
+        from mm2_gb_tpu import __version__
+        from mm2_gb_tpu.models.index import from_fasta_parts2
+        from mm2_gb_tpu.models.stream import map_file_stream
+        from mm2_gb_tpu.utils.sam import write_sam_header
+        rg_id = None
+        n_parts = 0
+        for index, is_last in from_fasta_parts2(target, io, batch_size):
+            O.mapopt_update(mo, index)
+            if n_parts == 0 and is_sam:
+                if rg:
+                    rg = rg.replace("\\t", "\t")
+                    rg_id = next((f[3:] for f in rg.split("\t")
+                                  if f.startswith("ID:")), None)
+                out.write(write_sam_header(index if is_last else None,
+                                           rg, __version__, cli_args)
+                          + "\n")
+                if not is_last and verbose >= 2:
+                    sys.stderr.write(
+                        "[WARNING] For a multi-part index, no @SQ lines "
+                        "will be outputted. Please use --split-prefix.\n")
+            map_file_stream(index, mo, paths, out, threads, rg_id)
+            n_parts += 1
+        return 0 if n_parts else 1
 
     parts_meta = []      # (names, lens) per part
     part_results = []    # per part: list over frags of (seg_regs, rep_lens, frag_gap)
@@ -81,11 +112,21 @@ def map_multipart(target: str, paths: list[str], io, mo, out,
     merged.k = io.k
 
     is_sam = bool(mo.flag & O.MM_F_OUT_SAM)
+    rg_id = None
     if is_sam:
         from mm2_gb_tpu import __version__
         from mm2_gb_tpu.utils.sam import write_sam_header
-        out.write(write_sam_header(merged, None, __version__, cli_args)
-                  + "\n")
+        if rg:  # -R forwarded through the multipart path (main.c:196)
+            rg = rg.replace("\\t", "\t")
+            rg_id = next((f[3:] for f in rg.split("\t")
+                          if f.startswith("ID:")), None)
+        # split-prefix order: @RG/@PG first without @SQ (main.c:415-417),
+        # @SQ lines printed by the merge pass (mm_split_merge,
+        # map.c:1466-1468)
+        out.write(write_sam_header(None, rg, __version__, cli_args) + "\n")
+        for i in range(merged.n_seq):
+            out.write(f"@SQ\tSN:{merged.names[i]}"
+                      f"\tLN:{int(merged.lens[i])}\n")
 
     frag_iter = read_frag_batches(paths, mo, mo.mini_batch_size, Metrics())
     fi = 0
@@ -94,10 +135,12 @@ def map_multipart(target: str, paths: list[str], io, mo, out,
             n_seg = len(frag)
             seg_regs = [[] for _ in range(n_seg)]
             rep_lens = [0] * n_seg
-            frag_gap = mo.max_gap
+            # mm_pair gets part 0's dumped frag_gap — the map-time
+            # max_chain_gap_ref incl. the max_frag_len branch
+            # (map.c:509-513 computed, 1346 dumped, 1264 consumed)
+            frag_gap = part_results[0][fi][2]
             for pi in range(n_parts):
-                p_regs, p_replens = part_results[pi][fi]
-                frag_gap = mo.max_gap_ref if mo.max_gap_ref > 0 else frag_gap
+                p_regs, p_replens, _fg = part_results[pi][fi]
                 for s in range(n_seg):
                     for r in p_regs[s]:
                         r.rid += rid_shift[pi]

@@ -52,54 +52,95 @@ def _qname_same(a: str, b: str) -> bool:
     return la == lb and a[:la] == b[:lb]
 
 
+#: mm_bseq_read3 stops extending a same-qname run across a batch boundary
+#: once the crossing read is this long (CHECK_PAIR_THRES, bseq.c:30).
+_CHECK_PAIR_THRES = 1_000_000
+
+
+def _group_frags(recs: list[SeqRecord], frag_mode: bool
+                 ) -> list[list[SeqRecord]]:
+    """Linear qname grouping of a flat batch (map.c:1299-1304)."""
+    frags, j = [], 0
+    for i in range(1, len(recs) + 1):
+        if i == len(recs) or not frag_mode or \
+                not _qname_same(recs[i - 1].name, recs[i].name):
+            frags.append(recs[j:i])
+            j = i
+    return frags
+
+
 def read_frag_batches(paths: list[str], mo, mini_batch: int,
                       metrics: Metrics):
     """Yield lists of fragments (each a list of SeqRecords) totalling
-    >= mini_batch bases (mm_bseq_read3/frag2 + grouping, map.c:1274-1306)."""
+    >= mini_batch bases, replicating the reference reader exactly:
+    multiple files round-robin interleave with batch breaks at round
+    boundaries (mm_bseq_read_frag2, bseq.c:131-159); a single file reads
+    sequentially and, in frag mode, keeps pulling same-qname reads past
+    the batch boundary while the crossing read is short
+    (mm_bseq_read3, bseq.c:80-119).  Fragment grouping is linear over the
+    flat batch by qname (worker_pipeline step 0, map.c:1299-1304).
+
+    NOTE: callers own the main.c:451-458 dispatch — without
+    MM_F_FRAG_MODE, multiple query files must be fed through separate
+    single-file calls, never interleaved (see map_file_stream)."""
     t0 = time.perf_counter()
     frag_mode = len(paths) > 1 or bool(mo.flag & O.MM_F_FRAG_MODE)
-    batch: list[list[SeqRecord]] = []
-    total = 0
-
-    def flush():
-        nonlocal batch, total
-        if batch:
-            yield batch
-            batch, total = [], 0
 
     if len(paths) > 1:
         iters = [read_fastx(p) for p in paths]
-        while True:
-            frag = []
+        recs: list[SeqRecord] = []
+        total = 0
+        eof = False
+        while not eof:
+            rnd = []
             for it in iters:
                 rec = next(it, None)
                 if rec is not None:
-                    frag.append(rec)
-            if len(frag) < len(iters):
-                if frag:
+                    rnd.append(rec)
+            if len(rnd) < len(iters):
+                if rnd:
                     sys.stderr.write("[W] query files have different number "
                                      "of records; extra records skipped.\n")
-                break
-            batch.append(frag)
-            total += sum(r.length for r in frag)
-            if total >= mini_batch:
-                yield from flush()
-    else:
-        pending: list[SeqRecord] | None = None
-        for rec in read_fastx(paths[0]):
-            if pending is not None and frag_mode and \
-                    _qname_same(pending[-1].name, rec.name):
-                pending.append(rec)
+                eof = True
             else:
-                if pending is not None:
-                    batch.append(pending)
-                    total += sum(r.length for r in pending)
-                    if total >= mini_batch:
-                        yield from flush()
-                pending = [rec]
-        if pending is not None:
-            batch.append(pending)
-    yield from flush()
+                recs.extend(rnd)
+                total += sum(r.length for r in rnd)
+            if (eof or total >= mini_batch) and recs:
+                metrics.t_read += time.perf_counter() - t0
+                yield _group_frags(recs, True)
+                t0 = time.perf_counter()
+                recs, total = [], 0
+    else:
+        it = read_fastx(paths[0])
+        carry: SeqRecord | None = None  # fp->s analog (bseq.c:88-93)
+        while True:
+            recs, total = [], 0
+            if carry is not None:
+                recs.append(carry)
+                total = carry.length
+                carry = None
+            crossed = False
+            for rec in it:
+                recs.append(rec)
+                total += rec.length
+                if total >= mini_batch:
+                    crossed = True
+                    break
+            if crossed and frag_mode and \
+                    recs[-1].length < _CHECK_PAIR_THRES:
+                for rec in it:  # same-qname continuation (bseq.c:101-109)
+                    if _qname_same(rec.name, recs[-1].name):
+                        recs.append(rec)
+                    else:
+                        carry = rec
+                        break
+            if not recs:
+                break
+            metrics.t_read += time.perf_counter() - t0
+            yield _group_frags(recs, frag_mode)
+            t0 = time.perf_counter()
+            if not crossed and carry is None:
+                break
     metrics.t_read += time.perf_counter() - t0
 
 
@@ -118,18 +159,20 @@ def _map_one(index: MinimizerIndex, mo, frag: list[SeqRecord]):
         seg_res = [map_frag(index, mo, [r.seq], r.name) for r in recs]
         seg_regs = [sr.seg_regs[0] for sr in seg_res]
         rep_lens = [sr.rep_len for sr in seg_res]
+        frag_gap = seg_res[-1].frag_gap  # last segment's (map.c:1264)
     else:
         res = map_frag(index, mo, [r.seq for r in recs], recs[0].name)
         seg_regs = res.seg_regs if res.seg_regs is not None else \
             [res.regs] + [[] for _ in range(n_seg - 1)]
         rep_lens = [res.rep_len] * n_seg
+        frag_gap = res.frag_gap
     for j in range(n_seg):
         if pe_flip[j]:
             ql = recs[j].length
             for r in seg_regs[j]:
                 r.qs, r.qe = ql - r.qe, ql - r.qs
                 r.rev = not r.rev
-    return seg_regs, rep_lens
+    return seg_regs, rep_lens, frag_gap
 
 
 def map_file_stream(index: MinimizerIndex, mo, paths: list[str], out,
@@ -138,6 +181,12 @@ def map_file_stream(index: MinimizerIndex, mo, paths: list[str], out,
     """Read → map (thread pool) → ordered write."""
     from mm2_gb_tpu.cli import res_regs_out
     metrics = metrics or Metrics()
+    if len(paths) > 1 and not (mo.flag & O.MM_F_FRAG_MODE):
+        # main.c:451-455: without frag mode every query file gets its own
+        # mm_map_file call — sequential, never interleaved.
+        for p in paths:
+            map_file_stream(index, mo, [p], out, n_threads, rg_id, metrics)
+        return metrics
     is_sam = bool(mo.flag & O.MM_F_OUT_SAM)
 
     def write_frag(frag, seg_regs, rep_lens):
@@ -156,7 +205,7 @@ def map_file_stream(index: MinimizerIndex, mo, paths: list[str], out,
             t0 = time.perf_counter()
             results = [_map_one(index, mo, frag) for frag in batch]
             metrics.t_map += time.perf_counter() - t0
-            for frag, (seg_regs, rep_lens) in zip(batch, results):
+            for frag, (seg_regs, rep_lens, _fg) in zip(batch, results):
                 write_frag(frag, seg_regs, rep_lens)
         return metrics
 
@@ -171,7 +220,7 @@ def map_file_stream(index: MinimizerIndex, mo, paths: list[str], out,
             if prev is not None:
                 pbatch, pfuts = prev
                 for frag, fu in zip(pbatch, pfuts):
-                    seg_regs, rep_lens = fu.result()
+                    seg_regs, rep_lens, _fg = fu.result()
                     write_frag(frag, seg_regs, rep_lens)
             metrics.t_map += time.perf_counter() - t0
             prev = (batch, futs)
@@ -179,7 +228,7 @@ def map_file_stream(index: MinimizerIndex, mo, paths: list[str], out,
             t0 = time.perf_counter()
             pbatch, pfuts = prev
             for frag, fu in zip(pbatch, pfuts):
-                seg_regs, rep_lens = fu.result()
+                seg_regs, rep_lens, _fg = fu.result()
                 write_frag(frag, seg_regs, rep_lens)
             metrics.t_map += time.perf_counter() - t0
     finally:

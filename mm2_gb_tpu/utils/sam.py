@@ -31,10 +31,15 @@ def _revcomp_str(s: str) -> str:
 
 def write_sam_header(index, rg: str | None, ver: str,
                      cli_args: list[str] | None) -> str:
-    """@SQ + @PG lines (mm_write_sam_hdr, format.c:118-139)."""
+    """@SQ + @PG lines (mm_write_sam_hdr, format.c:118-139).
+
+    index=None omits the @SQ lines (mm_write_sam_hdr(0,...) — the
+    split-prefix / multi-part header shape, main.c:415-419)."""
     lines = []
-    for i in range(index.n_seq):
-        lines.append(f"@SQ\tSN:{index.names[i]}\tLN:{int(index.lens[i])}")
+    if index is not None:
+        for i in range(index.n_seq):
+            lines.append(
+                f"@SQ\tSN:{index.names[i]}\tLN:{int(index.lens[i])}")
     if rg:
         lines.append(rg.replace("\\t", "\t"))
     pg = f"@PG\tID:minimap2\tPN:minimap2\tVN:{ver}"

@@ -303,3 +303,104 @@ def test_print_seeds_dump_byte_match(capsys):
     with gzip.open(golden_path("invq4.print-seeds.txt.gz"), "rt") as f:
         want = f.read().splitlines()
     assert err == want
+
+
+def test_multifile_nonfrag_sequential(capsys):
+    """Without frag mode, multiple query files map sequentially per file
+    (main.c:451-455) — never interleaved into fragments."""
+    import gzip
+    rc = main(["--max-chain-skip=2147483647", golden_path("simref.fa.gz"),
+               golden_path("pe_1.fq.gz"), golden_path("pe_2.fq.gz")])
+    assert rc == 0
+    with gzip.open(golden_path("pe300.multifile.nonfrag.paf.gz"), "rt") as f:
+        assert capsys.readouterr().out == f.read()
+
+
+def test_multifile_frag_interleave(capsys):
+    """--frag=yes interleaves files round-robin with linear qname grouping
+    (mm_bseq_read_frag2 bseq.c:131-159 + map.c:1299-1304)."""
+    import gzip
+    rc = main(["--max-chain-skip=2147483647", "--frag=yes",
+               golden_path("simref.fa.gz"),
+               golden_path("pe_1.fq.gz"), golden_path("pe_2.fq.gz")])
+    assert rc == 0
+    with gzip.open(golden_path("pe300.multifile.frag.paf.gz"), "rt") as f:
+        assert capsys.readouterr().out == f.read()
+
+
+def test_sr_secondary_yes(capsys):
+    """--secondary=yes clears the sr preset's MM_F_NO_PRINT_2ND
+    (yes_or_no with yes_to_set=0, main.c:252)."""
+    import gzip
+    rc = main(["--max-chain-skip=2147483647", "-x", "sr",
+               "--secondary=yes", golden_path("simref.fa.gz"),
+               golden_path("pe_1.fq.gz"), golden_path("pe_2.fq.gz")])
+    assert rc == 0
+    with gzip.open(golden_path("pe300.sr.secyes.paf.gz"), "rt") as f:
+        assert capsys.readouterr().out == f.read()
+
+
+def test_sr_pe_split_merge_frag_gap(capsys, tmp_path):
+    """-x sr -a with a multi-part index: mm_pair in the merge pass must
+    use the map-time frag_gap incl. the max_frag_len branch
+    (map.c:509-513, dumped at 1346, consumed at 1264)."""
+    import gzip
+    rc = main(["--max-chain-skip=2147483647", "-x", "sr", "-a",
+               "-I", "120k", "--split-prefix", str(tmp_path / "sp"),
+               golden_path("simref.fa.gz"),
+               golden_path("pe_1.fq.gz"), golden_path("pe_2.fq.gz")])
+    assert rc == 0
+    got = [l for l in capsys.readouterr().out.splitlines()
+           if not l.startswith("@PG")]
+    with gzip.open(golden_path("pe300.sr.split120k.sam.gz"), "rt") as f:
+        want = [l for l in f.read().splitlines() if not l.startswith("@PG")]
+    assert got == want
+
+
+def test_junc_bed_gz_byte_match(capsys):
+    """--junc-bed accepts gzipped BED directly (gzopen, index.c:670)."""
+    import gzip
+    rc = main(["--max-chain-skip=2147483647", "-x", "splice",
+               "--junc-bed", golden_path("splice.bed.gz"), "-c",
+               golden_path("splice_genome.fa.gz"),
+               golden_path("splice_reads.fa.gz")])
+    assert rc == 0
+    with gzip.open(golden_path("splice40.juncbed.c.paf.gz"), "rt") as f:
+        assert capsys.readouterr().out == f.read()
+
+
+def test_multipart_no_split_prefix(capsys):
+    """-I without --split-prefix: queries map against each index part
+    independently, printed per part with NO merge (main.c:404-462)."""
+    import gzip
+    rc = main(["--max-chain-skip=2147483647", "-c", "-I", "20k",
+               golden_path("multi3.fa.gz"), golden_path("multi3_q.fa.gz")])
+    assert rc == 0
+    with gzip.open(golden_path("multi3.noI.c.paf.gz"), "rt") as f:
+        assert capsys.readouterr().out == f.read()
+
+
+def test_multipart_no_split_prefix_sam(capsys):
+    """SAM on a true multi-part index without --split-prefix: header has
+    no @SQ lines (mm_write_sam_hdr(0,...), main.c:418-421)."""
+    import gzip
+    rc = main(["--max-chain-skip=2147483647", "-a", "-I", "20k",
+               golden_path("multi3.fa.gz"), golden_path("multi3_q.fa.gz")])
+    assert rc == 0
+    got = [l for l in capsys.readouterr().out.splitlines()
+           if not l.startswith("@PG")]
+    with gzip.open(golden_path("multi3.noI.sam.gz"), "rt") as f:
+        want = [l for l in f.read().splitlines() if not l.startswith("@PG")]
+    assert got == want
+
+
+def test_multipart_true_split_merge(capsys, tmp_path):
+    """Two real index parts with --split-prefix: cross-part merge
+    re-ranking (merge_hits, map.c:1205-1268)."""
+    import gzip
+    rc = main(["--max-chain-skip=2147483647", "-c", "-I", "20k",
+               "--split-prefix", str(tmp_path / "sp"),
+               golden_path("multi3.fa.gz"), golden_path("multi3_q.fa.gz")])
+    assert rc == 0
+    with gzip.open(golden_path("multi3.split.c.paf.gz"), "rt") as f:
+        assert capsys.readouterr().out == f.read()
