@@ -36,7 +36,7 @@ from mm2_gb_tpu.utils.hashkit import read_order_hash
 from mm2_gb_tpu.utils.opts import (MapOptions, MM_F_CIGAR, MM_F_HEAP_SORT,
                                    MM_F_NO_HASH_NAME,
                                    MM_F_NO_LJOIN, MM_F_NO_PRINT_2ND,
-                                   MM_F_PAF_NO_HIT, MM_F_QSTRAND,
+                                   MM_F_PAF_NO_HIT, MM_F_QSTRAND, MM_F_RMQ,
                                    MM_F_SPLICE, MM_F_SR, MM_F_TPU_ALIGN,
                                    MM_I_HPC)
 from mm2_gb_tpu.utils.paf import write_paf
@@ -51,6 +51,7 @@ class SeededRead:
     ay: np.ndarray
     rep_len: int
     mini_pos: np.ndarray
+    mv: np.ndarray | None = None  # retained for the max_occ re-chain
 
 
 def seed_read(index: MinimizerIndex, opt: MapOptions, rec: SeqRecord
@@ -64,7 +65,7 @@ def seed_read(index: MinimizerIndex, opt: MapOptions, rec: SeqRecord
                seed_ops.collect_seed_hits)
     ax, ay, rep_len, mini_pos = collect(
         index, opt, opt.mid_occ, mm, rec.length, rec.name)
-    return SeededRead(rec, ax, ay, rep_len, mini_pos)
+    return SeededRead(rec, ax, ay, rep_len, mini_pos, mm)
 
 
 def finish_read(index: MinimizerIndex, opt: MapOptions, sr: SeededRead,
@@ -99,6 +100,29 @@ def finish_read(index: MinimizerIndex, opt: MapOptions, sr: SeededRead,
                 cx, cy, opt.max_gap, opt.rmq_inner_dist, opt.bw_long,
                 opt.max_chain_skip, opt.rmq_size_cap, opt.min_cnt,
                 opt.min_chain_score, chn_pen_gap, chn_pen_skip)
+
+    # max_occ re-chain (map.c:708-731): for a single-segment read the
+    # best-chain segment-count test degenerates, so this fires only when
+    # no chain survived at mid_occ.  We replicate the CPU reference (the
+    # byte-match target): re-collect from the retained minimizer vector
+    # with opt.max_occ and re-chain on the host.  (The reference GPU
+    # path's own version, post_chaining_helper map.c:459-483, re-seeds
+    # from an empty mv freed by mm_map_seed — a latent reference bug we
+    # do not reproduce.)
+    if (opt.max_occ > opt.mid_occ and sr.rep_len > 0
+            and not (opt.flag & MM_F_RMQ)
+            and u.shape[0] == 0 and sr.mv is not None):
+        collect = (seed_ops.collect_seed_hits_heap
+                   if opt.flag & MM_F_HEAP_SORT else
+                   seed_ops.collect_seed_hits)
+        ax2, ay2, rep_len2, mini_pos2 = collect(
+            index, opt, opt.max_occ, sr.mv, qlen, sr.rec.name)
+        max_gap_qry, max_gap_ref = _chain_gaps(opt, qlen)
+        u, cx, cy = chain_ops.chain_dp(
+            ax2, ay2, max_gap_ref, max_gap_qry, opt.bw, opt.max_chain_skip,
+            opt.max_chain_iter, opt.min_cnt, opt.min_chain_score,
+            chn_pen_gap, chn_pen_skip, bool(opt.flag & MM_F_SPLICE), 1)
+        sr.rep_len, sr.mini_pos = rep_len2, mini_pos2
 
     hash_ = read_order_hash(sr.rec.name, qlen, opt.seed,
                             bool(opt.flag & MM_F_NO_HASH_NAME))

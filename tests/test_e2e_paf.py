@@ -404,3 +404,17 @@ def test_multipart_true_split_merge(capsys, tmp_path):
     assert rc == 0
     with gzip.open(golden_path("multi3.split.c.paf.gz"), "rt") as f:
         assert capsys.readouterr().out == f.read()
+
+
+def test_tpu_chain_max_occ_rechain(capsys):
+    """-f frac,max-occ with --tpu-chain: reads whose seeds all exceed
+    mid_occ re-seed at max_occ and re-chain on the host after device
+    scoring (CPU-reference semantics, map.c:708-731; the GPU path's own
+    branch re-seeds from a freed mv — not reproduced)."""
+    import gzip
+    rc = main(["--max-chain-skip=2147483647", "-f", "0.0002,50", "-c",
+               "--tpu-chain",
+               golden_path("rep60.fa.gz"), golden_path("rep60_q.fa.gz")])
+    assert rc == 0
+    with gzip.open(golden_path("rep60.maxocc.c.paf.gz"), "rt") as f:
+        assert capsys.readouterr().out == f.read()

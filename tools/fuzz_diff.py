@@ -98,6 +98,10 @@ def make_genomic(rng, tag):
         ["--qstrand", "-c"], ["--qstrand", "-c", "--cs"],
         ["--cs=long", "-c"], ["-a", "--MD"], ["-a", "--eqx"],
         ["--tpu-chain", "-c", "--cs"], ["--tpu-chain", "--tpu-align", "-c"],
+        # max_occ > mid_occ exercises the post-device re-chain branch
+        ["--tpu-chain", "-f", "0.0002,5000", "-c"],
+        ["--tpu-chain", "-f", "0.001,50", "-c"],
+        ["-f", "0.0002,5000", "-c"],
         # round-1 flag-surface completion
         ["-P", "-c"], ["-D", "-c"], ["--end-bonus", "12", "-c"],
         ["--max-qlen", "50k", "-c"], ["--chain-skip-scale", "0.5", "-c"],
