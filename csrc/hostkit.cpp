@@ -315,4 +315,34 @@ int64_t mmt_chain_dp(const uint64_t* ax, const uint64_t* ay, int64_t n,
     return n;
 }
 
+// LPT lane packing for the device chain kernel's [rows, lanes] layout
+// (chain_tpu._pack_lanes): longest segment first onto the currently
+// shortest lane; ties broken by lane index (== Python heapq (h, lane)
+// tuple order, so packings are bit-identical to the Python fallback).
+void mmt_lpt_pack(const int64_t* lens, int64_t n, int64_t lanes,
+                  int64_t* lane_of, int64_t* off_of, int64_t* height_out) {
+    std::vector<int64_t> order(n);
+    for (int64_t i = 0; i < n; ++i) order[i] = i;
+    std::stable_sort(order.begin(), order.end(),
+                     [&](int64_t a, int64_t b) { return lens[a] > lens[b]; });
+    // binary min-heap over (height, lane)
+    std::vector<std::pair<int64_t, int64_t>> heap(lanes);
+    for (int64_t l = 0; l < lanes; ++l) heap[l] = {0, l};
+    auto cmp = [](const std::pair<int64_t, int64_t>& a,
+                  const std::pair<int64_t, int64_t>& b) { return a > b; };
+    std::make_heap(heap.begin(), heap.end(), cmp);
+    for (int64_t k = 0; k < n; ++k) {
+        int64_t si = order[k];
+        std::pop_heap(heap.begin(), heap.end(), cmp);
+        auto [h, lane] = heap.back();
+        lane_of[si] = lane;
+        off_of[si] = h;
+        heap.back() = {h + lens[si], lane};
+        std::push_heap(heap.begin(), heap.end(), cmp);
+    }
+    int64_t hmax = 0;
+    for (auto& e : heap) hmax = std::max(hmax, e.first);
+    *height_out = hmax;
+}
+
 }  // extern "C"

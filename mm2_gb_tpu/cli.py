@@ -516,11 +516,14 @@ def _run(args, argv, io, mo) -> int:
                          "reads only; falling back to host chaining.\n")
         mo.flag &= ~(O.MM_F_TPU_CHAIN | O.MM_F_TPU_ALIGN)
     if mo.flag & O.MM_F_TPU_CHAIN:
-        from mm2_gb_tpu.models.pipeline import map_file_tpu_records
+        from mm2_gb_tpu.models.pipeline import (TpuMetrics,
+                                                map_file_tpu_records)
+        tmet = TpuMetrics()
         for q in args.query:  # per-file sequential (main.c:451-455)
-            for sr, regs in map_file_tpu_records(index, mo, [q]):
+            for sr, regs in map_file_tpu_records(index, mo, [q], tmet):
                 res_regs_out(out, index, mo, sr.rec, regs, sr.rep_len,
                              is_sam, rg_id, 0, 1, [regs])
+        tmet.report(args.verbose)
         return 0
     from mm2_gb_tpu.models.stream import Metrics, map_file_stream
     metrics = Metrics()

@@ -141,32 +141,125 @@ def finish_read(index: MinimizerIndex, opt: MapOptions, sr: SeededRead,
                         sr.mini_pos, sr.rep_len, [sr.rec.seq])
 
 
-def map_batch_tpu(index: MinimizerIndex, opt: MapOptions,
-                  records: list[SeqRecord]) -> list[tuple[SeededRead, list]]:
-    """Seed + device-chain + finish one batch of reads."""
-    seeded = [seed_read(index, opt, rec) for rec in records]
-    bounds = np.zeros(len(seeded) + 1, dtype=np.int64)
-    for i, sr in enumerate(seeded):
+@dataclass
+class TpuMetrics:
+    """planalyze analog (gpu/planalyze.cu:59-86, plchain.cu:258-281):
+    per-stage wall time, device wait, relaxation-pair counts and packing
+    efficiency for the device chaining path, printed at -v >= 3."""
+    t_seed: float = 0.0      # host sketch+seed (mm_map_seed analog)
+    t_range: float = 0.0     # range selection + cutting (plrange analog)
+    t_pack: float = 0.0      # lane packing + layout builds
+    t_dispatch: float = 0.0  # kernel launch (async) overhead
+    t_wait: float = 0.0      # blocked on device results (device_get)
+    t_finish: float = 0.0    # backtrack + post + alignment (host)
+    n_reads: int = 0
+    n_anchors: int = 0
+    n_segs: int = 0
+    n_pairs: int = 0         # sum of ranges == anchor-pair relaxations
+    n_dispatch: int = 0      # kernel launches
+    n_batches: int = 0
+    n_spills: int = 0        # batches cut by anchor/read caps
+    cells_used: int = 0      # anchors placed in packed layouts
+    cells_alloc: int = 0     # packed layout capacity (excl. window pad)
+
+    def __post_init__(self):
+        import time
+        self.wall0 = time.perf_counter()
+
+    def report(self, verbose: int = 3) -> None:
+        if verbose < 3:
+            return
+        import sys
+        import time
+        wall = time.perf_counter() - self.wall0
+        host = self.t_seed + self.t_range + self.t_pack + self.t_finish
+        eff = (100.0 * self.cells_used / self.cells_alloc
+               if self.cells_alloc else 0.0)
+        w = sys.stderr.write
+        w(f"[M::tpu] {self.n_reads} reads, {self.n_anchors} anchors, "
+          f"{self.n_segs} segments in {self.n_batches} batches "
+          f"({self.n_spills} cap-split), {self.n_dispatch} kernel "
+          f"launches, packing efficiency {eff:.1f}%\n")
+        w(f"[M::tpu] pairs: {self.n_pairs} "
+          f"({self.n_pairs / wall / 1e6:.1f} Mpairs/s wall)\n")
+        w(f"[M::tpu] time: seed {self.t_seed:.3f}s, range {self.t_range:.3f}s, "
+          f"pack {self.t_pack:.3f}s, dispatch {self.t_dispatch:.3f}s, "
+          f"device-wait {self.t_wait:.3f}s, finish {self.t_finish:.3f}s; "
+          f"host {host:.3f}s / wall {wall:.3f}s\n")
+
+
+def _acc_batches(index: MinimizerIndex, opt: MapOptions, paths: list[str],
+                 metrics: TpuMetrics):
+    """Seed reads and yield accumulation batches bounded by the device
+    capacity caps (mm_trbuf accumulate + overflow spill, map.c:886-922,
+    943-995).  Caps come from TpuConfig (max_total_n/max_read analogs,
+    plmem.cu:473-540); mini-batch boundaries flush like the reference's
+    end-of-stream kt_for hook (kthread.c:52-55)."""
+    import sys
+    import time
+
+    from mm2_gb_tpu.utils.tpucfg import current_config
+    cfg = current_config()
+    acc: list[SeededRead] = []
+    n_anch = 0
+    for batch in read_batches(paths, opt.mini_batch_size):
+        for rec in batch:
+            if opt.dbg_print_qname:  # QR dump (map.c:938-941)
+                sys.stderr.write(f"QR\t{rec.name}\t0\t{rec.length}\n")
+            t0 = time.perf_counter()
+            sr = seed_read(index, opt, rec)
+            metrics.t_seed += time.perf_counter() - t0
+            metrics.n_reads += 1
+            metrics.n_anchors += int(sr.ax.shape[0])
+            if acc and (n_anch + sr.ax.shape[0] > cfg.max_anchors_batch
+                        or len(acc) >= cfg.max_reads_batch):
+                metrics.n_spills += 1
+                yield acc
+                acc, n_anch = [], 0
+            acc.append(sr)
+            n_anch += int(sr.ax.shape[0])
+        if acc:
+            yield acc
+            acc, n_anch = [], 0
+
+
+def _dispatch_batch(index: MinimizerIndex, opt: MapOptions,
+                    acc: list[SeededRead], metrics: TpuMetrics):
+    """Concatenate a batch's anchors and launch device scoring (async)."""
+    metrics.n_batches += 1
+    bounds = np.zeros(len(acc) + 1, dtype=np.int64)
+    for i, sr in enumerate(acc):
         bounds[i + 1] = bounds[i] + sr.ax.shape[0]
     if bounds[-1] == 0:
-        return [(sr, []) for sr in seeded]
-    ax = np.concatenate([sr.ax for sr in seeded])
-    ay = np.concatenate([sr.ay for sr in seeded])
-
+        return acc, bounds, chain_tpu.PendingScores(0)
+    ax = np.concatenate([sr.ax for sr in acc])
+    ay = np.concatenate([sr.ay for sr in acc])
     max_gap_qry, max_gap_ref = _chain_gaps(opt, 0)  # qlen-independent here
     chn_pen_gap = np.float32(float(np.float32(opt.chain_gap_scale)) * 0.01 * index.k)
     chn_pen_skip = np.float32(float(np.float32(opt.chain_skip_scale)) * 0.01 * index.k)
-    f, p = chain_tpu.chain_scores_device(
+    pend = chain_tpu.dispatch_scores(
         ax, ay, bounds, max_gap_ref, max_gap_qry, opt.bw,
-        opt.max_chain_iter, float(chn_pen_gap), float(chn_pen_skip))
+        opt.max_chain_iter, float(chn_pen_gap), float(chn_pen_skip),
+        metrics)
+    return acc, bounds, pend
 
+
+def _finish_batch(index: MinimizerIndex, opt: MapOptions, batch,
+                  metrics: TpuMetrics) -> list[tuple[SeededRead, list]]:
+    """Collect device scores, backtrack and post-process one batch."""
+    import time
+
+    acc, bounds, pend = batch
+    t0 = time.perf_counter()
+    f, p = pend.collect()
+    metrics.t_wait += time.perf_counter() - t0
+    t0 = time.perf_counter()
     slices = []
-    for i, sr in enumerate(seeded):
+    for i, sr in enumerate(acc):
         s, e = int(bounds[i]), int(bounds[i + 1])
         fp = f[s:e]
         pp = np.where(p[s:e] >= 0, p[s:e] - s, -1)
         slices.append((sr, fp, pp))
-
     if _use_device_align(opt):
         _prefill_device(index, opt, slices)
     out = []
@@ -176,7 +269,17 @@ def map_batch_tpu(index: MinimizerIndex, opt: MapOptions,
     finally:
         from mm2_gb_tpu.ops import align as align_ops
         align_ops.set_fill_cache(None)
+    metrics.t_finish += time.perf_counter() - t0
     return out
+
+
+def map_batch_tpu(index: MinimizerIndex, opt: MapOptions,
+                  records: list[SeqRecord]) -> list[tuple[SeededRead, list]]:
+    """Seed + device-chain + finish one batch of reads (synchronous)."""
+    metrics = TpuMetrics()
+    acc = [seed_read(index, opt, rec) for rec in records]
+    return _finish_batch(index, opt,
+                         _dispatch_batch(index, opt, acc, metrics), metrics)
 
 
 def _use_device_align(opt: MapOptions) -> bool:
@@ -228,28 +331,37 @@ def _prefill_device(index: MinimizerIndex, opt: MapOptions,
 
 
 def map_file_tpu_records(index: MinimizerIndex, opt: MapOptions,
-                         paths: list[str]):
-    """Stream (SeededRead, regions) for query files, chaining on the TPU."""
-    for batch in read_batches(paths, opt.mini_batch_size):
-        if opt.dbg_print_qname:  # QR dump, GPU-path analog (map.c:938-941)
-            import sys
-            for rec in batch:
-                sys.stderr.write(f"QR\t{rec.name}\t0\t{rec.length}\n")
-        yield from map_batch_tpu(index, opt, batch)
+                         paths: list[str],
+                         metrics: TpuMetrics | None = None):
+    """Stream (SeededRead, regions) for query files, chaining on the TPU.
+
+    Software-pipelined double buffering (the trbuf/stream analog,
+    map.c:1017-1084 + plchain.cu:292-306): batch N is packed and
+    dispatched to the device *before* batch N-1's host backtrack/align/
+    output runs, so the device computes while the host drains — plus the
+    host seeds batch N+1 while batch N is still in flight."""
+    metrics = metrics or TpuMetrics()
+    pending = None
+    for acc in _acc_batches(index, opt, paths, metrics):
+        pend = _dispatch_batch(index, opt, acc, metrics)
+        if pending is not None:
+            yield from _finish_batch(index, opt, pending, metrics)
+        pending = pend
+    if pending is not None:
+        yield from _finish_batch(index, opt, pending, metrics)
 
 
 def map_file_tpu(index: MinimizerIndex, opt: MapOptions,
                  paths: list[str]) -> Iterator[str]:
     """Stream PAF lines for query files, chaining on the TPU."""
-    for batch in read_batches(paths, opt.mini_batch_size):
-        for sr, regs in map_batch_tpu(index, opt, batch):
-            if regs:
-                for r in regs:
-                    if (opt.flag & MM_F_NO_PRINT_2ND) and r.id != r.parent:
-                        continue
-                    yield write_paf(r, sr.rec.name, sr.rec.length, index,
-                                    opt.flag, sr.rep_len, sr.rec.comment,
-                                    sr.rec.seq)
-            elif opt.flag & MM_F_PAF_NO_HIT:
-                yield write_paf(None, sr.rec.name, sr.rec.length, index,
-                                opt.flag, sr.rep_len)
+    for sr, regs in map_file_tpu_records(index, opt, paths):
+        if regs:
+            for r in regs:
+                if (opt.flag & MM_F_NO_PRINT_2ND) and r.id != r.parent:
+                    continue
+                yield write_paf(r, sr.rec.name, sr.rec.length, index,
+                                opt.flag, sr.rep_len, sr.rec.comment,
+                                sr.rec.seq)
+        elif opt.flag & MM_F_PAF_NO_HIT:
+            yield write_paf(None, sr.rec.name, sr.rec.length, index,
+                            opt.flag, sr.rep_len)

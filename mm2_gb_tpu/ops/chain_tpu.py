@@ -338,25 +338,57 @@ def _round_up(v: int, m: int) -> int:
     return (v + m - 1) // m * m
 
 
-def chain_scores_device(ax: np.ndarray, ay: np.ndarray,
-                        read_bounds: np.ndarray, max_dist_x: int,
-                        max_dist_y: int, bw: int, max_iter: int,
-                        cg: float, cs: float
-                        ) -> tuple[np.ndarray, np.ndarray]:
-    """Chain-score a whole batch of reads' anchors on the TPU.
+class PendingScores:
+    """In-flight device chain scores for one macro-batch.
 
-    Returns (f, p) matching the host oracle's _chain_dp_scores output
-    (p as global predecessor index or -1).  Non-uniform-span (HPC) input
-    falls back to the host, mirroring the reference GPU path's fixed-span
-    restriction (plscore.cuh:11).
+    dispatch_scores() packs and launches the kernels without blocking
+    (JAX async dispatch); collect() device_gets the results and scatters
+    them back — the host does backtrack/alignment of the *previous*
+    batch between the two, the TPU analog of the reference's
+    drain-previous-while-next-runs stream design (plchain.cu:292-306).
     """
+
+    def __init__(self, n: int):
+        self.f = np.zeros(n, dtype=np.int32)
+        self.p = np.full(n, -1, dtype=np.int64)
+        self.parts: list = []   # (dev_f, dev_p, src, rows, cols)
+        self.collected = n == 0
+
+    def collect(self) -> tuple[np.ndarray, np.ndarray]:
+        """Block on the device results and scatter into (f, p)."""
+        if not self.collected:
+            for dev_f, dev_p, src, rows, cols in self.parts:
+                # device_get, NOT np.asarray: the latter falls into a
+                # pathological element-wise path on tunneled TPU platforms
+                f, p = jax.device_get((dev_f, dev_p))
+                self.f[src] = f[rows, cols]
+                prel = p[rows, cols].astype(np.int64)
+                self.p[src] = np.where(prel > 0, src - prel, -1)
+            self.parts = []
+            self.collected = True
+        return self.f, self.p
+
+
+def dispatch_scores(ax: np.ndarray, ay: np.ndarray,
+                    read_bounds: np.ndarray, max_dist_x: int,
+                    max_dist_y: int, bw: int, max_iter: int,
+                    cg: float, cs: float, metrics=None) -> PendingScores:
+    """Pack and asynchronously launch chain scoring for a whole batch.
+
+    Host-side work (range selection, cutting, lane packing) happens here;
+    kernels are dispatched per window class without blocking.  Non-
+    uniform-span (HPC) input and oversize segments compute on the host
+    immediately, mirroring the reference GPU path's fixed-span
+    restriction (plscore.cuh:11) and CPU fallback (map.c:1030-1035).
+    """
+    import time
+
     from mm2_gb_tpu.ops.chain import _chain_dp_scores
 
     n = ax.shape[0]
-    f_out = np.zeros(n, dtype=np.int32)
-    p_out = np.full(n, -1, dtype=np.int64)
+    pend = PendingScores(n)
     if n == 0:
-        return f_out, p_out
+        return pend
     if max_dist_x < bw:
         max_dist_x = bw
     if max_dist_y < bw:
@@ -368,8 +400,11 @@ def chain_scores_device(ax: np.ndarray, ay: np.ndarray,
         f, p = _chain_dp_scores(ax, ay, max_dist_x, max_dist_y, bw,
                                 2**31 - 1, max_iter, np.float32(cg),
                                 np.float32(cs), False, 1)
-        return f, p
+        pend.f, pend.p = f, p
+        pend.collected = True
+        return pend
 
+    t0 = time.perf_counter()
     rng = compute_ranges(ax, read_bounds, max_dist_x, max_iter)
     bounds = cut_segments(rng)
     seg_lens = np.diff(bounds)
@@ -381,6 +416,10 @@ def chain_scores_device(ax: np.ndarray, ay: np.ndarray,
     y32 = (ay & np.uint64(0xFFFFFFFF)).astype(np.int32)
     seg_of = np.repeat(np.arange(n_segs), seg_lens)
     row_of = np.arange(n, dtype=np.int64) - np.repeat(bounds[:-1], seg_lens)
+    if metrics is not None:
+        metrics.t_range += time.perf_counter() - t0
+        metrics.n_segs += int(n_segs)
+        metrics.n_pairs += int(rng.sum(dtype=np.int64))
 
     for wi, W in enumerate(WINDOW_CLASSES):
         lo = 0 if wi == 0 else WINDOW_CLASSES[wi - 1]
@@ -388,8 +427,22 @@ def chain_scores_device(ax: np.ndarray, ay: np.ndarray,
             else np.nonzero(seg_maxrng <= W)[0]
         if sel.shape[0] == 0:
             continue
-        _run_class(sel, seg_lens, bounds, seg_of, row_of, rng, x32, y32,
-                   f_out, p_out, W, span, max_dist_x, max_dist_y, bw, cg, cs)
+        t0 = time.perf_counter()
+        ntiles, start, X, Y, R, src, rows, cols = pack_class(
+            sel, seg_lens, seg_of, row_of, rng, x32, y32, W)
+        if metrics is not None:
+            metrics.t_pack += time.perf_counter() - t0
+            metrics.cells_used += int(src.shape[0])
+            metrics.cells_alloc += int(X.shape[0] - W) * LANES
+            metrics.n_dispatch += 1
+        t0 = time.perf_counter()
+        dev_f, dev_p = chain_packed_tpu(
+            ntiles, start, X, Y, R, W=W, span=span, max_dist_x=max_dist_x,
+            max_dist_y=max_dist_y, bw=bw, cg=cg, cs=cs)
+        pend.parts.append((dev_f, dev_p, src, rows, cols))
+        if metrics is not None:
+            metrics.t_dispatch += time.perf_counter() - t0
+    pend.collected = False
 
     # capacity fallback: segments wider than the largest window class chain
     # on the host, like the reference's CPU fallback for reads that miss
@@ -406,9 +459,19 @@ def chain_scores_device(ax: np.ndarray, ay: np.ndarray,
                                       max_dist_y, bw, 2**31 - 1, max_iter,
                                       np.float32(cg), np.float32(cs),
                                       False, 1)
-            f_out[s:e] = fs
-            p_out[s:e] = np.where(ps >= 0, ps + s, -1)
-    return f_out, p_out
+            pend.f[s:e] = fs
+            pend.p[s:e] = np.where(ps >= 0, ps + s, -1)
+    return pend
+
+
+def chain_scores_device(ax: np.ndarray, ay: np.ndarray,
+                        read_bounds: np.ndarray, max_dist_x: int,
+                        max_dist_y: int, bw: int, max_iter: int,
+                        cg: float, cs: float
+                        ) -> tuple[np.ndarray, np.ndarray]:
+    """Synchronous dispatch + collect (see dispatch_scores)."""
+    return dispatch_scores(ax, ay, read_bounds, max_dist_x, max_dist_y,
+                           bw, max_iter, cg, cs).collect()
 
 
 def _pack_lanes(lens: np.ndarray) -> tuple[np.ndarray, np.ndarray, int]:
@@ -416,7 +479,11 @@ def _pack_lanes(lens: np.ndarray) -> tuple[np.ndarray, np.ndarray, int]:
 
     Returns (lane_of_seg, off_of_seg, height): multiple segments stack in
     one lane back-to-back; heights stay balanced by always extending the
-    currently-shortest lane (LPT)."""
+    currently-shortest lane (LPT).  The native path (csrc/hostkit.cpp::
+    mmt_lpt_pack) produces bit-identical packings ~40x faster."""
+    from mm2_gb_tpu.utils import native
+    if native.available():
+        return native.lpt_pack(lens, LANES)
     order = np.argsort(-lens, kind="stable")
     lane_of = np.empty(lens.shape[0], dtype=np.int64)
     off_of = np.empty(lens.shape[0], dtype=np.int64)
@@ -473,16 +540,3 @@ def pack_class(sel, seg_lens, seg_of, row_of, rng, x32, y32, W):
     return ntiles, start, X, Y, R, src, rows, cols
 
 
-def _run_class(sel, seg_lens, bounds, seg_of, row_of, rng, x32, y32,
-               f_out, p_out, W, span, max_dist_x, max_dist_y, bw, cg, cs):
-    ntiles, start, X, Y, R, src, rows, cols = pack_class(
-        sel, seg_lens, seg_of, row_of, rng, x32, y32, W)
-    f, p = chain_packed_tpu(ntiles, start, X, Y, R, W=W, span=span,
-                            max_dist_x=max_dist_x, max_dist_y=max_dist_y,
-                            bw=bw, cg=cg, cs=cs)
-    # device_get, NOT np.asarray: the latter falls into a pathological
-    # element-wise path on tunneled TPU platforms (~MB/s vs ~GB/s)
-    f, p = jax.device_get((f, p))
-    f_out[src] = f[rows, cols]
-    prel = p[rows, cols].astype(np.int64)
-    p_out[src] = np.where(prel > 0, src - prel, -1)

@@ -114,6 +114,11 @@ def _load():
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
     ]
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.mmt_lpt_pack.restype = None
+    lib.mmt_lpt_pack.argtypes = [
+        i64p, ctypes.c_int64, ctypes.c_int64, i64p, i64p, i64p,
+    ]
     _LIB = lib
     return _LIB
 
@@ -308,3 +313,20 @@ def chain_backtrack_native(f, p, z_y, min_cnt, min_sc, max_drop):
         v.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         ctypes.byref(n_u))
     return u[:n_u.value].copy(), v[:n_v].copy()
+
+
+def lpt_pack(lens: np.ndarray, lanes: int
+             ) -> tuple[np.ndarray, np.ndarray, int]:
+    """LPT bin packing (chain_tpu._pack_lanes fast path); packing is
+    bit-identical to the Python heapq fallback."""
+    lib = _load()
+    lens = np.ascontiguousarray(lens, dtype=np.int64)
+    n = lens.shape[0]
+    lane_of = np.empty(n, dtype=np.int64)
+    off_of = np.empty(n, dtype=np.int64)
+    height = ctypes.c_int64(0)
+    p = ctypes.POINTER(ctypes.c_int64)
+    lib.mmt_lpt_pack(lens.ctypes.data_as(p), n, lanes,
+                     lane_of.ctypes.data_as(p), off_of.ctypes.data_as(p),
+                     ctypes.byref(height))
+    return lane_of, off_of, int(height.value)

@@ -23,9 +23,22 @@ class TpuConfig:
     lanes: int = 128            # VPU lane width (fixed by hardware)
     tile: int = 128             # dst tile rows per kernel step
     # macro-batch caps (max_total_n / max_read analogs, plmem.cu:473-540)
+    # consumed by models.pipeline._acc_batches; a batch is cut (and the
+    # overflow read spilled to the next one, map.c:886-922) when either
+    # cap would be exceeded
     max_anchors_batch: int = 50_000_000
     max_reads_batch: int = 200_000
-    micro_batch: int = 1        # concurrent in-flight kernel launches
+    # NOTE: the reference's micro_batch knob (plmem.cuh:7-9) has no TPU
+    # analog: XLA reuses HBM buffers across dispatches and JAX's async
+    # dispatch queues kernels, so there is nothing to sub-batch.
+
+
+_current = TpuConfig()
+
+
+def current_config() -> TpuConfig:
+    """The active config (set by apply_tpu_config; defaults otherwise)."""
+    return _current
 
 
 def load_tpu_config(path: str | None) -> TpuConfig:
@@ -41,15 +54,16 @@ def load_tpu_config(path: str | None) -> TpuConfig:
         return cfg
     if "window_classes" in data:
         cfg.window_classes = tuple(int(v) for v in data["window_classes"])
-    for k in ("lanes", "tile", "max_anchors_batch", "max_reads_batch",
-              "micro_batch"):
+    for k in ("lanes", "tile", "max_anchors_batch", "max_reads_batch"):
         if k in data:
             setattr(cfg, k, int(data[k]))
     return cfg
 
 
 def apply_tpu_config(cfg: TpuConfig) -> None:
-    """Install the window classes into the kernel dispatch."""
+    """Install the config into the kernel dispatch + batcher."""
+    global _current
+    _current = cfg
     from mm2_gb_tpu.ops import chain_tpu
     chain_tpu.WINDOW_CLASSES = tuple(sorted(cfg.window_classes))
 

@@ -231,3 +231,76 @@ def test_device_align_pipeline_matches_host_e2e():
         want = [write_paf(r, rec.name, rec.length, index, mo_host.flag,
                           host.rep_len) for r in host.regs]
         assert got == want
+
+
+def test_native_lpt_pack_matches_python():
+    """csrc mmt_lpt_pack must produce bit-identical packings to the
+    Python heapq LPT (same (height, lane) tie order)."""
+    import heapq
+
+    from mm2_gb_tpu.utils import native
+    if not native.available():
+        import pytest
+        pytest.skip("native hostkit unavailable")
+    rng = np.random.default_rng(42)
+    for _ in range(10):
+        n = int(rng.integers(1, 3000))
+        lens = rng.integers(1, 400, size=n).astype(np.int64)
+        ln, of, h = native.lpt_pack(lens, chain_tpu.LANES)
+        order = np.argsort(-lens, kind="stable")
+        lane_of = np.empty(n, np.int64)
+        off_of = np.empty(n, np.int64)
+        heap = [(0, lane) for lane in range(chain_tpu.LANES)]
+        heapq.heapify(heap)
+        for si in order:
+            hh, lane = heapq.heappop(heap)
+            lane_of[si] = lane
+            off_of[si] = hh
+            heapq.heappush(heap, (hh + int(lens[si]), lane))
+        assert np.array_equal(ln, lane_of)
+        assert np.array_equal(of, off_of)
+        assert h == max(hh for hh, _ in heap)
+
+
+def test_batch_caps_split_and_match():
+    """max_anchors_batch splits the accumulation into multiple device
+    batches with overflow spill; output equals the uncapped run."""
+    from mm2_gb_tpu.models.index import MinimizerIndex
+    from mm2_gb_tpu.models.pipeline import TpuMetrics, map_file_tpu_records
+    from mm2_gb_tpu.utils import opts as O
+    from mm2_gb_tpu.utils import tpucfg
+    from mm2_gb_tpu.utils.paf import write_paf
+    from mm2_gb_tpu.utils.simulate import random_reference, simulate_readset
+    import tempfile
+
+    ref = random_reference(30_000, seed=11)
+    reads = simulate_readset(ref, 4, 600, 1_200, seed=12)
+    io, mo = O.set_preset(None)
+    mo.max_chain_skip = 2**31 - 1
+    index = MinimizerIndex.from_strings([ref], io, names=["c"])
+    O.mapopt_update(mo, index)
+    with tempfile.NamedTemporaryFile("w", suffix=".fa", delete=False) as f:
+        for n, s in reads:
+            f.write(f">{n}\n{s}\n")
+        qpath = f.name
+
+    def run():
+        out = []
+        met = TpuMetrics()
+        for sr, regs in map_file_tpu_records(index, mo, [qpath], met):
+            for r in regs:
+                out.append(write_paf(r, sr.rec.name, sr.rec.length, index,
+                                     mo.flag, sr.rep_len))
+        return out, met
+
+    base, met0 = run()
+    assert met0.n_batches == 1
+    old = tpucfg._current
+    try:
+        tpucfg._current = tpucfg.TpuConfig(max_anchors_batch=200)
+        capped, met1 = run()
+    finally:
+        tpucfg._current = old
+    assert met1.n_batches > 1
+    assert met1.n_spills > 0
+    assert capped == base
