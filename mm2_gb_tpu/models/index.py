@@ -104,22 +104,56 @@ class MinimizerIndex:
         return cls.build(recs, opts)
 
     # --------------------------------------------------------------- lookup
+    def _lut(self):
+        """Unique-minimizer lookup tables, built lazily on first use:
+        (uniq hashes, first-occurrence offset, occurrence count) plus a
+        bucket-offset table over the hash's top bits — the sorted-array
+        equivalent of the reference's 2^b hash buckets (index.c:27-32)."""
+        lut = getattr(self, "_lut_cache", None)
+        if lut is None:
+            uniq, start, cnt = np.unique(self.occ_hash, return_index=True,
+                                         return_counts=True)
+            start = start.astype(np.int64)
+            cnt = cnt.astype(np.int64)
+            if uniq.shape[0]:
+                shift = max(int(uniq[-1]).bit_length() - 14, 0)
+                n_buckets = (int(uniq[-1]) >> shift) + 1
+                edges = (np.arange(n_buckets + 1, dtype=np.uint64)
+                         << np.uint64(shift))
+                boff = np.searchsorted(uniq, edges).astype(np.int64)
+            else:
+                shift, n_buckets = 0, 0
+                boff = np.zeros(1, np.int64)
+            lut = (uniq, start, cnt, boff, n_buckets, shift)
+            self._lut_cache = lut
+        return lut
+
     def lookup(self, qhashes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """Vectorized point lookup (mm_idx_get analog, index.c:81-98).
 
         `qhashes` are raw minimizer hashes (x >> 8 of sketch output).
         Returns (start, count) int64 arrays into self.occ_pos.
         """
-        q = np.asarray(qhashes, dtype=np.uint64)
-        lo = np.searchsorted(self.occ_hash, q, side="left")
-        hi = np.searchsorted(self.occ_hash, q, side="right")
-        return lo.astype(np.int64), (hi - lo).astype(np.int64)
+        from mm2_gb_tpu.utils import native
+        q = np.ascontiguousarray(qhashes, dtype=np.uint64)
+        uniq, start, cnt, boff, n_buckets, shift = self._lut()
+        if uniq.shape[0] == 0:
+            z = np.zeros(q.shape[0], np.int64)
+            return z, z.copy()
+        if native.available():
+            return native.idx_lookup(uniq, start, cnt, boff, n_buckets,
+                                     shift, q)
+        idx = np.searchsorted(uniq, q)
+        idx_c = np.minimum(idx, uniq.shape[0] - 1)
+        found = uniq[idx_c] == q
+        return (np.where(found, start[idx_c], 0),
+                np.where(found, cnt[idx_c], 0))
 
     def cal_max_occ(self, frac: float) -> int:
         """Occurrence threshold at quantile 1-frac (index.c:186-207)."""
         if frac <= 0.0 or self.occ_hash.shape[0] == 0:
             return 2**31 - 1
-        _, counts = np.unique(self.occ_hash, return_counts=True)
+        counts = self._lut()[2]
         n = counts.shape[0]
         kk = int((1.0 - frac) * n)
         if kk >= n:

@@ -340,15 +340,25 @@ def map_file_tpu_records(index: MinimizerIndex, opt: MapOptions,
     dispatched to the device *before* batch N-1's host backtrack/align/
     output runs, so the device computes while the host drains — plus the
     host seeds batch N+1 while batch N is still in flight."""
+    from concurrent.futures import ThreadPoolExecutor
     metrics = metrics or TpuMetrics()
-    pending = None
-    for acc in _acc_batches(index, opt, paths, metrics):
-        pend = _dispatch_batch(index, opt, acc, metrics)
+    # a single dispatch worker serializes host->device transfers off the
+    # main thread (jax releases the GIL during transfer), so seeding of
+    # batch N+1 and finishing of batch N-1 overlap batch N's upload —
+    # the pinned-buffer async-H2D analog (plmem.cu:200-236)
+    ex = ThreadPoolExecutor(max_workers=1)
+    try:
+        pending = None
+        for acc in _acc_batches(index, opt, paths, metrics):
+            fut = ex.submit(_dispatch_batch, index, opt, acc, metrics)
+            if pending is not None:
+                yield from _finish_batch(index, opt, pending.result(),
+                                         metrics)
+            pending = fut
         if pending is not None:
-            yield from _finish_batch(index, opt, pending, metrics)
-        pending = pend
-    if pending is not None:
-        yield from _finish_batch(index, opt, pending, metrics)
+            yield from _finish_batch(index, opt, pending.result(), metrics)
+    finally:
+        ex.shutdown(wait=True)
 
 
 def map_file_tpu(index: MinimizerIndex, opt: MapOptions,

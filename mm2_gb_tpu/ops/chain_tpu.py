@@ -287,10 +287,8 @@ def _chain_kernel(ntiles_ref, start_ref,      # scalar prefetch
     jax.lax.fori_loop(0, n_tiles, tile, 0)
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "W", "span", "max_dist_x", "max_dist_y", "bw", "cg", "cs"))
-def chain_packed_tpu(ntiles, start, x, y, rng, *, W, span,
-                     max_dist_x, max_dist_y, bw, cg, cs):
+def _chain_packed_core(ntiles, start, x, y, rng, *, W, span,
+                       max_dist_x, max_dist_y, bw, cg, cs):
     """Run the blocked chain kernel on W-padded [H, 128] int32 arrays.
 
     `ntiles` ([1] int32) is the dynamic tile trip; `start[i]` the first
@@ -330,6 +328,35 @@ def chain_packed_tpu(ntiles, start, x, y, rng, *, W, span,
     return f, p.astype(jnp.int16)
 
 
+chain_packed_tpu = functools.partial(jax.jit, static_argnames=(
+    "W", "span", "max_dist_x", "max_dist_y", "bw", "cg", "cs"))(
+        _chain_packed_core)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "H", "W", "span", "max_dist_x", "max_dist_y", "bw", "cg", "cs"))
+def chain_compact_tpu(ntiles, start, packed, *, H, W,
+                      span, max_dist_x, max_dist_y, bw, cg, cs):
+    """Compact-transfer variant: ships ONE stacked (5, n) int32 operand
+    [x32; y32; rng; row; col], scatters into the padded [H, 128] layout
+    ON DEVICE, runs the kernel, and gathers a stacked (2, n) [f; p] back
+    — the padded zeros (incl. the W window pad) never cross the host
+    link, and each launch pays one transfer instead of seven (the
+    per-call overhead dominates thin links).  plmem's pinned SoA-reorg
+    H2D analog (plmem.cu:154-236), re-thought for XLA: the reorg is a
+    device-side scatter, not a host memcpy."""
+    x32, y32, rng = packed[0], packed[1], packed[2]
+    rows, cols = packed[3], packed[4]
+    z = jnp.zeros((H, LANES), jnp.int32)
+    X = z.at[rows, cols].set(x32)
+    Y = z.at[rows, cols].set(y32)
+    R = z.at[rows, cols].set(rng)
+    f, p = _chain_packed_core(ntiles, start, X, Y, R, W=W, span=span,
+                              max_dist_x=max_dist_x, max_dist_y=max_dist_y,
+                              bw=bw, cg=cg, cs=cs)
+    return jnp.stack([f[rows, cols], p[rows, cols].astype(jnp.int32)])
+
+
 # --------------------------------------------------------------------------
 # host packing + dispatch
 # --------------------------------------------------------------------------
@@ -357,12 +384,12 @@ class PendingScores:
     def collect(self) -> tuple[np.ndarray, np.ndarray]:
         """Block on the device results and scatter into (f, p)."""
         if not self.collected:
-            for dev_f, dev_p, src, rows, cols in self.parts:
+            for dev_fp, src, n_real in self.parts:
                 # device_get, NOT np.asarray: the latter falls into a
                 # pathological element-wise path on tunneled TPU platforms
-                f, p = jax.device_get((dev_f, dev_p))
-                self.f[src] = f[rows, cols]
-                prel = p[rows, cols].astype(np.int64)
+                fp = jax.device_get(dev_fp)
+                self.f[src] = fp[0, :n_real]
+                prel = fp[1, :n_real].astype(np.int64)
                 self.p[src] = np.where(prel > 0, src - prel, -1)
             self.parts = []
             self.collected = True
@@ -428,18 +455,36 @@ def dispatch_scores(ax: np.ndarray, ay: np.ndarray,
         if sel.shape[0] == 0:
             continue
         t0 = time.perf_counter()
-        ntiles, start, X, Y, R, src, rows, cols = pack_class(
-            sel, seg_lens, seg_of, row_of, rng, x32, y32, W)
+        ntiles, start, H, src, rows, cols = pack_class_meta(
+            sel, seg_lens, seg_of, row_of, rng, W)
+        # quantize every compiled shape to a power of two so batches of
+        # varying size reuse cached executables (XLA recompiles per
+        # shape; ntiles stays the dynamic trip count, so padded tiles
+        # are allocated but never executed)
+        n_real = int(src.shape[0])
+        n_pad = max(1 << (n_real - 1).bit_length(), 2048)
+        tiles_real = int(ntiles[0])
+        tiles_alloc = 1 << (tiles_real - 1).bit_length()
+        H_alloc = W + tiles_alloc * TILE
+        packed = np.zeros((5, n_pad), np.int32)
+        packed[0, :n_real] = x32[src]
+        packed[1, :n_real] = y32[src]
+        packed[2, :n_real] = rng[src]
+        packed[3, :n_real] = rows   # pad coords hit (0,0) in the W pad
+        packed[4, :n_real] = cols
+        start_pad = np.full(tiles_alloc, W + TILE - 1, np.int32)
+        start_pad[:tiles_real] = start
         if metrics is not None:
             metrics.t_pack += time.perf_counter() - t0
-            metrics.cells_used += int(src.shape[0])
-            metrics.cells_alloc += int(X.shape[0] - W) * LANES
+            metrics.cells_used += n_real
+            metrics.cells_alloc += tiles_real * TILE * LANES
             metrics.n_dispatch += 1
         t0 = time.perf_counter()
-        dev_f, dev_p = chain_packed_tpu(
-            ntiles, start, X, Y, R, W=W, span=span, max_dist_x=max_dist_x,
-            max_dist_y=max_dist_y, bw=bw, cg=cg, cs=cs)
-        pend.parts.append((dev_f, dev_p, src, rows, cols))
+        dev_fp = chain_compact_tpu(
+            ntiles, start_pad, packed, H=H_alloc, W=W, span=span,
+            max_dist_x=max_dist_x, max_dist_y=max_dist_y, bw=bw,
+            cg=cg, cs=cs)
+        pend.parts.append((dev_fp, src, n_real))
         if metrics is not None:
             metrics.t_dispatch += time.perf_counter() - t0
     pend.collected = False
@@ -498,10 +543,12 @@ def _pack_lanes(lens: np.ndarray) -> tuple[np.ndarray, np.ndarray, int]:
     return lane_of, off_of, height
 
 
-def pack_class(sel, seg_lens, seg_of, row_of, rng, x32, y32, W):
-    """Densely pack the selected segments into the kernel's padded
-    [W + tiles*128, 128] layout.  Returns (ntiles, start, X, Y, R) kernel
-    inputs plus (src, rows, cols) for scattering results back."""
+def pack_class_meta(sel, seg_lens, seg_of, row_of, rng, W):
+    """Packing metadata for the selected segments: the padded layout's
+    (ntiles, start, H) plus the (src, rows, cols) coordinates of every
+    in-class anchor.  The dense layout itself is built on device
+    (chain_compact_tpu); only the per-row range max is materialized here
+    to derive each tile's dynamic window start."""
     lens = seg_lens[sel]
     lane_sel, off_sel, height = _pack_lanes(lens)
     n_tiles = max(_round_up(max(height, 1), TILE) // TILE, 1)
@@ -517,6 +564,27 @@ def pack_class(sel, seg_lens, seg_of, row_of, rng, x32, y32, W):
     rows = W + row_of[src] + off_of_seg[seg_of[src]]
     cols = lane_of_seg[seg_of[src]]
 
+    # per-tile dynamic window start: the first padded row whose range can
+    # reach into the tile decides how much of the window the kernel walks
+    rmax = np.zeros(H, np.int32)
+    np.maximum.at(rmax, rows, rng[src])
+    start = np.empty(n_tiles, np.int32)
+    reach = np.arange(H, dtype=np.int64) + np.minimum(rmax, W)
+    for i in range(n_tiles):
+        t0 = i * TILE
+        w = reach[t0:t0 + W + TILE - 1]
+        can = np.nonzero(w >= t0 + W)[0]
+        start[i] = int(can[0]) if can.shape[0] else W + TILE - 1
+    ntiles = np.array([n_tiles], np.int32)
+    return ntiles, start, H, src, rows, cols
+
+
+def pack_class(sel, seg_lens, seg_of, row_of, rng, x32, y32, W):
+    """Densely pack the selected segments into the kernel's padded
+    [W + tiles*128, 128] layout.  Returns (ntiles, start, X, Y, R) kernel
+    inputs plus (src, rows, cols) for scattering results back."""
+    ntiles, start, H, src, rows, cols = pack_class_meta(
+        sel, seg_lens, seg_of, row_of, rng, W)
     shape = (H, LANES)
     X = np.zeros(shape, np.int32)
     Y = np.zeros(shape, np.int32)
@@ -524,19 +592,6 @@ def pack_class(sel, seg_lens, seg_of, row_of, rng, x32, y32, W):
     X[rows, cols] = x32[src]
     Y[rows, cols] = y32[src]
     R[rows, cols] = rng[src]
-
-    # per-tile dynamic window start: the first padded row whose range can
-    # reach into the tile decides how much of the window the kernel walks
-    rmax = R.max(axis=1)
-    start = np.empty(n_tiles, np.int32)
-    idx = np.arange(H, dtype=np.int64)
-    reach = idx + np.minimum(rmax, W)  # farthest dst row each src row touches
-    for i in range(n_tiles):
-        t0 = i * TILE
-        w = reach[t0:t0 + W + TILE - 1]
-        can = np.nonzero(w >= t0 + W)[0]
-        start[i] = int(can[0]) if can.shape[0] else W + TILE - 1
-    ntiles = np.array([n_tiles], np.int32)
     return ntiles, start, X, Y, R, src, rows, cols
 
 

@@ -115,9 +115,15 @@ def _load():
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
     ]
     i64p = ctypes.POINTER(ctypes.c_int64)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
     lib.mmt_lpt_pack.restype = None
     lib.mmt_lpt_pack.argtypes = [
         i64p, ctypes.c_int64, ctypes.c_int64, i64p, i64p, i64p,
+    ]
+    lib.mmt_idx_lookup.restype = None
+    lib.mmt_idx_lookup.argtypes = [
+        u64p, i64p, i64p, ctypes.c_int64, i64p, ctypes.c_int64,
+        ctypes.c_int, u64p, ctypes.c_int64, i64p, i64p,
     ]
     _LIB = lib
     return _LIB
@@ -330,3 +336,21 @@ def lpt_pack(lens: np.ndarray, lanes: int
                      lane_of.ctypes.data_as(p), off_of.ctypes.data_as(p),
                      ctypes.byref(height))
     return lane_of, off_of, int(height.value)
+
+
+def idx_lookup(uniq: np.ndarray, start: np.ndarray, cnt: np.ndarray,
+               boff: np.ndarray, n_buckets: int, shift: int,
+               q: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Bucketed minimizer point lookup (MinimizerIndex.lookup fast path)."""
+    lib = _load()
+    nq = q.shape[0]
+    lo_out = np.empty(nq, dtype=np.int64)
+    cnt_out = np.empty(nq, dtype=np.int64)
+    ip = ctypes.POINTER(ctypes.c_int64)
+    up = ctypes.POINTER(ctypes.c_uint64)
+    lib.mmt_idx_lookup(uniq.ctypes.data_as(up),
+                       start.ctypes.data_as(ip), cnt.ctypes.data_as(ip),
+                       uniq.shape[0], boff.ctypes.data_as(ip), n_buckets,
+                       shift, q.ctypes.data_as(up), nq,
+                       lo_out.ctypes.data_as(ip), cnt_out.ctypes.data_as(ip))
+    return lo_out, cnt_out

@@ -26,7 +26,7 @@ class TpuConfig:
     # consumed by models.pipeline._acc_batches; a batch is cut (and the
     # overflow read spilled to the next one, map.c:886-922) when either
     # cap would be exceeded
-    max_anchors_batch: int = 50_000_000
+    max_anchors_batch: int = 1_000_000
     max_reads_batch: int = 200_000
     # NOTE: the reference's micro_batch knob (plmem.cuh:7-9) has no TPU
     # analog: XLA reuses HBM buffers across dispatches and JAX's async
