@@ -1,10 +1,10 @@
 // rmqkit: native RMQ chaining scores (mg_lchain_rmq analog, lchain.c:250-369).
 //
-// Port of mm2_gb_tpu/ops/chain_rmq.py (the validated host oracle): a
-// sliding active-candidate window keyed by ((int32)y, i) supports
-// min-priority range queries and descending iteration.  Implemented as a
-// rank-indexed segment tree (left-first traversal keeps the oracle's
-// smallest-key tie-break) plus an ordered set for the inner scan.
+// The outer candidate structure is an exact behavioral emulation of the
+// reference's RMQ-augmented AVL tree (csrc/krmq_avl.h): min-priority
+// TIES resolve by tree topology, which is part of the byte contract.
+// The inner tree is only ever iterated in key order (unique keys), so a
+// plain ordered set reproduces it exactly.
 
 #include <cmath>
 #include <cstdint>
@@ -13,6 +13,8 @@
 #include <limits>
 #include <set>
 #include <vector>
+
+#include "krmq_avl.h"
 
 namespace {
 
@@ -24,47 +26,6 @@ inline float fast_log2f(float x) {  // mg_log2 (mmpriv.h:118-126)
     lg += (-0.34484843f * z.f + 2.02466578f) * z.f - 0.67487759f;
     return lg;
 }
-
-constexpr double PRI_INF = std::numeric_limits<double>::infinity();
-
-// segment tree over key ranks: min priority, left-first tie-break
-struct RankTree {
-    int n = 0;  // leaf count, power of two (heap-shaped ranges need it)
-    std::vector<double> t;
-    void init(int n_) {
-        n = 1;
-        while (n < n_) n <<= 1;
-        t.assign(2 * n, PRI_INF);
-    }
-    void set(int pos, double v) {
-        pos += n;
-        t[pos] = v;
-        for (pos >>= 1; pos >= 1; pos >>= 1)
-            t[pos] = t[2 * pos] < t[2 * pos + 1] ? t[2 * pos] : t[2 * pos + 1];
-    }
-    // smallest rank in [lo, hi] attaining the minimum priority (strict <)
-    int argmin(int lo, int hi) const {
-        if (lo > hi) return -1;
-        double best = PRI_INF;
-        int arg = -1;
-        walk(1, 0, n - 1, lo, hi, best, arg);
-        return arg;
-    }
-    void walk(int node, int nl, int nr, int lo, int hi, double &best,
-              int &arg) const {
-        // >= prune: an equal minimum further right never replaces the
-        // leftmost one (the oracle's smallest-key tie-break)
-        if (nr < lo || nl > hi || t[node] >= best)
-            return;
-        if (nl == nr) {
-            if (t[node] < best) { best = t[node]; arg = nl; }
-            return;
-        }
-        int mid = (nl + nr) >> 1;
-        walk(2 * node, nl, mid, lo, hi, best, arg);
-        walk(2 * node + 1, mid + 1, nr, lo, hi, best, arg);
-    }
-};
 
 struct ScSimple { int32_t sc; bool exact; int32_t width; };
 
@@ -98,30 +59,16 @@ extern "C" int64_t mmt_chain_rmq(const uint64_t *ax, const uint64_t *ay,
     if (max_dist < bw) max_dist = bw;
     if (max_dist_inner <= 0 || max_dist_inner >= max_dist)
         max_dist_inner = 0;
-    const double half_gap = 0.5 * (double)cg;
     const bool has_inner = max_dist_inner > 0;
 
-    // rank all (y:int32, i) keys up front
-    std::vector<int64_t> key(n);
-    for (int64_t i = 0; i < n; ++i)
-        key[i] = ((int64_t)(int32_t)ay[i] << 32) | (uint32_t)i;
-    std::vector<int64_t> sorted(key);
-    std::sort(sorted.begin(), sorted.end());
-    std::vector<int32_t> rank(n);
-    for (int64_t i = 0; i < n; ++i)
-        rank[i] = (int32_t)(std::lower_bound(sorted.begin(), sorted.end(),
-                                             key[i]) - sorted.begin());
-    auto rank_upper = [&](int64_t k) {  // #keys <= k
-        return (int32_t)(std::upper_bound(sorted.begin(), sorted.end(), k)
-                         - sorted.begin());
-    };
-
-    RankTree outer, inner;
-    outer.init((int)n);
-    if (has_inner) inner.init((int)n);
-    std::set<int32_t> inner_act;  // active ranks, for descending iteration
+    KrmqAvl outer;
+    std::set<int64_t> inner_act;  // active (y,i) keys, key-order iteration
     std::vector<int64_t> t_(n, 0);
-    int64_t outer_size = 0, inner_size = 0;
+    int64_t inner_size = 0;
+
+    auto key_of = [&](int64_t j) {
+        return ((int64_t)(int32_t)ay[j] << 32) | (uint32_t)j;
+    };
 
     int64_t i0 = 0, st = 0, st_inner = 0;
     for (int64_t i = 0; i < n; ++i) {
@@ -130,14 +77,15 @@ extern "C" int64_t mmt_chain_rmq(const uint64_t *ax, const uint64_t *ay,
         int64_t max_j = -1;
         if (i0 < i && ax[i0] != ax[i]) {
             for (int64_t j = i0; j < i; ++j) {
-                int32_t yj = (int32_t)ay[j];
+                // pri = -(f[j] + 0.5*cg*((int32)x + (int32)y)) with the
+                // reference's wrapping int32 sum (lchain.c:285)
+                int32_t sum = (int32_t)((uint32_t)(int32_t)ax[j]
+                                        + (uint32_t)(int32_t)ay[j]);
                 double pri = -((double)f[j]
-                               + half_gap * ((double)(int32_t)ax[j] + yj));
-                outer.set(rank[j], pri);
-                ++outer_size;
+                               + 0.5 * (double)cg * (double)sum);
+                outer.insert(key_of(j), pri);
                 if (has_inner) {
-                    inner.set(rank[j], pri);
-                    inner_act.insert(rank[j]);
+                    inner_act.insert(key_of(j));
                     ++inner_size;
                 }
             }
@@ -145,9 +93,8 @@ extern "C" int64_t mmt_chain_rmq(const uint64_t *ax, const uint64_t *ay,
         }
         while (st < i && (ax[i] >> 32 != ax[st] >> 32
                           || ax[i] > ax[st] + (uint64_t)max_dist
-                          || outer_size > cap_rmq_size)) {
-            outer.set(rank[st], PRI_INF);
-            --outer_size;
+                          || outer.count > cap_rmq_size)) {
+            outer.erase(key_of(st));
             ++st;
         }
         if (has_inner) {
@@ -155,22 +102,19 @@ extern "C" int64_t mmt_chain_rmq(const uint64_t *ax, const uint64_t *ay,
                    (ax[i] >> 32 != ax[st_inner] >> 32
                     || ax[i] > ax[st_inner] + (uint64_t)max_dist_inner
                     || inner_size > cap_rmq_size)) {
-                inner.set(rank[st_inner], PRI_INF);
-                inner_act.erase(rank[st_inner]);
+                inner_act.erase(key_of(st_inner));
                 --inner_size;
                 ++st_inner;
             }
         }
         int32_t yi = (int32_t)ay[i];
-        // range (lo_key, hi_key]: lo=(yi-max_dist, INT32_MAX), hi=(yi, 0)
+        // CLOSED krmq interval [(yi-max_dist, INT32_MAX), (yi, 0)]
         int64_t lo_key = ((int64_t)(yi - max_dist) << 32)
             | (uint32_t)INT32_MAX;
         int64_t hi_key = ((int64_t)yi << 32);  // | 0
-        int32_t lo_r = rank_upper(lo_key);
-        int32_t hi_r = rank_upper(hi_key) - 1;
-        int32_t cand_rank = outer.argmin(lo_r, hi_r);
-        if (cand_rank >= 0) {
-            int64_t j = (int64_t)(uint32_t)sorted[cand_rank];
+        int cand = outer.rmq(lo_key, hi_key);
+        if (cand >= 0) {
+            int64_t j = (int64_t)(uint32_t)outer.nd[cand].key;
             ScSimple s = sc_simple(ax[i], ay[i], ax[j], ay[j], cg, cs);
             int32_t sc = s.sc + f[j];
             if (s.width <= bw && sc > max_f) {
@@ -179,13 +123,14 @@ extern "C" int64_t mmt_chain_rmq(const uint64_t *ax, const uint64_t *ay,
             }
             if (!s.exact && has_inner && !inner_act.empty() && yi > 0) {
                 int32_t n_skip = 0;
-                // descending from (yi-1, +inf)
+                // descending from (yi-1, +inf) (krmq_interval + itr_prev,
+                // lchain.c:328-347)
                 int64_t from_key = ((int64_t)(yi - 1) << 32)
                     | (uint32_t)INT32_MAX;
-                auto it = inner_act.upper_bound(rank_upper(from_key) - 1);
+                auto it = inner_act.upper_bound(from_key);
                 while (it != inner_act.begin()) {
                     --it;
-                    int64_t k = sorted[*it];
+                    int64_t k = *it;
                     int32_t yj = (int32_t)(k >> 32);
                     int64_t j2 = (int64_t)(uint32_t)k;
                     if (yj < yi - max_dist_inner) break;

@@ -1,8 +1,10 @@
 """Chaining oracle unit tests (score function + DP + backtrack)."""
 
 import numpy as np
+import pytest
 
 from mm2_gb_tpu.ops import chain as C
+from tests.conftest import golden_path
 
 
 def _mk_anchors(pairs, span=15):
@@ -91,3 +93,67 @@ def test_min_cnt_filter():
     u, cx, cy = C.chain_dp(ax, ay, 5000, 5000, 500, 2**31 - 1, 5000,
                            3, 10, 0.12, 0.0, False, 1)
     assert u.shape[0] == 0
+
+
+def test_krmq_avl_matches_reference_tree():
+    """KrmqAvl replays op streams recorded from a harness built on the
+    reference's own krmq.h — incl. heavy priority ties, where the answer
+    depends on tree topology (krmq.h:110-150)."""
+    import gzip
+    import json
+
+    from mm2_gb_tpu.ops.chain_rmq import KrmqAvl
+    INT32_MAX = 2**31 - 1
+    with gzip.open(golden_path("krmq_ops.json.gz"), "rt") as f:
+        gold = json.load(f)
+    for g in gold:
+        t = KrmqAvl()
+        out = []
+        for op in g["ops"]:
+            fld = op.split()
+            if fld[0] == "I":
+                y, i, pri = int(fld[1]), int(fld[2]), float(fld[3])
+                t.insert((y << 32) | i, pri)
+            elif fld[0] == "E":
+                t.erase((int(fld[1]) << 32) | int(fld[2]))
+            else:
+                lo, hi = int(fld[1]), int(fld[2])
+                q = t.rmq((lo << 32) | INT32_MAX, hi << 32)
+                out.append(f"{t.key[q] >> 32} {t.key[q] & 0xFFFFFFFF}"
+                           if q >= 0 else "NONE")
+        assert out == g["answers"]
+
+
+@pytest.mark.parametrize("use_native", [True, False])
+def test_chain_rmq_tie_cases_match_reference(use_native, monkeypatch):
+    """Tie-heavy anchor sets (equal RMQ priorities along anti-diagonals)
+    against chain dumps recorded from the reference's mg_lchain_rmq —
+    the cases a smallest-(y,i) tie heuristic can mis-order."""
+    import gzip
+    import json
+
+    from mm2_gb_tpu.ops import chain_rmq as R
+    from mm2_gb_tpu.utils import native
+    if use_native and not native.available():
+        pytest.skip("native unavailable")
+    if not use_native:
+        monkeypatch.setenv("MM2TPU_NO_NATIVE", "1")
+    with gzip.open(golden_path("rmq_tie_cases.json.gz"), "rt") as f:
+        cases = json.load(f)
+    for c in cases:
+        ax = np.array(c["ax"], np.uint64)
+        ay = np.array(c["ay"], np.uint64)
+        md, inner, bw, skip, cap, mc, ms, cg, cs = c["params"]
+        u, cx, cy = R.chain_rmq(ax, ay, md, inner, bw, skip, cap,
+                                mc, ms, cg, cs)
+        out = []
+        off = 0
+        for k in range(u.shape[0]):
+            sc = int(u[k] >> np.uint64(32))
+            cnt = int(u[k] & np.uint64(0xFFFFFFFF))
+            out.append(f"U {sc} {cnt}")
+            for j in range(cnt):
+                out.append(f"A {int(cx[off + j])} {int(cy[off + j])}")
+            off += cnt
+        got = "\n".join(out) + ("\n" if out else "")
+        assert got == c["dump"]
