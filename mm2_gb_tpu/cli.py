@@ -110,6 +110,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="run chaining on the TPU (analog of --gpu-chain)")
     p.add_argument("--tpu-align", action="store_true",
                    help="batch gap-fill extension DP on the TPU")
+    p.add_argument("--tpu-devices", type=int, default=1,
+                   help="data-parallel device count for --tpu-chain "
+                        "(0 = all local devices)")
     p.add_argument("--tpu-cfg", default=None,
                    help="device batch config JSON (analog of --gpu-cfg)")
     p.add_argument("-u", dest="splice_strand", choices=["f", "b", "r", "n"],
@@ -519,10 +522,25 @@ def _run(args, argv, io, mo) -> int:
         from mm2_gb_tpu.models.pipeline import (TpuMetrics,
                                                 map_file_tpu_records)
         tmet = TpuMetrics()
-        for q in args.query:  # per-file sequential (main.c:451-455)
-            for sr, regs in map_file_tpu_records(index, mo, [q], tmet):
-                res_regs_out(out, index, mo, sr.rec, regs, sr.rep_len,
-                             is_sam, rg_id, 0, 1, [regs])
+        n_dev = args.tpu_devices
+        if n_dev != 1:
+            import jax
+            from mm2_gb_tpu.parallel.mesh import (make_mesh,
+                                                  map_file_multichip)
+            avail = len(jax.devices())
+            n_dev = avail if n_dev == 0 else min(n_dev, avail)
+        if n_dev > 1:
+            mesh = make_mesh(n_dev)
+            for q in args.query:  # per-file sequential (main.c:451-455)
+                for sr, regs in map_file_multichip(index, mo, [q], mesh,
+                                                   tmet):
+                    res_regs_out(out, index, mo, sr.rec, regs, sr.rep_len,
+                                 is_sam, rg_id, 0, 1, [regs])
+        else:
+            for q in args.query:
+                for sr, regs in map_file_tpu_records(index, mo, [q], tmet):
+                    res_regs_out(out, index, mo, sr.rec, regs, sr.rep_len,
+                                 is_sam, rg_id, 0, 1, [regs])
         tmet.report(args.verbose)
         return 0
     from mm2_gb_tpu.models.stream import Metrics, map_file_stream

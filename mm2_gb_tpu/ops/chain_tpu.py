@@ -399,7 +399,8 @@ class PendingScores:
 def dispatch_scores(ax: np.ndarray, ay: np.ndarray,
                     read_bounds: np.ndarray, max_dist_x: int,
                     max_dist_y: int, bw: int, max_iter: int,
-                    cg: float, cs: float, metrics=None) -> PendingScores:
+                    cg: float, cs: float, metrics=None,
+                    device=None) -> PendingScores:
     """Pack and asynchronously launch chain scoring for a whole batch.
 
     Host-side work (range selection, cutting, lane packing) happens here;
@@ -407,6 +408,10 @@ def dispatch_scores(ax: np.ndarray, ay: np.ndarray,
     uniform-span (HPC) input and oversize segments compute on the host
     immediately, mirroring the reference GPU path's fixed-span
     restriction (plscore.cuh:11) and CPU fallback (map.c:1030-1035).
+
+    `device` pins the launch to a specific jax.Device — the data-parallel
+    multichip path dispatches one shard per chip this way (computation
+    follows committed operands; zero collectives).
     """
     import time
 
@@ -480,6 +485,9 @@ def dispatch_scores(ax: np.ndarray, ay: np.ndarray,
             metrics.cells_alloc += tiles_real * TILE * LANES
             metrics.n_dispatch += 1
         t0 = time.perf_counter()
+        if device is not None:
+            ntiles, start_pad, packed = jax.device_put(
+                (ntiles, start_pad, packed), device)
         dev_fp = chain_compact_tpu(
             ntiles, start_pad, packed, H=H_alloc, W=W, span=span,
             max_dist_x=max_dist_x, max_dist_y=max_dist_y, bw=bw,

@@ -147,6 +147,114 @@ def merge_paf_shards(shards: list[list[tuple[int, str]]]) -> list[str]:
     return [line for _, line in allrecs]
 
 
+def _shard_reads(bounds: np.ndarray, n_dev: int) -> np.ndarray:
+    """Contiguous read shards balanced by anchor count; returns read-index
+    boundaries of length n_dev+1."""
+    n_reads = bounds.shape[0] - 1
+    n = int(bounds[-1])
+    if n_reads <= n_dev:
+        edges = np.arange(n_dev + 1)
+        return np.minimum(edges, n_reads)
+    targets = np.searchsorted(bounds[1:-1],
+                              (np.arange(1, n_dev) * n) // n_dev) + 1
+    return np.concatenate(([0], targets, [n_reads]))
+
+
+def dispatch_batch_multichip(index, opt, seeded, mesh, metrics=None):
+    """Launch chain scoring for a seeded batch with reads data-parallel
+    across the mesh devices — one async dispatch_scores per chip on its
+    contiguous anchor-balanced shard (no collectives: chaining is
+    embarrassingly parallel across reads, SURVEY.md §5.8).  Returns the
+    state consumed by finish_batch_multichip."""
+    from mm2_gb_tpu.models.mapper import _chain_gaps
+    from mm2_gb_tpu.ops import chain_tpu as CT
+
+    devs = list(mesh.devices.flat)
+    bounds = np.zeros(len(seeded) + 1, dtype=np.int64)
+    for i, sr in enumerate(seeded):
+        bounds[i + 1] = bounds[i] + sr.ax.shape[0]
+    if bounds[-1] == 0:
+        return seeded, bounds, []
+    ax = np.concatenate([sr.ax for sr in seeded])
+    ay = np.concatenate([sr.ay for sr in seeded])
+    max_gap_qry, max_gap_ref = _chain_gaps(opt, 0)
+    cg = np.float32(float(np.float32(opt.chain_gap_scale)) * 0.01 * index.k)
+    cs = np.float32(float(np.float32(opt.chain_skip_scale)) * 0.01 * index.k)
+
+    shard_edges = _shard_reads(bounds, len(devs))
+    pends = []
+    for d, dev in enumerate(devs):
+        r0, r1 = int(shard_edges[d]), int(shard_edges[d + 1])
+        s, e = int(bounds[r0]), int(bounds[r1])
+        if e == s:
+            continue
+        sub_bounds = (bounds[r0:r1 + 1] - s).astype(np.int64)
+        pend = CT.dispatch_scores(ax[s:e], ay[s:e], sub_bounds,
+                                  max_gap_ref, max_gap_qry, opt.bw,
+                                  opt.max_chain_iter, float(cg), float(cs),
+                                  metrics, device=dev)
+        pends.append((pend, s, e))
+    return seeded, bounds, pends
+
+
+def finish_batch_multichip(index, opt, state, metrics=None):
+    """Collect every shard's scores and run the host finish path in
+    global read order; returns [(SeededRead, regions)]."""
+    from mm2_gb_tpu.models.pipeline import finish_read
+
+    seeded, bounds, pends = state
+    n = int(bounds[-1])
+    f = np.zeros(n, np.int32)
+    p = np.full(n, -1, np.int64)
+    for pend, s, e in pends:
+        fs, ps = pend.collect()
+        f[s:e] = fs
+        p[s:e] = np.where(ps >= 0, ps + s, -1)
+    out = []
+    for i, sr in enumerate(seeded):
+        s, e = int(bounds[i]), int(bounds[i + 1])
+        fp = f[s:e]
+        pp = np.where(p[s:e] >= 0, p[s:e] - s, -1)
+        out.append((sr, finish_read(index, opt, sr, fp, pp)))
+    return out
+
+
+def map_file_multichip(index, opt, paths, mesh, metrics=None):
+    """Stream (SeededRead, regions) with reads data-parallel across the
+    mesh — the multi-chip end-to-end mapping driver.  Double-buffered
+    like the single-chip path: all chips score batch N while the host
+    finishes batch N-1."""
+    from mm2_gb_tpu.models.pipeline import TpuMetrics, _acc_batches
+
+    metrics = metrics or TpuMetrics()
+    pending = None
+    for acc in _acc_batches(index, opt, paths, metrics):
+        state = dispatch_batch_multichip(index, opt, acc, mesh, metrics)
+        if pending is not None:
+            yield from finish_batch_multichip(index, opt, pending, metrics)
+        pending = state
+    if pending is not None:
+        yield from finish_batch_multichip(index, opt, pending, metrics)
+
+
+def init_distributed(coordinator: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> int:
+    """Multi-host initialization (jax.distributed) behind a flag.
+
+    Each host maps its own contiguous slice of the query file(s) and
+    writes a PAF shard tagged by global read id; shards concatenate in
+    process order (reads are assigned to processes contiguously), or via
+    merge_paf_shards when interleaved.  Returns this process's index."""
+    import jax as _jax
+    if num_processes is None or num_processes <= 1:
+        return 0
+    _jax.distributed.initialize(coordinator_address=coordinator,
+                                num_processes=num_processes,
+                                process_id=process_id)
+    return _jax.process_index()
+
+
 # kept for the XLA-only portability path (CPU debugging without Pallas)
 def sharded_chain_step(mesh: Mesh, x, y, span, rng, *, L, W, max_dist_x,
                        max_dist_y, bw, cg, cs):

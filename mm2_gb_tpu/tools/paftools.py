@@ -1022,10 +1022,712 @@ def view(argv) -> int:
     return 0
 
 
+# ---------------------------------------------------------------------------
+# interval helpers (paftools.js:52-120 Interval library semantics)
+# ---------------------------------------------------------------------------
+
+def _iv_sort(a):
+    a.sort(key=lambda x: (x[0], x[1]))
+
+
+def _iv_merge(a, sorted_=True):
+    if not sorted_:
+        _iv_sort(a)
+    k = 0
+    for i in range(1, len(a)):
+        if a[k][1] >= a[i][0]:
+            a[k][1] = max(a[k][1], a[i][1])
+        else:
+            k += 1
+            a[k] = list(a[i])
+    del a[k + 1:]
+
+
+def _iv_index_end(a, sorted_=True):
+    """Append a start-scan index to each interval (Interval.index_end)."""
+    if not a:
+        return
+    if not sorted_:
+        _iv_sort(a)
+    a[0].append(0)
+    k, k_en = 0, a[0][1]
+    for i in range(1, len(a)):
+        if k_en <= a[i][0]:
+            k += 1
+            while k < i:
+                if a[k][1] > a[i][0]:
+                    break
+                k += 1
+            k_en = a[k][1]
+        a[i].append(k)
+
+
+def _iv_find_intv(a, x):
+    left, right = -1, len(a)
+    while right - left > 1:
+        mid = left + ((right - left) >> 1)
+        if a[mid][0] > x:
+            right = mid
+        elif a[mid][0] < x:
+            left = mid
+        else:
+            return mid
+    return left
+
+
+def _iv_find_ovlp(a, st, en):
+    if not a or st >= en:
+        return []
+    low = _iv_find_intv(a, st)
+    k = 0 if low < 0 else a[low][-1]
+    b = []
+    for i in range(k, len(a)):
+        if a[i][0] >= en:
+            break
+        if st < a[i][1]:
+            b.append(a[i])
+    return b
+
+
+def _fmt2(v: float) -> str:
+    """JS Number.toFixed(2) (round-half-away-from-zero)."""
+    import math
+    if v != v:  # NaN
+        return "NaN"
+    s = 1 if v >= 0 else -1
+    return f"{s * math.floor(abs(v) * 100 + 0.5) / 100:.2f}"
+
+
+# ---------------------------------------------------------------------------
+# junceval (paftools.js:2346-2516)
+# ---------------------------------------------------------------------------
+
+def junceval(argv) -> int:
+    """Evaluate splice junction consistency with a GTF annotation."""
+    ap = argparse.ArgumentParser(prog="paftools junceval")
+    ap.add_argument("-l", dest="l_fuzzy", type=int, default=0)
+    ap.add_argument("-p", dest="print_ovlp", action="store_true")
+    ap.add_argument("-e", dest="print_err_only", action="store_true")
+    ap.add_argument("-c", dest="chr_only", action="store_true")
+    ap.add_argument("gtf")
+    ap.add_argument("aln", nargs="?", default="-")
+    args = ap.parse_args(argv)
+    print_ovlp = args.print_ovlp or args.print_err_only
+    out = sys.stdout
+
+    tr = {}
+    with _open(args.gtf) as f:
+        for line in f:
+            t = line.rstrip("\n").split("\t")
+            if t[0].startswith("#") or len(t) < 9 or t[2] != "exon":
+                continue
+            m = re.search(r'transcript_id "(\S+)"', t[8])
+            if m is None:
+                continue
+            tid = m.group(1)
+            tr.setdefault(tid, [t[0], t[6], 0, 0, []])[4].append(
+                [int(t[3]) - 1, int(t[4])])
+    anno = {}
+    for tid, t in tr.items():
+        s = t[4]
+        _iv_sort(s)
+        for i in range(len(s) - 1):
+            if s[i][1] >= s[i + 1][0]:
+                sys.stderr.write(f"WARNING: incorrect annotation for "
+                                 f"transcript {tid} ({s[i][1]} >= "
+                                 f"{s[i+1][0]})\n")
+            # NB: the reference's warn() swallows the push into its
+            # statement only syntactically; the push always runs
+            anno.setdefault(t[0], []).append([s[i][1], s[i + 1][0]])
+    for chrom, e in anno.items():
+        if not e:
+            continue
+        _iv_sort(e)
+        k = 0
+        for i in range(1, len(e)):
+            if e[i][0] != e[k][0] or e[i][1] != e[k][1]:
+                k += 1
+                e[k] = list(e[i])
+        del e[k + 1:]
+        _iv_index_end(e)
+
+    n_pri = n_unmapped = n_mapped = 0
+    n_sgl = n_splice = n_splice_hit = n_splice_novel = 0
+    last_qname = None
+    re_cigar = re.compile(r"(\d+)([MIDNSHP=X])")
+    chr_re = re.compile(r"^(chr)?([0-9]+|X|Y)$")
+    with _open(args.aln) as f:
+        for line in f:
+            t = line.rstrip("\n").split("\t")
+            if t[0].startswith("@"):
+                continue
+            qname = t[0]
+            if len(t) > 4 and t[4] in ("+", "-", "*"):  # PAF
+                ctg, pos, cigar, typ = t[5], int(t[7]), None, "P"
+                for fld in t[12:]:
+                    m = re.match(r"^(tp:A|cg:Z):(\S+)", fld)
+                    if m:
+                        if m.group(1) == "tp:A":
+                            typ = m.group(2)
+                        else:
+                            cigar = m.group(2)
+                if typ == "S":
+                    continue
+            else:  # SAM
+                ctg, pos, cigar = t[2], int(t[3]) - 1, t[5]
+                if int(t[1]) & 0x100:
+                    continue
+            if args.chr_only and not chr_re.match(ctg):
+                continue
+            if ctg == "*":
+                n_unmapped += 1
+                continue
+            n_pri += 1
+            if last_qname != qname:
+                n_mapped += 1
+                last_qname = qname
+            introns = []
+            for m in re_cigar.finditer(cigar or ""):
+                ln, op = int(m.group(1)), m.group(2)
+                if op == "N":
+                    introns.append([pos, pos + ln])
+                    pos += ln
+                elif op in "MX=D":
+                    pos += ln
+            if not introns:
+                n_sgl += 1
+                continue
+            n_splice += len(introns)
+            chrom = anno.get(ctg)
+            if chrom is None:
+                n_splice_novel += len(introns)
+                continue
+            for i, iv in enumerate(introns):
+                o = _iv_find_ovlp(chrom, iv[0], iv[1])
+                if o:
+                    hit = False
+                    for oj in o:
+                        if (abs(iv[0] - oj[0]) <= args.l_fuzzy
+                                and abs(iv[1] - oj[1]) <= args.l_fuzzy):
+                            n_splice_hit += 1
+                            hit = True
+                        if hit:
+                            break
+                    if print_ovlp:
+                        if hit and args.print_err_only:
+                            continue
+                        typ = "C" if hit else "P"
+                        x = "[" + ", ".join(f"({oj[0]},{oj[1]})"
+                                            for oj in o) + "]"
+                        out.write(f"{typ} {qname} {i+1} {ctg} {iv[0]} "
+                                  f"{iv[1]} {x}\n")
+                else:
+                    n_splice_novel += 1
+                    if print_ovlp:
+                        out.write(f"N {qname} {i+1} {ctg} {iv[0]} "
+                                  f"{iv[1]}\n")
+    if not print_ovlp:
+        out.write(f"# unmapped reads: {n_unmapped}\n")
+        out.write(f"# mapped reads: {n_mapped}\n")
+        out.write(f"# primary alignments: {n_pri}\n")
+        out.write(f"# singletons: {n_sgl}\n")
+        out.write(f"# predicted introns: {n_splice}\n")
+        out.write(f"# non-overlapping introns: {n_splice_novel}\n")
+        pct = _fmt2(n_splice_hit / n_splice * 100) if n_splice else "NaN"
+        out.write(f"# correct introns: {n_splice_hit} ({pct}%)\n")
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# bedcov (paftools.js:1141-1261)
+# ---------------------------------------------------------------------------
+
+def bedcov(argv) -> int:
+    """Number of target.bed bases covered by regions.bed."""
+    ap = argparse.ArgumentParser(prog="paftools bedcov")
+    ap.add_argument("-p", dest="print_len", action="store_true")
+    ap.add_argument("-d", dest="dedup", action="store_true")
+    ap.add_argument("-e", dest="excl", default=None)
+    ap.add_argument("regions")
+    ap.add_argument("target", nargs="?", default="-")
+    args = ap.parse_args(argv)
+    if args.dedup:
+        # the reference calls Interval.dedup, which paftools.js never
+        # defines — `bedcov -d` crashes there (paftools.js:1171)
+        raise SystemExit("bedcov -d: Interval.dedup is undefined in the "
+                         "reference paftools.js; unsupported")
+
+    def read_bed(fn, to_merge):
+        h = {}
+        with _open(fn) as f:
+            for line in f:
+                t = line.rstrip("\n").split("\t")
+                lst = h.setdefault(t[0], [])
+                bst, ben = int(t[1]), int(t[2])
+                if len(t) >= 12 and re.match(r"^\d+$", t[9]):
+                    nb = int(t[9])
+                    sz = t[10].split(",")
+                    st = t[11].split(",")
+                    for i in range(nb):
+                        s0 = bst + int(st[i])
+                        lst.append([s0, s0 + int(sz[i]), 0, 0, 0])
+                else:
+                    lst.append([bst, ben, 0, 0, 0])
+        for chrom in h:
+            if to_merge:
+                _iv_merge(h[chrom], sorted_=False)
+            else:
+                _iv_sort(h[chrom])
+            _iv_index_end(h[chrom])
+        return h
+
+    excl = read_bed(args.excl, True) if args.excl else None
+    target = read_bed(args.regions, True)
+    out = sys.stdout
+    tot_len = hit_len = 0
+    with _open(args.target) as f:
+        for line in f:
+            t = line.rstrip("\n").split("\t")
+            a = []
+            bst, ben = int(t[1]), int(t[2])
+            if len(t) >= 12 and re.match(r"^\d+$", t[9]):
+                nb = int(t[9])
+                sz = t[10].split(",")
+                st = t[11].split(",")
+                for i in range(nb):
+                    s0 = bst + int(st[i])
+                    a.append([s0, s0 + int(sz[i]), False])
+            else:
+                a.append([bst, ben, False])
+            feat_len = 0
+            for iv in a:
+                if excl is not None and t[0] in excl:
+                    if _iv_find_ovlp(excl[t[0]], iv[0], iv[1]):
+                        continue
+                iv[2] = True
+                feat_len += iv[1] - iv[0]
+            tot_len += feat_len
+            if t[0] not in target:
+                continue
+            b = []
+            for iv in a:
+                if not iv[2]:
+                    continue
+                for oj in _iv_find_ovlp(target[t[0]], iv[0], iv[1]):
+                    mst = max(oj[0], iv[0])
+                    men = min(oj[1], iv[1])
+                    b.append([mst, men])
+                    oj[2] += men - mst
+                    oj[3] += 1
+                    if mst == oj[0] and men == oj[1]:
+                        oj[4] += 1
+            feat_hit_len = 0
+            if b:
+                b.sort(key=lambda x: x[0])
+                st0, en0 = b[0]
+                for iv in b[1:]:
+                    if iv[0] <= en0:
+                        en0 = max(en0, iv[1])
+                    else:
+                        feat_hit_len += en0 - st0
+                        st0, en0 = iv
+                feat_hit_len += en0 - st0
+            hit_len += feat_hit_len
+            if args.print_len:
+                out.write("F " + "\t".join(t[:4])
+                          + f" {feat_len} {feat_hit_len}\n")
+    sys.stderr.write(f"# target bases: {tot_len}\n")
+    pct = _fmt2(100.0 * hit_len / tot_len) if tot_len else "NaN"
+    sys.stderr.write(f"# target bases overlapping regions: {hit_len} "
+                     f"({pct}%)\n")
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# vcfstat (paftools.js:2588-2651)
+# ---------------------------------------------------------------------------
+
+def vcfstat(argv) -> int:
+    """VCF statistics."""
+    ap = argparse.ArgumentParser(prog="paftools vcfstat")
+    ap.add_argument("vcf", nargs="?", default="-")
+    args = ap.parse_args(argv)
+    ts = {"AG", "GA", "CT", "TC"}
+    x = dict(sub=0, ts=0, tv=0, ins=0, dele=0, ins1=0, del1=0, ins2=0,
+             del2=0, ins50=0, del50=0, ins1k=0, del1k=0, ins7k=0,
+             del7k=0, insinf=0, delinf=0)
+    with _open(args.vcf) as f:
+        for line in f:
+            t = line.rstrip("\n").split("\t")
+            if t[0].startswith("#"):
+                continue
+            ref = t[3]
+            for a in t[4].split(","):
+                # NB: the reference tests a[0]=='<' || a[1]=='>' —
+                # replicated verbatim (paftools.js:2600)
+                if a[:1] == "<" or a[1:2] == ">":
+                    continue
+                for cr, ca in zip(ref, a):
+                    if cr != ca:
+                        x["sub"] += 1
+                        if cr + ca in ts:
+                            x["ts"] += 1
+                        else:
+                            x["tv"] += 1
+                d = len(a) - len(ref)
+                if d > 0:
+                    x["ins"] += 1
+                    key = ("ins1" if d == 1 else "ins2" if d == 2 else
+                           "ins50" if d < 50 else "ins1k" if d < 1000
+                           else "ins7k" if d < 7000 else "insinf")
+                    x[key] += 1
+                elif d < 0:
+                    d = -d
+                    x["dele"] += 1
+                    key = ("del1" if d == 1 else "del2" if d == 2 else
+                           "del50" if d < 50 else "del1k" if d < 1000
+                           else "del7k" if d < 7000 else "delinf")
+                    x[key] += 1
+    o = sys.stdout
+    import math
+    if x["tv"]:
+        ratio = x["ts"] / x["tv"]
+    elif x["ts"]:
+        ratio = math.inf  # JS (n/0).toFixed(3) -> "Infinity"
+    else:
+        ratio = math.nan
+    r3 = ("NaN" if ratio != ratio else "Infinity" if math.isinf(ratio)
+          else f"{math.floor(ratio * 1000 + 0.5) / 1000:.3f}")
+    o.write(f"# substitutions: {x['sub']}\n")
+    o.write(f"ts/tv: {r3}\n")
+    o.write(f"# insertions: {x['ins']}\n")
+    o.write(f"# 1bp insertions: {x['ins1']}\n")
+    o.write(f"# 2bp insertions: {x['ins2']}\n")
+    o.write(f"# [3,50) insertions: {x['ins50']}\n")
+    o.write(f"# [50,1000) insertions: {x['ins1k']}\n")
+    o.write(f"# [1000,7000) insertions: {x['ins7k']}\n")
+    o.write(f"# >=7000 insertions: {x['insinf']}\n")
+    o.write(f"# deletions: {x['dele']}\n")
+    o.write(f"# 1bp deletions: {x['del1']}\n")
+    o.write(f"# 2bp deletions: {x['del2']}\n")
+    o.write(f"# [3,50) deletions: {x['del50']}\n")
+    o.write(f"# [50,1000) deletions: {x['del1k']}\n")
+    o.write(f"# [1000,7000) deletions: {x['del7k']}\n")
+    o.write(f"# >=7000 deletions: {x['delinf']}\n")
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# pafcmp (paftools.js:2999-3115)
+# ---------------------------------------------------------------------------
+
+def pafcmp(argv) -> int:
+    """Compare two PAF files (base vs test)."""
+    ap = argparse.ArgumentParser(prog="paftools pafcmp")
+    ap.add_argument("-q", dest="min_mapq", type=int, default=10)
+    ap.add_argument("base")
+    ap.add_argument("test")
+    args = ap.parse_args(argv)
+    min_len, min_ovlp = 5000, 0.5
+    ev = dict(n_base=0, n_test=0, n_out_high=0, n_out_low=0, n_hit=0,
+              n_wrong=0, n_miss=0)
+    out = sys.stdout
+
+    base: dict = {}
+
+    def groups(fn):
+        a = []
+        with _open(fn) as f:
+            for line in f:
+                if "\ttp:A:S" in line:
+                    continue
+                t = line.rstrip("\n").split("\t")
+                if a and a[0][0] != t[0]:
+                    yield a
+                    a = []
+                a.append(t)
+        if a:
+            yield a
+
+    sys.stderr.write(f"Reading {args.base}...\n")
+    for a in groups(args.base):
+        if len(a) != 1:
+            continue
+        r = a[0]
+        if int(r[1]) < min_len:
+            continue
+        if int(r[11]) >= args.min_mapq:
+            ev["n_base"] += 1
+        base[r[0]] = [r[5], int(r[7]), int(r[8]), int(r[11]), 0, 0]
+
+    sys.stderr.write(f"Reading {args.test}...\n")
+    for a in groups(args.test):
+        r = a[0]
+        if int(r[1]) < min_len:
+            continue
+        if int(r[11]) >= args.min_mapq:
+            ev["n_test"] += 1
+        c = [r[5], int(r[7]), int(r[8]), int(r[11])]
+        b = base.get(r[0])
+        if b is None:
+            # the reference increments opt.n_out_high/low here — dead
+            # counters (paftools.js:3053-3054); ev.n_out_high stays 0
+            continue
+        inter, union = 0, (b[2] - b[1]) + (c[2] - c[1])
+        if b[0] == c[0]:
+            if b[1] < c[1]:
+                if b[2] > c[1]:
+                    inter, union = b[2] - c[1], c[2] - b[1]
+            else:
+                if c[2] > b[1]:
+                    inter, union = c[2] - b[1], b[2] - c[1]
+        if inter >= union * min_ovlp:
+            if b[3] >= args.min_mapq:
+                ev["n_hit"] += 1
+            b[4] += 1
+        else:
+            if b[3] >= args.min_mapq:
+                out.write("W " + r[0] + " " + "\t".join(map(str, b[:4]))
+                          + " " + "\t".join(map(str, c)) + "\n")
+                ev["n_wrong"] += 1
+            b[5] += 1
+
+    for rname, b in base.items():
+        if b[3] >= args.min_mapq and b[4] == 0 and b[5] == 0:
+            ev["n_miss"] += 1
+            out.write("M " + rname + " "
+                      + "\t".join(map(str, b[:4])) + "\n")
+    out.write(f"X {ev['n_base']} base alignments with "
+              f"mapQ>={args.min_mapq}\n")
+    out.write(f"X {ev['n_hit']} base alignments correctly mapped by "
+              f"test\n")
+    out.write(f"X {ev['n_wrong']} wrong test alignment\n")
+    out.write(f"X {ev['n_miss']} base alignments missing\n")
+    out.write(f"X {ev['n_out_high']} additional test alignments with "
+              f"mapQ>={args.min_mapq}\n")
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# misjoin (paftools.js:2664-2804)
+# ---------------------------------------------------------------------------
+
+def _parse_num(s: str) -> int:
+    m = re.match(r"^(\d*\.?\d*)([mMgGkK]?)", s)
+    x = float(m.group(1))
+    mult = {"k": 1e3, "K": 1e3, "m": 1e6, "M": 1e6,
+            "g": 1e9, "G": 1e9}.get(m.group(2), 1)
+    import math
+    return math.floor(x * mult + 0.499)
+
+
+def misjoin(argv) -> int:
+    """Evaluate large-scale misjoins in an assembly-to-reference PAF."""
+    ap = argparse.ArgumentParser(prog="paftools misjoin")
+    ap.add_argument("-l", dest="min_seg_len", type=_parse_num,
+                    default=1000000)
+    ap.add_argument("-g", dest="max_gap", type=_parse_num, default=1000000)
+    ap.add_argument("-c", dest="cen_bed", default=None)
+    ap.add_argument("-r", dest="cen_ratio", type=float, default=0.5)
+    ap.add_argument("-p", dest="show_long", action="store_true")
+    ap.add_argument("-e", dest="show_err", action="store_true")
+    ap.add_argument("paf", nargs="?", default="-")
+    args = ap.parse_args(argv)
+    out = sys.stdout
+    n_diff, n_gap = [0, 0], [0, 0]
+    n_inv, n_inv_end = [0, 0], [0, 0]
+    cen: dict = {}
+    if args.cen_bed:
+        with _open(args.cen_bed) as f:
+            for line in f:
+                t = line.rstrip("\n").split("\t")
+                cen.setdefault(t[0], []).append([int(t[1]), int(t[2])])
+
+    def test_cen(chrom, st, en):
+        b = cen.get(chrom)
+        if b is None:
+            return False
+        ln = 0
+        for bj in b:
+            if bj[0] < en and bj[1] > st:
+                ln += min(bj[1], en) - max(bj[0], st)
+        return ln >= (en - st) * args.cen_ratio
+
+    def test_cen_point(chrom, x):
+        b = cen.get(chrom)
+        if b is None:
+            return False
+        # the reference leaks this debug line whenever the chromosome
+        # has centromere intervals (paftools.js:2715) — replicated
+        out.write(f"{x} {b[0][0]} {b[0][1]}\n")
+        for bj in b:
+            if bj[0] <= x < bj[1]:
+                return True
+        return False
+
+    if args.show_err or args.show_long:
+        out.write("C\tJ  inter-chromosomal misjoin\n")
+        out.write("C\tj  inter-chromosomal misjoin with both breakpoints "
+                  "ending in centromeres\n")
+        out.write("C\tG  long gap on the reference genome\n")
+        out.write("C\tg  long gap on the reference genome with both "
+                  "breakpoints ending in centromeres\n")
+        out.write("C\tM  closed inversion\n")
+        out.write("C\n")
+
+    def process(a):
+        rows = []
+        for t in a:
+            for j in range(1, 4):
+                t[j] = int(t[j])
+            for j in range(6, 12):
+                t[j] = int(t[j])
+            if t[10] >= args.min_seg_len:
+                rows.append(t)
+        if len(rows) <= 1:
+            return
+        rows.sort(key=lambda x: x[2])
+        if args.show_long:
+            for t in rows:
+                out.write("\t".join(map(str, t)) + "\n")
+        i = 1
+        while i < len(rows):
+            pv, cu = rows[i - 1], rows[i]
+            ov = [test_cen(pv[5], pv[7], pv[8]),
+                  test_cen(cu[5], cu[7], cu[8])]
+            end_cen = [test_cen_point(pv[5],
+                                      pv[8] if pv[4] == "+" else pv[7]),
+                       test_cen_point(cu[5],
+                                      cu[7] if cu[4] == "+" else cu[8])]
+            if pv[5] != cu[5]:
+                if ov[0] or ov[1]:
+                    n_diff[1] += 1
+                elif args.show_err:
+                    lbl = "j" if end_cen[0] and end_cen[1] else "J"
+                    out.write(lbl + " " + "\t".join(map(str, pv[:12]))
+                              + "\n")
+                    out.write(lbl + " " + "\t".join(map(str, cu[:12]))
+                              + "\n")
+                n_diff[0] += 1
+            elif pv[4] == cu[4]:
+                dq = cu[2] - pv[3]
+                dr = cu[7] - pv[8] if cu[4] == "+" else pv[7] - cu[8]
+                gap = abs(dr - dq)
+                if gap > args.max_gap:
+                    if ov[0] or ov[1]:
+                        n_gap[1] += 1
+                    elif args.show_err:
+                        lbl = "g" if end_cen[0] and end_cen[1] else "G"
+                        out.write(lbl + " "
+                                  + "\t".join(map(str, pv[:12])) + "\n")
+                        out.write(lbl + " "
+                                  + "\t".join(map(str, cu[:12])) + "\n")
+                    n_gap[0] += 1
+            elif i + 1 < len(rows) and rows[i + 1][4] == pv[4]:
+                if ov[0] or ov[1]:
+                    n_inv[1] += 1
+                elif args.show_err:
+                    for t in (pv, cu, rows[i + 1]):
+                        out.write("M " + "\t".join(map(str, t[:12]))
+                                  + "\n")
+                n_inv[0] += 1
+                i += 1
+            else:
+                if ov[0] or ov[1]:
+                    n_inv_end[1] += 1
+                n_inv_end[0] += 1
+            i += 1
+
+    a = []
+    with _open(args.paf) as f:
+        for line in f:
+            t = line.rstrip("\n").split("\t")
+            if a and a[0][0] != t[0]:
+                process(a)
+                a = []
+            a.append(t)
+    if a:
+        process(a)
+    out.write(f"# inter-chromosomal misjoins: {n_diff[0]},{n_diff[1]}\n")
+    out.write(f"# intra-chromosomal gaps: {n_gap[0]},{n_gap[1]}\n")
+    out.write(f"# candidate inversions in the middle: "
+              f"{n_inv[0]},{n_inv[1]}\n")
+    out.write(f"# candidate inversions at contig ends: "
+              f"{n_inv_end[0]},{n_inv_end[1]}\n")
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# ov-eval (paftools.js:2517-2586)
+# ---------------------------------------------------------------------------
+
+def ov_eval(argv) -> int:
+    """Read-overlap sensitivity from read-to-ref mapping."""
+    ap = argparse.ArgumentParser(prog="paftools ov-eval")
+    ap.add_argument("-l", dest="min_ovlp", type=int, default=2000)
+    ap.add_argument("-q", dest="min_mapq", type=int, default=10)
+    ap.add_argument("-f", dest="min_frac", type=float, default=0.95)
+    ap.add_argument("to_ref_paf")
+    ap.add_argument("ovlp_paf")
+    args = ap.parse_args(argv)
+    a: list = []
+    h: dict = {}
+    with _open(args.to_ref_paf) as f:
+        for line in f:
+            t = line.rstrip("\n").split("\t")
+            if int(t[11]) < args.min_mapq:
+                continue
+            if not any(fld == "tp:A:P" for fld in t[12:]):
+                continue
+            ql, qs, qe = int(t[1]), int(t[2]), int(t[3])
+            ts_, te_ = int(t[7]), int(t[8])
+            if (qe - qs < args.min_ovlp or te_ - ts_ < args.min_ovlp
+                    or (qe - qs) / ql < args.min_frac):
+                continue
+            ctg, st, en = t[5], ts_, te_
+            while a:
+                if a[0][0] == ctg and a[0][2] > st:
+                    break
+                a.pop(0)
+            for aj in a:
+                if aj[3] == t[0]:
+                    continue
+                ln = min(en, aj[2]) - st
+                if ln >= args.min_ovlp:
+                    key = (aj[3] + "\t" + t[0] if aj[3] < t[0]
+                           else t[0] + "\t" + aj[3])
+                    h[key] = ln
+            a.append([ctg, st, en, t[0]])
+    with _open(args.ovlp_paf) as f:
+        for line in f:
+            t = line.rstrip("\n").split("\t")
+            key = (t[0] + "\t" + t[5] if t[0] < t[5]
+                   else t[5] + "\t" + t[0])
+            if h.get(key, 0) > 0:
+                h[key] = -h[key]
+    n_ovlp = len(h)
+    n_missing = sum(1 for v in h.values() if v > 0)
+    out = sys.stdout
+    out.write(f"{n_ovlp} overlaps inferred from the reference mapping\n")
+    out.write(f"{n_missing} missed by the read overlapper\n")
+    pct = _fmt2(100 * (1 - n_missing / n_ovlp)) if n_ovlp else "NaN"
+    out.write(f"{pct}% sensitivity\n")
+    return 0
+
+
+def version(argv) -> int:
+    """Reference paftools.js version string (paftools.js:3)."""
+    sys.stdout.write("2.24-r1132-dirty\n")
+    return 0
+
+
 def main(argv=None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     cmds = {"mapeval": mapeval, "stat": stat, "sam2paf": sam2paf,
-            "liftover": liftover, "call": call, "view": view}
+            "liftover": liftover, "liftOver": liftover, "call": call,
+            "view": view, "junceval": junceval, "bedcov": bedcov,
+            "vcfstat": vcfstat, "pafcmp": pafcmp, "misjoin": misjoin,
+            "ov-eval": ov_eval, "version": version}
     if not argv or argv[0] not in cmds:
         sys.stderr.write(__doc__ + "\n")
         return 1

@@ -145,3 +145,137 @@ def test_view_formats(tmp_path, capsys):
     assert aln[0].startswith(">ctg")
     assert "mm:i:1" in aln[0] and "ei:i:3" in aln[0] and "ed:i:2" in aln[0]
     assert aln[1].startswith("Ref+:") and aln[3].startswith("Qry+:")
+
+
+def _run_cmd(fn, argv, capsys):
+    rc = fn(argv)
+    assert rc == 0 or rc is None
+    return capsys.readouterr()
+
+
+def test_junceval(tmp_path, capsys):
+    """junceval counters + -p overlap listing (paftools.js:2346-2516)."""
+    from mm2_gb_tpu.tools import paftools as P
+    gtf = tmp_path / "g.gtf"
+    gtf.write_text(
+        'chr1\tx\texon\t101\t200\t.\t+\t.\ttranscript_id "t1";\n'
+        'chr1\tx\texon\t301\t400\t.\t+\t.\ttranscript_id "t1";\n')
+    sam = tmp_path / "a.sam"
+    sam.write_text(
+        "r1\t0\tchr1\t101\t60\t100M100N100M\t*\t0\t0\t*\t*\n"
+        "r2\t0\tchr1\t101\t60\t100M90N100M\t*\t0\t0\t*\t*\n"
+        "r3\t0\tchr1\t101\t60\t200M\t*\t0\t0\t*\t*\n")
+    out = _run_cmd(P.junceval, [str(gtf), str(sam)], capsys).out
+    assert "# mapped reads: 3" in out
+    assert "# singletons: 1" in out
+    assert "# predicted introns: 2" in out
+    assert "# correct introns: 1 (50.00%)" in out
+    out = _run_cmd(P.junceval, ["-p", str(gtf), str(sam)], capsys).out
+    assert "C r1 1 chr1 200 300 [(200,300)]" in out
+    assert "P r2 1 chr1 200 290 [(200,300)]" in out
+    # -l fuzz tolerance accepts the off-by-10 junction
+    out = _run_cmd(P.junceval, ["-l", "10", str(gtf), str(sam)],
+                   capsys).out
+    assert "# correct introns: 2 (100.00%)" in out
+
+
+def test_bedcov(tmp_path, capsys):
+    """bedcov coverage merge semantics (paftools.js:1141-1261)."""
+    from mm2_gb_tpu.tools import paftools as P
+    reg = tmp_path / "reg.bed"
+    reg.write_text("chr1\t10\t50\nchr1\t40\t80\n")
+    tgt = tmp_path / "tgt.bed"
+    tgt.write_text("chr1\t0\t100\nchr1\t200\t300\n")
+    cap = _run_cmd(P.bedcov, [str(reg), str(tgt)], capsys)
+    assert "# target bases: 200" in cap.err
+    assert "# target bases overlapping regions: 70 (35.00%)" in cap.err
+    cap = _run_cmd(P.bedcov, ["-p", str(reg), str(tgt)], capsys)
+    assert "F chr1\t0\t100 100 70" in cap.out
+
+
+def test_vcfstat(tmp_path, capsys):
+    from mm2_gb_tpu.tools import paftools as P
+    vcf = tmp_path / "v.vcf"
+    vcf.write_text("##x\n"
+                   "chr1\t5\t.\tA\tG\t.\t.\t.\n"
+                   "chr1\t9\t.\tAT\tA\t.\t.\t.\n"
+                   "chr1\t12\t.\tC\tCAGG\t.\t.\t.\n"
+                   "chr1\t20\t.\tA\tT,C\t.\t.\t.\n")
+    out = _run_cmd(P.vcfstat, [str(vcf)], capsys).out
+    assert "# substitutions: 3" in out
+    assert "ts/tv: 0.500" in out
+    assert "# insertions: 1" in out
+    assert "# [3,50) insertions: 1" in out
+    assert "# 1bp deletions: 1" in out
+
+
+def test_pafcmp(tmp_path, capsys):
+    from mm2_gb_tpu.tools import paftools as P
+    base = tmp_path / "b.paf"
+    base.write_text("q1\t10000\t0\t9000\t+\tc1\t50000\t100\t9100\t8000"
+                    "\t9000\t60\ttp:A:P\n"
+                    "q2\t10000\t0\t9000\t+\tc1\t50000\t20000\t29000"
+                    "\t8000\t9000\t60\ttp:A:P\n")
+    test = tmp_path / "t.paf"
+    test.write_text("q1\t10000\t0\t9000\t+\tc1\t50000\t120\t9120\t8000"
+                    "\t9000\t60\ttp:A:P\n"
+                    "q2\t10000\t0\t9000\t+\tc2\t50000\t100\t9100\t8000"
+                    "\t9000\t60\ttp:A:P\n")
+    out = _run_cmd(P.pafcmp, [str(base), str(test)], capsys).out
+    assert "X 2 base alignments with mapQ>=10" in out
+    assert "X 1 base alignments correctly mapped by test" in out
+    assert "X 1 wrong test alignment" in out
+    assert out.startswith("W q2 ")
+    assert "X 0 additional test alignments with mapQ>=10" in out
+
+
+def test_misjoin(tmp_path, capsys):
+    """misjoin event classes (paftools.js:2664-2804)."""
+    from mm2_gb_tpu.tools import paftools as P
+
+    def paf_line(q, qs, qe, strand, ctg, ts, te):
+        return (f"{q}\t10000000\t{qs}\t{qe}\t{strand}\t{ctg}\t50000000"
+                f"\t{ts}\t{te}\t{qe-qs}\t{qe-qs}\t60\n")
+
+    paf = tmp_path / "a.paf"
+    paf.write_text(
+        # ctg A: two segments on different chromosomes -> J
+        paf_line("A", 0, 2000000, "+", "chr1", 0, 2000000) +
+        paf_line("A", 2000000, 4000000, "+", "chr2", 0, 2000000) +
+        # ctg B: same chr, same strand, >1m gap -> G
+        paf_line("B", 0, 2000000, "+", "chr3", 0, 2000000) +
+        paf_line("B", 2000000, 4000000, "+", "chr3", 8000000, 10000000) +
+        # ctg C: bracketed inversion -> M
+        paf_line("C", 0, 2000000, "+", "chr4", 0, 2000000) +
+        paf_line("C", 2000000, 4000000, "-", "chr4", 2000000, 4000000) +
+        paf_line("C", 4000000, 6000000, "+", "chr4", 4000000, 6000000))
+    out = _run_cmd(P.misjoin, [str(paf)], capsys).out
+    assert "# inter-chromosomal misjoins: 1,0" in out
+    assert "# intra-chromosomal gaps: 1,0" in out
+    assert "# candidate inversions in the middle: 1,0" in out
+    assert "# candidate inversions at contig ends: 0,0" in out
+
+
+def test_ov_eval(tmp_path, capsys):
+    from mm2_gb_tpu.tools import paftools as P
+    to_ref = tmp_path / "toref.paf"
+    # r1 [0,9000) and r2 [5000,14000) overlap 4000 on c1; r3 elsewhere
+    to_ref.write_text(
+        "r1\t9500\t0\t9300\t+\tc1\t50000\t0\t9000\t9000\t9000\t60"
+        "\ttp:A:P\n"
+        "r2\t9500\t0\t9300\t+\tc1\t50000\t5000\t14000\t9000\t9000\t60"
+        "\ttp:A:P\n"
+        "r3\t9500\t0\t9300\t+\tc1\t50000\t30000\t39000\t9000\t9000\t60"
+        "\ttp:A:P\n")
+    ovl = tmp_path / "ovl.paf"
+    ovl.write_text("r1\t9500\t5000\t9300\t+\tr2\t9500\t0\t4000\t4000"
+                   "\t4000\t0\n")
+    out = _run_cmd(P.ov_eval, [str(to_ref), str(ovl)], capsys).out
+    assert "1 overlaps inferred from the reference mapping" in out
+    assert "0 missed by the read overlapper" in out
+    assert "100.00% sensitivity" in out
+
+
+def test_paftools_version(capsys):
+    from mm2_gb_tpu.tools import paftools as P
+    assert _run_cmd(P.version, [], capsys).out == "2.24-r1132-dirty\n"
