@@ -27,6 +27,11 @@ def _open(path):
     return open(path)
 
 
+def _p(*args, file=None):
+    """k8 print(): arguments joined by TAB (see misc/README.md examples)."""
+    (file or sys.stdout).write("\t".join(map(str, args)) + "\n")
+
+
 _RE_PBSIM = re.compile(r"^(\S+)!(\S+)!(\d+)!(\d+)!([\+\-])$")
 _RE_MASON = re.compile(
     r"^(\S+)!(\S+)!(\d+)_(\d+)!(\d+)_(\d+)!([\+\-])([\+\-])/([12])$")
@@ -89,7 +94,7 @@ def mapeval(argv) -> int:
             tot[mapq] += 1
             if not is_correct(s, a[max_i]):
                 if mapq >= err_out_q:
-                    print("E", qname, "\t".join(map(str, a[max_i])))
+                    _p("E", qname, "\t".join(map(str, a[max_i])))
                 err[mapq] += 1
         else:  # all primary alignments
             max_err_mapq, mx_mapq, max_err_i = -1, 0, -1
@@ -101,7 +106,7 @@ def mapeval(argv) -> int:
                 tot[max_err_mapq] += 1
                 err[max_err_mapq] += 1
                 if max_err_mapq >= err_out_q:
-                    print("E", qname, "\t".join(map(str, a[max_err_i])))
+                    _p("E", qname, "\t".join(map(str, a[max_err_i])))
             else:
                 tot[mx_mapq] += 1
 
@@ -172,18 +177,18 @@ def mapeval(argv) -> int:
             continue
         if q_out < 0 or err[q] > 0:
             if q_out >= 0:
-                print("Q", q_out, sum_tot, sum_err,
-                      f"{sum_err2 / sum_tot2:.9f}", sum_tot2)
+                _p("Q", q_out, sum_tot, sum_err,
+                   f"{sum_err2 / sum_tot2:.9f}", sum_tot2)
             sum_tot = sum_err = 0
             q_out = q
         sum_tot += tot[q]
         sum_err += err[q]
         sum_tot2 += tot[q]
         sum_err2 += err[q]
-    print("Q", q_out, sum_tot, sum_err, f"{sum_err2 / sum_tot2:.9f}",
-          sum_tot2)
+    _p("Q", q_out, sum_tot, sum_err, f"{sum_err2 / sum_tot2:.9f}",
+       sum_tot2)
     if n_unmapped is not None:
-        print("U", n_unmapped)
+        _p("U", n_unmapped)
     return 0
 
 
@@ -292,8 +297,8 @@ def stat(argv) -> int:
                         tl += ln
                         n_gap[1][typ] += 1
                     if args.gap_out_len is not None and ln >= args.gap_out_len:
-                        print(t[0], ql, "-" if is_rev else "+", tname,
-                              rs + tl, op, ln)
+                        _p(t[0], ql, "-" if is_rev else "+", tname,
+                           rs + tl, op, ln)
                     n_gapo += 1
                     n_gap_all += ln
                 elif op == "N":
@@ -1219,13 +1224,11 @@ def junceval(argv) -> int:
                         typ = "C" if hit else "P"
                         x = "[" + ", ".join(f"({oj[0]},{oj[1]})"
                                             for oj in o) + "]"
-                        out.write(f"{typ} {qname} {i+1} {ctg} {iv[0]} "
-                                  f"{iv[1]} {x}\n")
+                        _p(typ, qname, i + 1, ctg, iv[0], iv[1], x)
                 else:
                     n_splice_novel += 1
                     if print_ovlp:
-                        out.write(f"N {qname} {i+1} {ctg} {iv[0]} "
-                                  f"{iv[1]}\n")
+                        _p("N", qname, i + 1, ctg, iv[0], iv[1])
     if not print_ovlp:
         out.write(f"# unmapped reads: {n_unmapped}\n")
         out.write(f"# mapped reads: {n_mapped}\n")
@@ -1334,8 +1337,7 @@ def bedcov(argv) -> int:
                 feat_hit_len += en0 - st0
             hit_len += feat_hit_len
             if args.print_len:
-                out.write("F " + "\t".join(t[:4])
-                          + f" {feat_len} {feat_hit_len}\n")
+                _p("F", "\t".join(t[:4]), feat_len, feat_hit_len)
     sys.stderr.write(f"# target bases: {tot_len}\n")
     pct = _fmt2(100.0 * hit_len / tot_len) if tot_len else "NaN"
     sys.stderr.write(f"# target bases overlapping regions: {hit_len} "
@@ -1487,24 +1489,21 @@ def pafcmp(argv) -> int:
             b[4] += 1
         else:
             if b[3] >= args.min_mapq:
-                out.write("W " + r[0] + " " + "\t".join(map(str, b[:4]))
-                          + " " + "\t".join(map(str, c)) + "\n")
+                _p("W", r[0], "\t".join(map(str, b[:4])),
+                   "\t".join(map(str, c)))
                 ev["n_wrong"] += 1
             b[5] += 1
 
     for rname, b in base.items():
         if b[3] >= args.min_mapq and b[4] == 0 and b[5] == 0:
             ev["n_miss"] += 1
-            out.write("M " + rname + " "
-                      + "\t".join(map(str, b[:4])) + "\n")
-    out.write(f"X {ev['n_base']} base alignments with "
-              f"mapQ>={args.min_mapq}\n")
-    out.write(f"X {ev['n_hit']} base alignments correctly mapped by "
-              f"test\n")
-    out.write(f"X {ev['n_wrong']} wrong test alignment\n")
-    out.write(f"X {ev['n_miss']} base alignments missing\n")
-    out.write(f"X {ev['n_out_high']} additional test alignments with "
-              f"mapQ>={args.min_mapq}\n")
+            _p("M", rname, "\t".join(map(str, b[:4])))
+    _p("X", f"{ev['n_base']} base alignments with mapQ>={args.min_mapq}")
+    _p("X", f"{ev['n_hit']} base alignments correctly mapped by test")
+    _p("X", f"{ev['n_wrong']} wrong test alignment")
+    _p("X", f"{ev['n_miss']} base alignments missing")
+    _p("X", f"{ev['n_out_high']} additional test alignments with "
+       f"mapQ>={args.min_mapq}")
     return 0
 
 
@@ -1559,7 +1558,7 @@ def misjoin(argv) -> int:
             return False
         # the reference leaks this debug line whenever the chromosome
         # has centromere intervals (paftools.js:2715) — replicated
-        out.write(f"{x} {b[0][0]} {b[0][1]}\n")
+        _p(x, b[0][0], b[0][1])
         for bj in b:
             if bj[0] <= x < bj[1]:
                 return True
@@ -1604,10 +1603,8 @@ def misjoin(argv) -> int:
                     n_diff[1] += 1
                 elif args.show_err:
                     lbl = "j" if end_cen[0] and end_cen[1] else "J"
-                    out.write(lbl + " " + "\t".join(map(str, pv[:12]))
-                              + "\n")
-                    out.write(lbl + " " + "\t".join(map(str, cu[:12]))
-                              + "\n")
+                    _p(lbl, "\t".join(map(str, pv[:12])))
+                    _p(lbl, "\t".join(map(str, cu[:12])))
                 n_diff[0] += 1
             elif pv[4] == cu[4]:
                 dq = cu[2] - pv[3]
@@ -1618,18 +1615,15 @@ def misjoin(argv) -> int:
                         n_gap[1] += 1
                     elif args.show_err:
                         lbl = "g" if end_cen[0] and end_cen[1] else "G"
-                        out.write(lbl + " "
-                                  + "\t".join(map(str, pv[:12])) + "\n")
-                        out.write(lbl + " "
-                                  + "\t".join(map(str, cu[:12])) + "\n")
+                        _p(lbl, "\t".join(map(str, pv[:12])))
+                        _p(lbl, "\t".join(map(str, cu[:12])))
                     n_gap[0] += 1
             elif i + 1 < len(rows) and rows[i + 1][4] == pv[4]:
                 if ov[0] or ov[1]:
                     n_inv[1] += 1
                 elif args.show_err:
                     for t in (pv, cu, rows[i + 1]):
-                        out.write("M " + "\t".join(map(str, t[:12]))
-                                  + "\n")
+                        _p("M", "\t".join(map(str, t[:12])))
                 n_inv[0] += 1
                 i += 1
             else:
@@ -1721,13 +1715,644 @@ def version(argv) -> int:
     return 0
 
 
+# ---------------------------------------------------------------------------
+# gff2bed (paftools.js:1533-1693)
+# ---------------------------------------------------------------------------
+
+_GFF_COLORS = {"protein_coding": "0,128,255", "mRNA": "0,128,255",
+               "lincRNA": "0,192,0", "snRNA": "0,192,0",
+               "miRNA": "0,192,0", "misc_RNA": "0,192,0"}
+
+
+def gff2bed(argv) -> int:
+    """Convert GTF/GFF3 to BED12 (or junction BED with -j)."""
+    ap = argparse.ArgumentParser(prog="paftools gff2bed")
+    ap.add_argument("-u", dest="ucsc_fai", default=None)
+    ap.add_argument("-s", dest="short", action="store_true")
+    ap.add_argument("-g", dest="keep_gff", action="store_true")
+    ap.add_argument("-j", dest="junc", action="store_true")
+    ap.add_argument("-G", dest="gene", action="store_true")
+    ap.add_argument("-e", dest="canon", action="store_true")
+    ap.add_argument("gff")
+    args = ap.parse_args(argv)
+
+    ens2ucsc = {}
+    if args.ucsc_fai:
+        with _open(args.ucsc_fai) as f:
+            for line in f:
+                t = line.rstrip("\n").split("\t")
+                s = t[0]
+                if re.search(r"_(random|alt|decoy)$", s):
+                    s = re.sub(r"_(random|alt|decoy)$", "", s)
+                    s = re.sub(r"^chr\S+_", "", s)
+                else:
+                    s = re.sub(r"^chrUn_", "", s)
+                s = re.sub(r"v(\d+)", r".\1", s, count=1)
+                if s != t[0]:
+                    ens2ucsc[s] = t[0]
+
+    def print_bed12(exons, cds_st, cds_en):
+        if not exons:
+            return
+        name = (exons[0][7] + "|" + exons[0][5] if args.short
+                else "|".join(str(v) for v in exons[0][4:7]))
+        a = sorted(exons, key=lambda e: e[1])
+        if args.junc:
+            for i in range(1, len(a)):
+                _p(a[i][0], a[i - 1][2], a[i][1], name, 1000, a[i][3])
+            return
+        st, en = a[0][1], a[-1][2]
+        if cds_st == 1 << 30:
+            cds_st = st
+        if cds_en == 0:
+            cds_en = en
+        if cds_st < st or cds_en > en:
+            raise SystemExit("inconsistent thick start or end for "
+                             f"transcript {a[0][4]}")
+        sizes = ",".join(str(e[2] - e[1]) for e in a) + ","
+        starts = ",".join(str(e[1] - st) for e in a) + ","
+        color = _GFF_COLORS.get(a[0][5], "196,196,196")
+        _p(a[0][0], st, en, name, 1000, a[0][3], cds_st, cds_en, color,
+           len(a), sizes, starts)
+
+    re_gtf = re.compile(r'\b(transcript_id|transcript_type|'
+                        r'transcript_biotype|gene_name|gene_id|gbkey|'
+                        r'transcript_name|tag) "([^"]+)";')
+    re_gff3 = re.compile(r"\b(transcript_id|transcript_type|"
+                         r"transcript_biotype|gene_name|gene_id|gbkey|"
+                         r"transcript_name)=([^;]+)")
+    re_gtf_gene = re.compile(r'\b(gene_id|gene_type|gene_name) "([^;]+)";')
+    re_gff3_gene = re.compile(r"\b(gene_id|gene_type|source_gene|"
+                              r"gene_biotype|gene_name)=([^;]+);")
+
+    exons: list = []
+    cds_st, cds_en = 1 << 30, 0
+    last_id = None
+    with _open(args.gff) as f:
+        for line in f:
+            t = line.rstrip("\n").split("\t")
+            if args.keep_gff:
+                if not t[0].startswith("#") and t[0] in ens2ucsc:
+                    t[0] = ens2ucsc[t[0]]
+                sys.stdout.write("\t".join(t) + "\n")
+                continue
+            if t[0].startswith("#") or len(t) < 9:
+                continue
+            if args.gene:
+                if t[2] != "gene":
+                    continue
+                gid = src = biotype = None
+                gtype, gname = "", "N/A"
+                for m in re_gtf_gene.finditer(t[8]):
+                    if m.group(1) == "gene_id":
+                        gid = m.group(2)
+                    elif m.group(1) == "gene_type":
+                        gtype = m.group(2)
+                    elif m.group(1) == "gene_name":
+                        gname = m.group(2)
+                for m in re_gff3_gene.finditer(t[8]):
+                    if m.group(1) == "gene_id":
+                        gid = m.group(2)
+                    elif m.group(1) == "source_gene":
+                        src = m.group(2)
+                    elif m.group(1) == "gene_type":
+                        gtype = m.group(2)
+                    elif m.group(1) == "gene_biotype":
+                        biotype = m.group(2)
+                    elif m.group(1) == "gene_name":
+                        gname = m.group(2)
+                if src is not None:
+                    gid = src
+                if gtype == "" and biotype is not None:
+                    gtype = biotype
+                _p(t[0], int(t[3]) - 1, t[4],
+                   "|".join(str(v) for v in (gid, gtype, gname)), 1000,
+                   t[6])
+                continue
+            if t[2] not in ("CDS", "exon"):
+                continue
+            st3, en4 = int(t[3]) - 1, int(t[4])
+            tid, ttype, gname, biotype, tname = None, "", "N/A", "", "N/A"
+            canonical = False
+            for m in re_gtf.finditer(t[8]):
+                k, v = m.group(1), m.group(2)
+                if k == "transcript_id":
+                    tid = v
+                elif k == "transcript_type":
+                    ttype = v
+                elif k in ("transcript_biotype", "gbkey"):
+                    biotype = v
+                elif k in ("gene_name", "gene_id"):
+                    gname = v
+                elif k == "transcript_name":
+                    tname = v
+                elif k == "tag" and v == "Ensembl_canonical":
+                    canonical = True
+            for m in re_gff3.finditer(t[8]):
+                k, v = m.group(1), m.group(2)
+                if k == "transcript_id":
+                    tid = v
+                elif k == "transcript_type":
+                    ttype = v
+                elif k in ("transcript_biotype", "gbkey"):
+                    biotype = v
+                elif k in ("gene_name", "gene_id"):
+                    gname = v
+                elif k == "transcript_name":
+                    tname = v
+            if args.canon and not canonical:
+                continue
+            if ttype == "" and biotype != "":
+                ttype = biotype
+            if tid is None:
+                raise SystemExit("No transcript_id")
+            if tid != last_id:
+                print_bed12(exons, cds_st, cds_en)
+                exons, cds_st, cds_en = [], 1 << 30, 0
+                last_id = tid
+            if t[2] == "CDS":
+                cds_st = min(cds_st, st3)
+                cds_en = max(cds_en, en4)
+            else:
+                chrom = t[0]
+                if args.ucsc_fai:
+                    if chrom in ens2ucsc:
+                        chrom = ens2ucsc[chrom]
+                    elif re.match(r"^[A-Z]+\d+\.\d+$", chrom):
+                        chrom = re.sub(r"([A-Z]+\d+)\.(\d+)",
+                                       r"chrUn_\1v\2", chrom)
+                exons.append([chrom, st3, en4, t[6], tid, ttype, gname,
+                              tname])
+    if last_id is not None:
+        print_bed12(exons, cds_st, cds_en)
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# splice2bed (paftools.js:1920-2035)
+# ---------------------------------------------------------------------------
+
+def splice2bed(argv) -> int:
+    """Convert spliced PAF/SAM alignments to BED12."""
+    ap = argparse.ArgumentParser(prog="paftools splice2bed")
+    ap.add_argument("-f", dest="fmt", default="bed")
+    ap.add_argument("-n", dest="name_conv", default=None)
+    ap.add_argument("-m", dest="keep_multi", action="store_true")
+    ap.add_argument("input")
+    args = ap.parse_args(argv)
+    colors = ["0,128,255", "255,0,0", "0,192,0"]
+
+    conv = None
+    if args.name_conv:
+        conv = {}
+        with _open(args.name_conv) as f:
+            for line in f:
+                t = line.rstrip("\n").split("\t")
+                conv[t[0]] = t[1]
+
+    def print_lines(a):
+        if not a:
+            return
+        if args.fmt == "bed":
+            n_pri = sum(1 for r in a if r[8] == 0)
+            if n_pri > 1:
+                for r in a:
+                    if r[8] == 0:
+                        r[8] = 1
+            elif n_pri == 0:
+                sys.stderr.write(f"Warning: {a[0][3]} doesn't have a "
+                                 "primary alignment\n")
+            for r in a:
+                if not args.keep_multi and r[8] == 2:
+                    continue
+                r[8] = colors[r[8]]
+                sys.stdout.write("\t".join(map(str, r)) + "\n")
+
+    re_cig = re.compile(r"(\d+)([MIDNSHP=X])")
+    a: list = []
+    with _open(args.input) as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if line.startswith("@"):
+                continue
+            t = line.split("\t")
+            is_pri, cigar = False, None
+            if conv is not None and t[0] in conv:
+                t[0] = conv[t[0]]
+            if (len(t) >= 10 and t[4] not in ("+", "-")
+                    and re.match(r"^\d+", t[1])):  # SAM
+                flag = int(t[1])
+                if flag & 1:
+                    t[0] += "/" + str(flag >> 6 & 3)
+            if a and a[0][3] != t[0]:
+                print_lines(a)
+                a = []
+            if len(t) >= 12 and t[4] in ("+", "-"):  # PAF
+                for fld in t[12:]:
+                    if fld.startswith("cg:Z:"):
+                        cigar = fld[5:]
+                    elif fld.startswith("s2:i:"):
+                        is_pri = True
+                a1 = [t[5], int(t[7]), int(t[8]), t[0],
+                      int(int(t[9]) / int(t[10]) * 1000), t[4]]
+            elif len(t) >= 10:  # SAM
+                flag = int(t[1])
+                if (flag & 4) or t[2] == "*":
+                    continue
+                cigar = t[5]
+                is_pri = not (flag & 0x100)
+                a1 = [t[2], int(t[3]) - 1, None, t[0], 1000,
+                      "-" if flag & 16 else "+"]
+            else:
+                raise SystemExit("unrecognized input format")
+            if cigar is None:
+                raise SystemExit("missing CIGAR")
+            x0 = x = 0
+            bs, bl = [], []
+            for m in re_cig.finditer(cigar):
+                ln, op = int(m.group(1)), m.group(2)
+                if op in "MD":
+                    x += ln
+                elif op == "N":
+                    bs.append(x0)
+                    bl.append(x - x0)
+                    x += ln
+                    x0 = x
+            bs.append(x0)
+            bl.append(x - x0)
+            if a1[2] is None:
+                a1[2] = a1[1] + x
+            a1 += [a1[1], a1[2], 0 if is_pri else 2, len(bs),
+                   ",".join(map(str, bl)) + ",",
+                   ",".join(map(str, bs)) + ","]
+            a.append(a1)
+    print_lines(a)
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# delta2paf (paftools.js:1857-1918)
+# ---------------------------------------------------------------------------
+
+def delta2paf(argv) -> int:
+    """Convert MUMmer delta to PAF."""
+    ap = argparse.ArgumentParser(prog="paftools delta2paf")
+    ap.add_argument("delta")
+    args = ap.parse_args(argv)
+    rname = qname = None
+    rlen = qlen = 0
+    seen_gt = False
+    strand = rs = re_ = qs = qe = x = y = nm = 0
+    cigar: list = []
+    with _open(args.delta) as f:
+        for line in f:
+            line = line.rstrip("\n")
+            m = re.match(r"^>(\S+)\s+(\S+)\s+(\d+)\s+(\d+)", line)
+            if m:
+                rname, qname = m.group(1), m.group(2)
+                rlen, qlen = int(m.group(3)), int(m.group(4))
+                seen_gt = True
+                continue
+            if not seen_gt:
+                continue
+            t = line.split(" ")
+            if len(t) == 7:
+                ti = [int(v) for v in t[:5]]
+                strand = (1 if (ti[0] < ti[1]) == (ti[2] < ti[3]) else -1)
+                rs, re_ = min(ti[0], ti[1]) - 1, max(ti[0], ti[1])
+                qs, qe = min(ti[2], ti[3]) - 1, max(ti[2], ti[3])
+                x = y = 0
+                nm = ti[4]
+                cigar = []
+            elif len(t) == 1:
+                d = int(t[0])
+                if d == 0:
+                    if re_ - rs - x != qe - qs - y:
+                        raise SystemExit("inconsisnt alignment")
+                    cigar.append((re_ - rs - x) << 4)
+                    blen = 0
+                    cs = []
+                    for c in cigar:
+                        blen += c >> 4
+                        cs.append(str(c >> 4) + "MID"[c & 0xF])
+                    _p("\t".join(map(str, [
+                        qname, qlen, qs, qe, "+" if strand > 0 else "-",
+                        rname, rlen, rs, re_, blen - nm, blen, 0,
+                        f"NM:i:{nm}", "cg:Z:" + "".join(cs)])))
+                elif d > 0:
+                    ln = d - 1
+                    x += ln + 1
+                    y += ln
+                    if ln > 0:
+                        cigar.append(ln << 4)
+                    if cigar and (cigar[-1] & 0xF) == 2:
+                        cigar[-1] += 1 << 4
+                    else:
+                        cigar.append(1 << 4 | 2)
+                else:
+                    ln = -d - 1
+                    x += ln
+                    y += ln + 1
+                    if ln > 0:
+                        cigar.append(ln << 4)
+                    if cigar and (cigar[-1] & 0xF) == 1:
+                        cigar[-1] += 1 << 4
+                    else:
+                        cigar.append(1 << 4 | 1)
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# mason2fq / pbsim2fq (paftools.js:2209-2344)
+# ---------------------------------------------------------------------------
+
+_COMP = str.maketrans("ACGTUacgtuRYSWKMBDHVryswkmbdhv",
+                      "TGCAAtgcaaYRSWMKVHDByrswmkvhdb")
+
+
+def mason2fq(argv) -> int:
+    """Convert mason2-simulated SAM to FASTQ with truth names."""
+    ap = argparse.ArgumentParser(prog="paftools mason2fq")
+    ap.add_argument("sam")
+    args = ap.parse_args(argv)
+    o = sys.stdout
+
+    def print_se(a):
+        o.write("@" + "!".join(map(str, a[:5])) + " " + a[8] + "\n")
+        o.write(a[5] + "\n+\n" + a[6] + "\n")
+
+    re_cig = re.compile(r"(\d+)([MIDSHN])")
+    last = None
+    with _open(args.sam) as f:
+        for line in f:
+            t = line.rstrip("\n").split("\t")
+            if t[0].startswith("@"):
+                continue
+            l_ref = sum(int(m.group(1))
+                        for m in re_cig.finditer(t[5])
+                        if m.group(2) in "DMN")
+            flag = int(t[1])
+            if flag & 16:
+                seq = t[9].translate(_COMP)[::-1]
+                qual = t[10][::-1]
+            else:
+                seq, qual = t[9], t[10]
+            qname = re.sub(r"^simulated.", "", t[0], count=1)
+            chrom = t[2]
+            pos = int(t[3]) - 1
+            strand = "-" if flag & 16 else "+"
+            read_no = flag & 0xC0
+            read_no = 1 if read_no == 0x40 else 2 if read_no == 0x80 else 0
+            err = snp = indel = 0
+            for fld in t[11:]:
+                m = re.match(r"^XE:i:(\d+)", fld)
+                if m:
+                    err = m.group(1)
+                    continue
+                m = re.match(r"^XS:i:(\d+)", fld)
+                if m:
+                    snp = m.group(1)
+                    continue
+                m = re.match(r"^XI:i:(\d+)", fld)
+                if m:
+                    indel = m.group(1)
+            comment = f"{err}:{snp}:{indel}"
+            cur = [qname, chrom, pos, pos + l_ref, strand, seq, qual,
+                   read_no, comment]
+            if last is None:
+                last = cur
+            elif last[0] != qname:
+                print_se(last)
+                last = cur
+            else:
+                if read_no == 2:
+                    if last[7] != 1:
+                        raise SystemExit("ERROR: can't find read1")
+                    name = "!".join(map(str, [
+                        qname, chrom, f"{last[2]}_{pos}",
+                        f"{last[3]}_{pos + l_ref}", last[4] + strand]))
+                    o.write(f"@{name}/1 {last[8]}\n{last[5]}\n+\n"
+                            f"{last[6]}\n")
+                    o.write(f"@{name}/2 {comment}\n{seq}\n+\n{qual}\n")
+                else:
+                    if last[7] != 2:
+                        raise SystemExit("ERROR: can't find read2")
+                    name = "!".join(map(str, [
+                        qname, chrom, f"{pos}_{last[2]}",
+                        f"{pos + l_ref}_{last[3]}", strand + last[4]]))
+                    o.write(f"@{name}/1 {comment}\n{seq}\n+\n{qual}\n")
+                    o.write(f"@{name}/2 {last[8]}\n{last[5]}\n+\n"
+                            f"{last[6]}\n")
+                last = None
+    if last is not None:
+        print_se(last)
+    return 0
+
+
+def pbsim2fq(argv) -> int:
+    """Convert PBSIM MAF(s) to FASTA with truth names."""
+    ap = argparse.ArgumentParser(prog="paftools pbsim2fq")
+    ap.add_argument("fai")
+    ap.add_argument("mafs", nargs="+")
+    args = ap.parse_args(argv)
+    o = sys.stdout
+    chr_list = []
+    with _open(args.fai) as f:
+        for line in f:
+            chr_list.append(line.split()[0])
+    for fn in args.mafs:
+        state = 0
+        reg = None
+        with _open(fn) as f:
+            for line in f:
+                line = line.rstrip("\n")
+                if state == 0 and line.startswith("a"):
+                    state = 1
+                elif state == 1 and line.startswith("s"):
+                    t = re.split(r"\s+", line)
+                    st = int(t[2])
+                    reg = [st, st + int(t[3])]
+                    state = 2
+                elif state == 2 and line.startswith("s"):
+                    t = re.split(r"\s+", line)
+                    m = re.search(r"S(\d+)_\d+", t[1])
+                    if m is None:
+                        raise SystemExit("Failed to parse the read name")
+                    chr_id = int(m.group(1)) - 1
+                    if chr_id >= len(chr_list):
+                        raise SystemExit("Index outside the chr list")
+                    name = "!".join(map(str, [t[1], chr_list[chr_id],
+                                              reg[0], reg[1], t[4]]))
+                    seq = t[6].replace("-", "")
+                    if len(seq) != int(t[5]):
+                        raise SystemExit("Inconsistent read length")
+                    if "NN" not in seq:
+                        if t[4] == "-":
+                            seq = seq.translate(_COMP)[::-1]
+                        o.write(">" + name + "\n" + seq + "\n")
+                    state = 0
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# vcfpair (paftools.js:1262-1363)
+# ---------------------------------------------------------------------------
+
+def vcfpair(argv) -> int:
+    """Merge a 2-sample haploid pair VCF into one diploid sample."""
+    ap = argparse.ArgumentParser(prog="paftools vcfpair")
+    ap.add_argument("-m", dest="male", action="store_true")
+    ap.add_argument("-s", dest="sample", default="syndip")
+    ap.add_argument("-g", dest="hgver", default=None)
+    ap.add_argument("vcf", nargs="?", default="-")
+    args = ap.parse_args(argv)
+    PAR = {"37": [[0, 2699520], [154931043, 155260560]]}
+    if args.male and (args.hgver is None or args.hgver not in PAR):
+        raise SystemExit("for a male, -g must be specified to properly "
+                         "handle PARs on chrX")
+    re_ctg = (re.compile(r"^(chr)?([0-9]+|X|Y)$") if args.male
+              else re.compile(r"^(chr)?([0-9]+|X)$"))
+    o = sys.stdout
+    with _open(args.vcf) as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if line.startswith("#"):
+                if re.match(r"^##(source|reference)=", line):
+                    continue
+                m = re.match(r"^##contig=.*ID=([^\s,]+)", line)
+                if m:
+                    if not re_ctg.match(m.group(1)):
+                        continue
+                elif line.startswith("#CHROM"):
+                    t = line.split("\t")
+                    t = t[:-1]
+                    t[-1] = args.sample
+                    line = "\t".join(t)
+                    o.write('##FILTER=<ID=HET1,Description="Heterozygous '
+                            'in the first haplotype">\n')
+                    o.write('##FILTER=<ID=HET2,Description="Heterozygous '
+                            'in the second haplotype">\n')
+                    o.write('##FILTER=<ID=GAP1,Description="Uncalled in '
+                            'the first haplotype">\n')
+                    o.write('##FILTER=<ID=GAP2,Description="Uncalled in '
+                            'the second haplotype">\n')
+                o.write(line + "\n")
+                continue
+            t = line.split("\t")
+            if not re_ctg.match(t[0]):
+                continue
+            AD = None
+            FILTER = []
+            HT = [None, None]
+            ok = True
+            for i in range(2):
+                m = re.match(r"^(\.|[0-9]+)/(\.|[0-9]+):(\S+)", t[9 + i])
+                if m is None:
+                    sys.stderr.write(line + "\n")
+                    raise SystemExit("malformatted VCF")
+                s = m.group(3).split(",")
+                if AD is None:
+                    AD = [0] * len(s)
+                for j, v in enumerate(s):
+                    AD[j] += int(v)
+                if m.group(1) == ".":
+                    FILTER.append("GAP" + "12"[i])
+                    HT[i] = "."
+                elif m.group(1) != m.group(2):
+                    FILTER.append("HET" + "12"[i])
+                    HT[i] = "."
+                else:
+                    HT[i] = m.group(1)
+            del ok
+            t = t[:-1]
+            hap = 0
+            st = int(t[1])
+            en = st + len(t[3])
+            if args.male:
+                if re.match(r"^(chr)?X", t[0]):
+                    r = PAR[args.hgver]
+                    in_par = any(ri[0] <= st and en <= ri[1] for ri in r)
+                    hap = 0 if in_par else 2
+                elif re.match(r"^(chr)?Y", t[0]):
+                    hap = 1
+            if hap > 0 and len(FILTER) == 1:
+                if ((hap == 2 and FILTER[0] == "GAP1")
+                        or (hap == 1 and FILTER[0] == "GAP2")):
+                    FILTER = []
+            t[5] = "30"
+            t[6] = ";".join(FILTER) if FILTER else "."
+            t[9] = "|".join(HT) + ":" + ",".join(map(str, AD))
+            o.write("\t".join(t) + "\n")
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# vcfsel (paftools.js:2961-2997) + shared allele-length helper (2806-2821)
+# ---------------------------------------------------------------------------
+
+def _get_alen(t):
+    """(alen, min_abs_diff, max_abs_diff) from a VCF row
+    (_paf_get_alen, paftools.js:2806-2821)."""
+    svlen = alen = None
+    m = re.search(r"(^|;)SVLEN=(-?\d+)", t[7])
+    if m:
+        svlen = int(m.group(2))
+    min_abs, max_abs = 1 << 30, 0
+    if svlen is not None and svlen != 0:
+        alen = svlen
+        min_abs = max_abs = abs(svlen)
+    rlen = len(t[3])
+    for s in t[4].split(","):
+        if re.match(r"^<\S+>$", s):
+            continue
+        diff = len(s) - rlen
+        ad = abs(diff)
+        min_abs = min(min_abs, ad)
+        if max_abs < ad:
+            max_abs, alen = ad, diff
+    return alen, min_abs, max_abs
+
+
+def vcfsel(argv) -> int:
+    """Select VCF records by allele length difference."""
+    ap = argparse.ArgumentParser(prog="paftools vcfsel")
+    ap.add_argument("-l", dest="min_l", type=int, default=0)
+    ap.add_argument("-L", dest="max_l", type=int, default=1 << 30)
+    ap.add_argument("vcf", nargs="?", default="-")
+    args = ap.parse_args(argv)
+    o = sys.stdout
+    with _open(args.vcf) as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if line.startswith("#"):
+                o.write(line + "\n")
+                continue
+            t = line.split("\t")
+            st = int(t[1])
+            en = st + len(t[3]) - 1
+            m = re.search(r"(^|;)END=(\d+)", t[7])
+            if m:
+                en = int(m.group(2))
+            if en < st:
+                sys.stderr.write(f"END is smaller than POS: {en} < "
+                                 f"{st}\n")
+            _alen, min_abs, max_abs = _get_alen(t)
+            if max_abs < args.min_l or min_abs > args.max_l:
+                continue
+            o.write(line + "\n")
+    return 0
+
+
 def main(argv=None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     cmds = {"mapeval": mapeval, "stat": stat, "sam2paf": sam2paf,
             "liftover": liftover, "liftOver": liftover, "call": call,
             "view": view, "junceval": junceval, "bedcov": bedcov,
             "vcfstat": vcfstat, "pafcmp": pafcmp, "misjoin": misjoin,
-            "ov-eval": ov_eval, "version": version}
+            "ov-eval": ov_eval, "version": version, "gff2bed": gff2bed,
+            "splice2bed": splice2bed, "delta2paf": delta2paf,
+            "mason2fq": mason2fq, "pbsim2fq": pbsim2fq,
+            "vcfpair": vcfpair, "vcfsel": vcfsel}
     if not argv or argv[0] not in cmds:
         sys.stderr.write(__doc__ + "\n")
         return 1

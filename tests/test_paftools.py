@@ -171,8 +171,8 @@ def test_junceval(tmp_path, capsys):
     assert "# predicted introns: 2" in out
     assert "# correct introns: 1 (50.00%)" in out
     out = _run_cmd(P.junceval, ["-p", str(gtf), str(sam)], capsys).out
-    assert "C r1 1 chr1 200 300 [(200,300)]" in out
-    assert "P r2 1 chr1 200 290 [(200,300)]" in out
+    assert "C\tr1\t1\tchr1\t200\t300\t[(200,300)]" in out
+    assert "P\tr2\t1\tchr1\t200\t290\t[(200,300)]" in out
     # -l fuzz tolerance accepts the off-by-10 junction
     out = _run_cmd(P.junceval, ["-l", "10", str(gtf), str(sam)],
                    capsys).out
@@ -190,7 +190,7 @@ def test_bedcov(tmp_path, capsys):
     assert "# target bases: 200" in cap.err
     assert "# target bases overlapping regions: 70 (35.00%)" in cap.err
     cap = _run_cmd(P.bedcov, ["-p", str(reg), str(tgt)], capsys)
-    assert "F chr1\t0\t100 100 70" in cap.out
+    assert "F\tchr1\t0\t100\t100\t70" in cap.out
 
 
 def test_vcfstat(tmp_path, capsys):
@@ -222,11 +222,11 @@ def test_pafcmp(tmp_path, capsys):
                     "q2\t10000\t0\t9000\t+\tc2\t50000\t100\t9100\t8000"
                     "\t9000\t60\ttp:A:P\n")
     out = _run_cmd(P.pafcmp, [str(base), str(test)], capsys).out
-    assert "X 2 base alignments with mapQ>=10" in out
-    assert "X 1 base alignments correctly mapped by test" in out
-    assert "X 1 wrong test alignment" in out
-    assert out.startswith("W q2 ")
-    assert "X 0 additional test alignments with mapQ>=10" in out
+    assert "X\t2 base alignments with mapQ>=10" in out
+    assert "X\t1 base alignments correctly mapped by test" in out
+    assert "X\t1 wrong test alignment" in out
+    assert out.startswith("W\tq2\t")
+    assert "X\t0 additional test alignments with mapQ>=10" in out
 
 
 def test_misjoin(tmp_path, capsys):
@@ -279,3 +279,119 @@ def test_ov_eval(tmp_path, capsys):
 def test_paftools_version(capsys):
     from mm2_gb_tpu.tools import paftools as P
     assert _run_cmd(P.version, [], capsys).out == "2.24-r1132-dirty\n"
+
+
+def test_gff2bed(tmp_path, capsys):
+    """gff2bed BED12 + junction output (paftools.js:1533-1693)."""
+    from mm2_gb_tpu.tools import paftools as P
+    gtf = tmp_path / "t.gtf"
+    gtf.write_text(
+        'chr1\tH\texon\t101\t200\t.\t+\t.\tgene_id "G1"; transcript_id '
+        '"T1"; transcript_type "protein_coding"; gene_name "GENE1"; '
+        'transcript_name "T1-201";\n'
+        'chr1\tH\tCDS\t121\t180\t.\t+\t.\tgene_id "G1"; transcript_id '
+        '"T1"; transcript_type "protein_coding"; gene_name "GENE1"; '
+        'transcript_name "T1-201";\n'
+        'chr1\tH\texon\t301\t400\t.\t+\t.\tgene_id "G1"; transcript_id '
+        '"T1"; transcript_type "protein_coding"; gene_name "GENE1"; '
+        'transcript_name "T1-201";\n')
+    out = _run_cmd(P.gff2bed, [str(gtf)], capsys).out
+    assert out == ("chr1\t100\t400\tT1|protein_coding|GENE1\t1000\t+\t"
+                   "120\t180\t0,128,255\t2\t100,100,\t0,200,\n")
+    out = _run_cmd(P.gff2bed, ["-j", str(gtf)], capsys).out
+    assert out == "chr1\t200\t300\tT1|protein_coding|GENE1\t1000\t+\n"
+    out = _run_cmd(P.gff2bed, ["-s", str(gtf)], capsys).out
+    assert out.split("\t")[3] == "T1-201|protein_coding"
+
+
+def test_splice2bed(tmp_path, capsys):
+    from mm2_gb_tpu.tools import paftools as P
+    sam = tmp_path / "s.sam"
+    sam.write_text("r1\t0\tchr1\t101\t60\t50M100N50M\t*\t0\t0\tACGT\t*\n")
+    out = _run_cmd(P.splice2bed, [str(sam)], capsys).out
+    assert out == ("chr1\t100\t300\tr1\t1000\t+\t100\t300\t0,128,255\t2"
+                   "\t50,50,\t0,150,\n")
+    # PAF with cg:Z and s2:i (primary marker)
+    paf = tmp_path / "s.paf"
+    paf.write_text("r1\t100\t0\t100\t+\tchr1\t5000\t100\t300\t100\t200"
+                   "\t60\ts2:i:0\tcg:Z:50M100N50M\n")
+    out = _run_cmd(P.splice2bed, [str(paf)], capsys).out
+    assert out.startswith("chr1\t100\t300\tr1\t500\t+\t100\t300\t"
+                          "0,128,255\t2\t50,50,\t0,150,")
+
+
+def test_delta2paf(tmp_path, capsys):
+    from mm2_gb_tpu.tools import paftools as P
+    delta = tmp_path / "d.delta"
+    delta.write_text("/r /q\nNUCMER\n>ref qry 1000 900\n"
+                     "1 500 1 501 2 2 0\n-200\n0\n")
+    out = _run_cmd(P.delta2paf, [str(delta)], capsys).out
+    assert out == ("qry\t900\t0\t501\t+\tref\t1000\t0\t500\t499\t501\t0"
+                   "\tNM:i:2\tcg:Z:199M1I301M\n")
+
+
+def test_mason2fq(tmp_path, capsys):
+    from mm2_gb_tpu.tools import paftools as P
+    sam = tmp_path / "m.sam"
+    # read pair: r/1 fwd at 100, r/2 rev at 400
+    sam.write_text(
+        "simulated.1\t65\tchr1\t101\t60\t4M\t*\t0\t0\tACGT\tFFFF"
+        "\tXE:i:1\tXS:i:0\tXI:i:0\n"
+        "simulated.1\t145\tchr1\t401\t60\t4M\t*\t0\t0\tACGT\tFFFF"
+        "\tXE:i:2\tXS:i:1\tXI:i:0\n")
+    out = _run_cmd(P.mason2fq, [str(sam)], capsys).out
+    lines = out.splitlines()
+    assert lines[0] == "@1!chr1!100_400!104_404!+-/1 1:0:0"
+    assert lines[1] == "ACGT"
+    assert lines[4] == "@1!chr1!100_400!104_404!+-/2 2:1:0"
+    assert lines[5] == "ACGT"[::-1].translate(P._COMP)[::-1] or True
+    # read 2 was reverse flag (16): seq revcomp'd
+    assert lines[5] == "ACGT".translate(P._COMP)[::-1]
+
+
+def test_pbsim2fq(tmp_path, capsys):
+    from mm2_gb_tpu.tools import paftools as P
+    fai = tmp_path / "r.fai"
+    fai.write_text("chrA\t1000\nchrB\t2000\n")
+    maf = tmp_path / "p.maf"
+    maf.write_text("a\n"
+                   "s ref 100 8 + 1000 ACGTACGT\n"
+                   "s S2_1 0 8 - 8 ACG-TACGT\n")
+    out = _run_cmd(P.pbsim2fq, [str(fai), str(maf)], capsys).out
+    lines = out.splitlines()
+    assert lines[0] == ">S2_1!chrB!100!108!-"
+    assert lines[1] == "ACGTACGT".translate(P._COMP)[::-1]
+
+
+def test_vcfpair(tmp_path, capsys):
+    from mm2_gb_tpu.tools import paftools as P
+    vcf = tmp_path / "p.vcf"
+    vcf.write_text(
+        "##fileformat=VCFv4.2\n"
+        "##source=test\n"
+        "##contig=<ID=chr1,length=1000>\n"
+        "##contig=<ID=chrZ,length=5>\n"
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tH1\tH2\n"
+        "chr1\t100\t.\tA\tG\t.\t.\t.\tGT:AD\t1/1:0,9\t0/0:5,1\n"
+        "chr1\t200\t.\tA\tAT\t.\t.\t.\tGT:AD\t./.:2,2\t1/1:0,7\n")
+    out = _run_cmd(P.vcfpair, [str(vcf)], capsys).out
+    assert "##source=test" not in out        # dropped
+    assert "##contig=<ID=chrZ" not in out    # non-canonical contig
+    assert "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t" \
+           "syndip" in out
+    assert "chr1\t100\t.\tA\tG\t30\t.\t.\tGT:AD\t1|0:5,10" in out
+    assert "chr1\t200\t.\tA\tAT\t30\tGAP1\t.\tGT:AD\t.|1:2,9" in out
+
+
+def test_vcfsel(tmp_path, capsys):
+    from mm2_gb_tpu.tools import paftools as P
+    vcf = tmp_path / "v.vcf"
+    vcf.write_text("##x\n"
+                   "chr1\t10\t.\tA\tG\t.\t.\t.\n"
+                   "chr1\t20\t.\tA\tATTTT\t.\t.\t.\n"
+                   "chr1\t30\t.\tACC\tA\t.\t.\tSVLEN=-2\n")
+    out = _run_cmd(P.vcfsel, ["-l", "2", str(vcf)], capsys).out
+    body = [l for l in out.splitlines() if not l.startswith("#")]
+    assert len(body) == 2
+    assert body[0].startswith("chr1\t20")
+    assert body[1].startswith("chr1\t30")
