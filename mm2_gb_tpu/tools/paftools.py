@@ -2343,6 +2343,488 @@ def vcfsel(argv) -> int:
     return 0
 
 
+# ---------------------------------------------------------------------------
+# sveval (paftools.js:2823-2959)
+# ---------------------------------------------------------------------------
+
+def _fmt6(v: float) -> str:
+    import math
+    if v != v:
+        return "NaN"
+    s = 1 if v >= 0 else -1
+    return f"{s * math.floor(abs(v) * 1e6 + 0.5) / 1e6:.6f}"
+
+
+def sveval(argv) -> int:
+    """Compare two SV callsets in VCF (SN/PC/F1)."""
+    ap = argparse.ArgumentParser(prog="paftools sveval")
+    ap.add_argument("-f", dest="min_flt", type=_parse_num, default=30)
+    ap.add_argument("-i", dest="min_size", type=_parse_num, default=50)
+    ap.add_argument("-x", dest="max_size", type=_parse_num, default=100000)
+    ap.add_argument("-w", dest="win_size", type=_parse_num, default=500)
+    ap.add_argument("-d", dest="len_diff_ratio", type=float, default=0.5)
+    ap.add_argument("-r", dest="bed_fn", default=None)
+    ap.add_argument("-e", dest="print_err", action="store_true")
+    ap.add_argument("-p", dest="print_match", action="store_true")
+    ap.add_argument("base_vcf")
+    ap.add_argument("call_vcf")
+    args = ap.parse_args(argv)
+
+    bed = None
+    if args.bed_fn:
+        bed = {}
+        with _open(args.bed_fn) as f:
+            for line in f:
+                t = line.rstrip("\n").split("\t")
+                bed.setdefault(t[0], []).append([int(t[1]), int(t[2])])
+        for x in bed:
+            _iv_sort(bed[x])
+            _iv_merge(bed[x])
+            _iv_index_end(bed[x])
+
+    def read_vcf(fn):
+        v: dict = {}
+        with _open(fn) as f:
+            for line in f:
+                t = line.rstrip("\n").split("\t")
+                if t[0].startswith("#"):
+                    continue
+                if bed is not None and t[0] not in bed:
+                    continue
+                if t[4] in ("<INV>", "<INVDUP>"):
+                    continue
+                if re.search(r"[\[\]]", t[4]):
+                    continue
+                st = int(t[1]) - 1
+                en = st + len(t[3])
+                svlen, _mn, _mx = _get_alen(t)
+                abslen = 0 if svlen is None else abs(svlen)
+                if abslen < args.min_flt or abslen > args.max_size:
+                    continue
+                m = re.search(r"(^|;)END=(\d+)", t[7])
+                if m:
+                    en = int(m.group(2))
+                elif svlen is not None and svlen < 0:
+                    en = st + (-svlen)
+                if en < st:
+                    en = st
+                if st == en:
+                    st -= 1
+                    en += 1
+                if bed is not None and \
+                        not _iv_find_ovlp(bed[t[0]], st, en):
+                    continue
+                v.setdefault(t[0], []).append([st, en, svlen, abslen])
+        for x in v:
+            _iv_sort(v[x])
+            _iv_index_end(v[x])
+        return v
+
+    def compare_vcf(v0, v1, label):
+        m_cnt = n_cnt = 0
+        for x, a1 in v1.items():
+            a0 = v0.get(x)
+            for r in a1:
+                if r[3] < args.min_size:
+                    continue
+                n_cnt += 1
+                if a0 is None:
+                    continue
+                ws = args.win_size + (r[3] >> 1)
+                st = r[0] - ws if r[0] > ws else 0
+                b = _iv_find_ovlp(a0, st, r[1] + ws)
+                n_ins = n_del = 0
+                sv_del = sv_ins = None
+                for bj in b:
+                    if bj[2] < 0:
+                        n_del += 1
+                        sv_del = -bj[2]
+                    elif bj[2] > 0:
+                        n_ins += 1
+                        sv_ins = bj[2]
+                    if args.print_match:
+                        _p("MA", x, "\t".join(map(str, r[:3])),
+                           "\t".join(map(str, bj[:3])))
+                match = False
+                if r[2] is not None and r[2] > 0:
+                    if n_ins == 1:
+                        diff = abs(sv_ins - r[3])
+                        if (diff < args.min_size
+                                or diff / r[3] < args.len_diff_ratio):
+                            match = True
+                    elif n_ins > 1:
+                        match = True
+                elif r[2] is not None and r[2] < 0:
+                    if n_del == 1:
+                        diff = abs(sv_del - r[3])
+                        if (diff < args.min_size
+                                or diff / r[3] < args.len_diff_ratio):
+                            match = True
+                    elif n_del > 1:
+                        match = True
+                if match:
+                    m_cnt += 1
+                elif args.print_err:
+                    if ((r[2] is not None and r[2] > 0 and n_ins > 0)
+                            or (r[2] is not None and r[2] < 0
+                                and n_del > 0)):
+                        _p("MM", x, "\t".join(map(str, r[:3])))
+                    _p(label, x, "\t".join(map(str, r[:3])))
+        return n_cnt, m_cnt
+
+    v_base = read_vcf(args.base_vcf)
+    v_call = read_vcf(args.call_vcf)
+    fn = compare_vcf(v_call, v_base, "FN")
+    fp = compare_vcf(v_base, v_call, "FP")
+    sn = fn[1] / fn[0] if fn[0] else float("nan")
+    pc = fp[1] / fp[0] if fp[0] else float("nan")
+    _p("SN", fn[0], fn[1], _fmt6(sn))
+    _p("PC", fp[0], fp[1], _fmt6(pc))
+    _p("F1", _fmt6((sn + pc) / 2))
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# asmstat (paftools.js:566-818)
+# ---------------------------------------------------------------------------
+
+def _fmt0(v: float) -> str:
+    import math
+    return str(math.floor(v + 0.5) if v >= 0 else -math.floor(-v + 0.5))
+
+
+def asmstat(argv) -> int:
+    """Assembly statistics from asm-to-ref PAF(s)."""
+    ap = argparse.ArgumentParser(prog="paftools asmstat")
+    ap.add_argument("-q", dest="min_query_len", type=int, default=0)
+    ap.add_argument("-l", dest="min_seg_len", type=int, default=10000)
+    ap.add_argument("-d", dest="max_diff", type=float, default=0.01)
+    ap.add_argument("-b", dest="bp_flank_len", type=int, default=0)
+    ap.add_argument("-g", dest="bp_gap_len", type=int, default=0)
+    ap.add_argument("fai")
+    ap.add_argument("pafs", nargs="+")
+    args = ap.parse_args(argv)
+
+    ref_len = 0
+    with _open(args.fai) as f:
+        for line in f:
+            ref_len += int(line.split("\t")[1])
+
+    def process_query(qblocks, qblock_len, bp, qi):
+        qblocks.sort(key=lambda b: b[0])
+        last_k = last_blen = None
+        st = en = -1
+        qcov = 0
+        for k, qb in enumerate(qblocks):
+            blen = qb[1] - qb[0]
+            if k > 0 and qb[0] < qblocks[k - 1][1]:
+                if qb[1] < qblocks[k - 1][1]:
+                    continue
+                blen = qb[1] - qblocks[k - 1][1]
+            qblock_len.append(blen)
+            if qb[0] > en:
+                qcov += en - st
+                st, en = qb[0], qb[1]
+            else:
+                en = max(en, qb[1])
+            if last_k is not None:
+                gap = 1000000000
+                lk = qblocks[last_k]
+                if qb[2] == lk[2] and qb[3] == lk[3]:
+                    g1 = qb[0] - lk[1]
+                    g2 = (qb[4] - lk[5] if qb[2] == "+"
+                          else lk[4] - qb[5])
+                    gap = abs(g1 - g2)
+                bp.append([blen, gap])
+                qi["bp"].append([blen, gap])
+            last_k, last_blen = k, blen
+        del last_blen
+        qcov += en - st
+        return qcov
+
+    def n50(lens, tot, quantile):
+        lens.sort(reverse=True)
+        if tot is None:
+            tot = sum(lens)
+        s = 0
+        for ln in lens:
+            if s <= quantile * tot < s + ln:
+                return ln
+            s += ln
+        return None  # JS: undefined -> "" in Array.join
+
+    def aun(lens, tot):
+        lens.sort(reverse=True)
+        if tot is None:
+            tot = sum(lens)
+        x = y = 0.0
+        for ln in lens:
+            le = ln if x + ln <= tot else tot - x
+            x += ln
+            y += le * (le / tot)
+            if x >= tot:
+                break
+        return _fmt0(y)
+
+    def count_bp(bp, min_blen, min_gap):
+        return sum(1 for b in bp if b[0] >= min_blen and b[1] >= min_gap)
+
+    def compute_diff(cigar, nm):
+        n_m = n_gapo = n_gaps = 0
+        for m in re.finditer(r"(\d+)([MID])", cigar):
+            ln = int(m.group(1))
+            if m.group(2) == "M":
+                n_m += ln
+            else:
+                n_gapo += 1
+                n_gaps += ln
+        if nm < n_gaps:
+            raise SystemExit("NM is smaller the number of gaps")
+        return (nm - n_gaps + n_gapo) / (n_m + n_gapo)
+
+    labels = ["Length", "l_cov", "Rcov", "Rdup", "Qcov", "NG75", "NG50",
+              "NGA50", "AUNGA", "#breaks",
+              f"bp({args.min_seg_len},0)", f"bp({args.min_seg_len},10k)"]
+    rst = [[] for _ in labels]
+    header = ["Metric"]
+    for fn in args.pafs:
+        header.append(re.sub(r".paf(.gz)?$", "", fn))
+        n_breaks = qcov = 0
+        ref_blocks, qblock_len, qblocks, bp = [], [], [], []
+        query, qinfo = {}, {}
+        last_qname = None
+        with _open(fn) as f:
+            for line in f:
+                line = line.rstrip("\n")
+                t = line.split("\t")
+                if len(t) < 2:
+                    continue
+                t1 = int(t[1])
+                if t1 < args.min_query_len:
+                    continue
+                query[t[0]] = t1
+                qinfo.setdefault(t[0], {})["len"] = t1
+                qinfo[t[0]]["bp"] = qinfo[t[0]].get("bp", [])
+                if len(t) < 9 or t[5] == "*":
+                    continue
+                if not re.search(r"\ttp:A:[PI]", line):
+                    continue
+                m = re.search(r"\tcg:Z:(\S+)", line)
+                cigar = m.group(1) if m else None
+                m = re.search(r"\tNM:i:(\d+)", line)
+                nm = int(m.group(1)) if m else None
+                diff = (compute_diff(cigar, nm)
+                        if cigar is not None and nm is not None else 0)
+                qs, qe = int(t[2]), int(t[3])
+                ts_, te_ = int(t[7]), int(t[8])
+                if t[0] == last_qname:
+                    n_breaks += 1
+                if diff > args.max_diff:
+                    continue
+                if qe - qs < args.min_seg_len:
+                    continue
+                if t[0] != last_qname:
+                    if last_qname is not None:
+                        qcov += process_query(qblocks, qblock_len, bp,
+                                              qinfo[last_qname])
+                    qblocks = []
+                    last_qname = t[0]
+                ref_blocks.append([t[5], ts_, te_])
+                qblocks.append([qs, qe, t[4], t[5], ts_, te_])
+        if last_qname is not None:
+            qcov += process_query(qblocks, qblock_len, bp,
+                                  qinfo[last_qname])
+
+        asm_lens = list(query.values())
+        asm_len = sum(asm_lens)
+        rst[0].append(asm_len)
+        rst[5].append(n50(asm_lens, ref_len, 0.75))
+        rst[6].append(n50(list(asm_lens), ref_len, 0.5))
+
+        l_cov = 0
+        ref_blocks.sort(key=lambda b: (b[0], b[1]))
+        last_ref, st, en = None, -1, -1
+        for rb in ref_blocks:
+            if rb[0] != last_ref or rb[1] > en:
+                l_cov += en - st
+                last_ref, st, en = rb[0], rb[1], rb[2]
+            else:
+                en = max(en, rb[2])
+        l_cov += en - st
+        rst[1].append(l_cov)
+        rst[2].append(_fmt2(100.0 * l_cov / ref_len) + "%")
+        rst[4].append(_fmt2(100.0 * qcov / asm_len) + "%"
+                      if asm_len else "NaN%")
+
+        c1_ctg, c1_start, c1_end, c1_len = None, 0, 0, 0
+        for rb in ref_blocks:
+            if rb[0] != c1_ctg or rb[1] >= c1_end:
+                if c1_end > c1_start:
+                    c1_len += c1_end - c1_start
+                c1_ctg, c1_start, c1_end = rb[0], rb[1], rb[2]
+            elif rb[2] > c1_end:
+                if rb[1] > c1_start:
+                    c1_len += rb[1] - c1_start
+                c1_start, c1_end = c1_end, rb[2]
+            elif rb[2] > c1_start:
+                if rb[1] > c1_start:
+                    c1_len += rb[1] - c1_start
+                c1_start = rb[2]
+        if c1_end > c1_start:
+            c1_len += c1_end - c1_start
+        rst[3].append(_fmt2(100 * (l_cov - c1_len) / l_cov) + "%"
+                      if l_cov else "NaN%")
+        rst[7].append(n50(qblock_len, ref_len, 0.5))
+        rst[8].append(aun(qblock_len, ref_len))
+        rst[9].append(n_breaks)
+        rst[10].append(count_bp(bp, 500, 0))
+        rst[11].append(count_bp(bp, 500, 10000))
+
+    if args.bp_flank_len <= 0:
+        sys.stdout.write("\t".join(header) + "\n")
+        for i, lab in enumerate(labels):
+            _p(lab, "\t".join("" if v is None else str(v)
+                              for v in rst[i]))
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# asmgene (paftools.js:820-961)
+# ---------------------------------------------------------------------------
+
+def asmgene(argv) -> int:
+    """Gene completeness from cDNA-to-ref and cDNA-to-asm splice PAFs."""
+    ap = argparse.ArgumentParser(prog="paftools asmgene")
+    ap.add_argument("-i", dest="min_iden", type=float, default=0.99)
+    ap.add_argument("-c", dest="min_cov", type=float, default=0.99)
+    ap.add_argument("-e", dest="print_err", action="store_true")
+    ap.add_argument("-a", dest="auto_only", action="store_true")
+    ap.add_argument("pafs", nargs="+")
+    args = ap.parse_args(argv)
+    if len(args.pafs) < 2:
+        raise SystemExit("asmgene needs <ref-splice.paf> <asm-splice.paf>")
+
+    def process_query(a):
+        b = [list(r) for r in a if r[4] >= r[5] * args.min_iden]
+        cnt = [0, 0, 0]
+        if not b:
+            return cnt
+        cnt[0] = sum(1 for r in b if r[3] - r[2] >= r[1] * args.min_cov)
+        b.sort(key=lambda r: r[2])
+        l_cov, st, en = 0, b[0][2], b[0][3]
+        for r in b[1:]:
+            if r[2] <= en:
+                en = max(en, r[3])
+            else:
+                # the reference never restarts (st, en) here
+                # (paftools.js:858-861) — replicated verbatim
+                l_cov += en - st
+        l_cov += en - st
+        cnt[1] = l_cov / b[0][1]
+        cnt[2] = len(b)
+        return cnt
+
+    gene: dict = {}
+    refpos: dict = {}
+    header = []
+    n_fn = len(args.pafs)
+    for i, fn in enumerate(args.pafs):
+        header.append(re.sub(r".paf(.gz)?$", "", fn))
+        a: list = []
+        t = None
+        with _open(fn) as f:
+            for line in f:
+                t = line.rstrip("\n").split("\t")
+                ql, qs, qe = int(t[1]), int(t[2]), int(t[3])
+                mlen, blen = int(t[9]), int(t[10])
+                if i == 0:
+                    refpos[t[0]] = [t[0], t[1], t[5], int(t[7]),
+                                    int(t[8])]
+                g = gene.setdefault(t[0], [None] * n_fn)
+                del g
+                if a and t[0] != a[0][0]:
+                    gene[a[0][0]][i] = process_query(a)
+                    a = []
+                a.append([t[0], ql, qs, qe, mlen, blen])
+        if a:
+            gene[t[0]][i] = process_query(a)
+
+    gene_list = sorted(refpos.values(),
+                       key=lambda r: (r[2], r[3]))
+    gene_nr: dict = {}
+    last = 0
+    for j in range(1, len(gene_list)):
+        if (gene_list[j][2] != gene_list[last][2]
+                or gene_list[j][3] >= gene_list[last][4]):
+            gene_nr[gene_list[last][0]] = 1
+            last = j
+        elif gene_list[j][1] > gene_list[last][1]:
+            last = j
+    gene_nr[gene_list[last][0]] = 1
+
+    col1 = ["full_sgl", "full_dup", "frag", "part50+", "part10+",
+            "part10-", "dup_cnt", "dup_sum"]
+    rst = [[0] * n_fn for _ in col1]
+    xy_re = re.compile(r"^(chr)?[XY]$")
+
+    def refjoin(g):
+        return "\t".join(map(str, refpos[g]))
+
+    for g, recs in gene.items():  # single-copy genes
+        if recs[0] is None or recs[0][0] != 1:
+            continue
+        if g not in gene_nr:
+            continue
+        if args.auto_only and xy_re.match(refpos[g][2]):
+            continue
+        for i in range(n_fn):
+            gi = recs[i]
+            if gi is None:
+                rst[5][i] += 1
+                if args.print_err:
+                    _p("M", header[i], refjoin(g))
+            elif gi[0] == 1:
+                rst[0][i] += 1
+            elif gi[0] > 1:
+                rst[1][i] += 1
+                if args.print_err:
+                    _p("D", header[i], refjoin(g))
+            elif gi[1] >= args.min_cov:
+                rst[2][i] += 1
+                if args.print_err:
+                    _p("F", header[i], refjoin(g))
+            elif gi[1] >= 0.5:
+                rst[3][i] += 1
+                if args.print_err:
+                    _p("5", header[i], refjoin(g))
+            elif gi[1] >= 0.1:
+                rst[4][i] += 1
+                if args.print_err:
+                    _p("1", header[i], refjoin(g))
+            else:
+                rst[5][i] += 1
+                if args.print_err:
+                    _p("0", header[i], refjoin(g))
+    for g, recs in gene.items():  # multi-copy genes
+        if recs[0] is None or recs[0][0] <= 1:
+            continue
+        if g not in gene_nr:
+            continue
+        if args.auto_only and xy_re.match(refpos[g][2]):
+            continue
+        for i in range(n_fn):
+            if recs[i] is not None:
+                rst[7][i] += recs[i][0]
+            if recs[i] is not None and recs[i][0] > 1:
+                rst[6][i] += 1
+            elif args.print_err:
+                _p("d", header[i], recs[0][0], refjoin(g))
+    _p("H", "Metric", "\t".join(header))
+    for k, c in enumerate(col1):
+        _p("X", c, "\t".join(map(str, rst[k])))
+    return 0
+
+
 def main(argv=None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     cmds = {"mapeval": mapeval, "stat": stat, "sam2paf": sam2paf,
@@ -2352,7 +2834,8 @@ def main(argv=None) -> int:
             "ov-eval": ov_eval, "version": version, "gff2bed": gff2bed,
             "splice2bed": splice2bed, "delta2paf": delta2paf,
             "mason2fq": mason2fq, "pbsim2fq": pbsim2fq,
-            "vcfpair": vcfpair, "vcfsel": vcfsel}
+            "vcfpair": vcfpair, "vcfsel": vcfsel, "asmstat": asmstat,
+            "asmgene": asmgene, "sveval": sveval}
     if not argv or argv[0] not in cmds:
         sys.stderr.write(__doc__ + "\n")
         return 1

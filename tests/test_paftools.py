@@ -395,3 +395,103 @@ def test_vcfsel(tmp_path, capsys):
     assert len(body) == 2
     assert body[0].startswith("chr1\t20")
     assert body[1].startswith("chr1\t30")
+
+
+def test_asmstat(tmp_path, capsys):
+    from mm2_gb_tpu.tools import paftools as P
+    fai = tmp_path / "r.fai"
+    fai.write_text("chr1\t1000000\n")
+    paf = tmp_path / "asm.paf"
+    paf.write_text(
+        "ctg1\t500000\t0\t200000\t+\tchr1\t1000000\t0\t200000\t199000"
+        "\t200000\t60\ttp:A:P\tNM:i:1000\tcg:Z:200000M\n"
+        "ctg1\t500000\t220000\t500000\t+\tchr1\t1000000\t230000\t510000"
+        "\t278000\t280000\t60\ttp:A:P\tNM:i:2000\tcg:Z:280000M\n"
+        "ctg2\t300000\t0\t300000\t+\tchr1\t1000000\t600000\t900000"
+        "\t299000\t300000\t60\ttp:A:P\tNM:i:1000\tcg:Z:300000M\n")
+    out = _run_cmd(P.asmstat, [str(fai), str(paf)], capsys).out
+    lines = dict(l.split("\t", 1) for l in out.splitlines()[1:])
+    assert lines["Length"] == "800000"
+    assert lines["l_cov"] == "780000"
+    assert lines["Rcov"] == "78.00%"
+    assert lines["Qcov"] == "97.50%"
+    assert lines["NG50"] == "300000"
+    assert lines["NGA50"] == "280000"
+    assert lines["#breaks"] == "1"
+
+
+def test_asmgene(tmp_path, capsys):
+    from mm2_gb_tpu.tools import paftools as P
+    ref = tmp_path / "ref.paf"
+    ref.write_text(
+        "g1\t2000\t0\t2000\t+\tchr1\t1000000\t1000\t3100\t1990\t2000"
+        "\t60\n"
+        "g2\t1500\t0\t1500\t+\tchr1\t1000000\t5000\t6600\t1495\t1500"
+        "\t60\n")
+    asm = tmp_path / "asm.paf"
+    asm.write_text(
+        "g1\t2000\t0\t2000\t+\tctg1\t500000\t1000\t3100\t1990\t2000"
+        "\t60\n"
+        "g2\t1500\t0\t700\t+\tctg1\t500000\t5000\t5750\t698\t700\t60\n")
+    out = _run_cmd(P.asmgene, [str(ref), str(asm)], capsys).out
+    rows = {l.split("\t")[1]: l.split("\t")[2:]
+            for l in out.splitlines() if l.startswith("X")}
+    assert rows["full_sgl"] == ["2", "1"]
+    assert rows["part10+"] == ["0", "1"]
+
+
+def test_sveval(tmp_path, capsys):
+    from mm2_gb_tpu.tools import paftools as P
+    base = tmp_path / "b.vcf"
+    base.write_text("##x\n"
+                    "chr1\t1000\t.\tA\t" + "A" + "T" * 100 + "\t30\t.\t.\n"
+                    "chr1\t5000\t.\t" + "A" * 81 + "\tA\t30\t.\t.\n")
+    call = tmp_path / "c.vcf"
+    # insertion matches (same pos, len 95 vs 100); deletion missing
+    call.write_text("##x\n"
+                    "chr1\t1050\t.\tA\t" + "A" + "T" * 95 + "\t30\t.\t.\n")
+    out = _run_cmd(P.sveval, [str(base), str(call)], capsys).out
+    lines = {l.split("\t")[0]: l for l in out.splitlines()}
+    assert lines["SN"] == "SN\t2\t1\t0.500000"
+    assert lines["PC"] == "PC\t1\t1\t1.000000"
+    assert lines["F1"] == "F1\t0.750000"
+
+
+def test_mmphase_binning(tmp_path, capsys):
+    """mmphase binning mode: het-substitution phasing drops the
+    conflicting alignment (mmphase.js find_het_sub + flt_utg_for_bin)."""
+    from mm2_gb_tpu.tools import mmphase as M
+    paf = tmp_path / "ph.paf"
+    paf.write_text(
+        "q1\t10000\t0\t10000\t+\tutgA\t20000\t100\t10100\t9990\t10000"
+        "\t60\tcs:Z::5000*ac:4999\n"
+        "q1\t10000\t0\t10000\t+\tutgB\t20000\t200\t10200\t9500\t10000"
+        "\t60\tcs:Z::10000\n")
+    rc = M.main([str(paf)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "SQ\tq1\t10000\t2" in out
+    assert "TS\t1\t0\t10000\tutgB\t20000\t200\t10200\t1\t10000\t0\t0" \
+           "\t0" in out
+    assert "TS\t0\t" not in out  # conflicting utgA alignment filtered
+    assert out.rstrip().endswith("//")
+
+
+def test_mmphase_ec(tmp_path, capsys):
+    """mmphase error-correction mode: substitutions from the chosen
+    phase are applied to the read (mmphase.js ec_core)."""
+    from mm2_gb_tpu.tools import mmphase as M
+    paf = tmp_path / "ph.paf"
+    paf.write_text(
+        "q1\t10000\t0\t10000\t+\tutgB\t20000\t200\t10200\t9990\t10000"
+        "\t60\tcs:Z::5000*ga:4999\n")
+    fa = tmp_path / "q1.fa"
+    fa.write_text(">q1\n" + "A" * 10000 + "\n")
+    rc = M.main([str(paf), str(fa)])
+    assert rc == 0
+    out = capsys.readouterr().out.splitlines()
+    assert out[0] == ">q1"
+    seq = out[1]
+    assert len(seq) == 10000
+    assert seq[5000] == "g"          # cs *ga: target base g applied
+    assert set(seq[:5000]) == {"A"}
