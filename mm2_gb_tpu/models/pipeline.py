@@ -300,7 +300,10 @@ def _prefill_device(index: MinimizerIndex, opt: MapOptions,
     from mm2_gb_tpu.ops import align as align_ops
     from mm2_gb_tpu.ops import ksw2, ksw2_tpu
 
-    align_ops.collect_ext = os.environ.get("MM2TPU_DEVICE_EXT", "") == "1"
+    # device extensions default-on (hardware-smoked); MM2TPU_DEVICE_EXT=0
+    # opts out (e.g. for latency-bound single-read debugging)
+    align_ops.collect_ext = \
+        os.environ.get("MM2TPU_DEVICE_EXT", "1") != "0"
     align_ops.begin_fill_collect()
     try:
         for sr, fp, pp in slices:
