@@ -351,6 +351,41 @@ void mmt_idx_lookup(const uint64_t* uniq, const int64_t* start,
     }
 }
 
+// Successor-range selection (plrange.cu:38-76 analog; semantics of
+// chain_tpu.compute_ranges): rng[i] = #successors j>i in the same
+// (read, strand, rid) group with rpos_j <= rpos_i + max_dist, capped at
+// max_iter.  Positions ascend within a group, so a two-pointer scan is
+// O(n) — replaces two O(n log n) cache-hostile searchsorted passes.
+void mmt_compute_ranges(const uint64_t* ax, int64_t n,
+                        const int64_t* bounds, int64_t n_bounds,
+                        int64_t max_dist, int64_t max_iter,
+                        int32_t* rng) {
+    if (n == 0) return;
+    std::vector<int64_t> starts;  // group start offsets (sorted)
+    starts.reserve(1024);
+    int64_t bi = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        bool is_start = i == 0 || (ax[i] >> 32) != (ax[i - 1] >> 32);
+        while (bi < n_bounds && bounds[bi] <= i) {
+            if (bounds[bi] == i) is_start = true;
+            ++bi;
+        }
+        if (is_start) starts.push_back(i);
+    }
+    starts.push_back(n);
+    for (size_t g = 0; g + 1 < starts.size(); ++g) {
+        int64_t s = starts[g], e = starts[g + 1];
+        int64_t j = s;
+        for (int64_t i = s; i < e; ++i) {
+            uint64_t lim = (ax[i] & 0xFFFFFFFFULL) + (uint64_t)max_dist;
+            if (j < i + 1) j = i + 1;
+            while (j < e && (ax[j] & 0xFFFFFFFFULL) <= lim) ++j;
+            int64_t r = j - i - 1;
+            rng[i] = (int32_t)(r < max_iter ? r : max_iter);
+        }
+    }
+}
+
 // LPT lane packing for the device chain kernel's [rows, lanes] layout
 // (chain_tpu._pack_lanes): longest segment first onto the currently
 // shortest lane; ties broken by lane index (== Python heapq (h, lane)

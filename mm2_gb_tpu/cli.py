@@ -143,7 +143,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--min-occ-floor", type=int, default=None)
     p.add_argument("-K", "--mb-size", dest="mini_batch", default=None,
                    help="minibatch size in bases (500M default; k/M/G suffix)")
-    p.add_argument("-v", dest="verbose", type=int, default=1)
+    p.add_argument("-v", dest="verbose", type=int, default=3)  # main.c:141
     p.add_argument("-I", dest="batch_size", default=None,
                    help="split index for every ~NUM bases (k/M/G suffix)")
     p.add_argument("--split-prefix", default=None)

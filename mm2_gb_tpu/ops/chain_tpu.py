@@ -73,6 +73,9 @@ def compute_ranges(ax: np.ndarray, read_bounds: np.ndarray,
     n = ax.shape[0]
     if n == 0:
         return np.empty(0, np.int32)
+    from mm2_gb_tpu.utils import native
+    if native.available():
+        return native.compute_ranges(ax, read_bounds, max_dist_x, max_iter)
     hi = (ax >> np.uint64(32)).astype(np.int64)       # rev|rid
     grp_change = np.zeros(n, dtype=bool)
     grp_change[0] = True

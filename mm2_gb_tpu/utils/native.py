@@ -120,6 +120,11 @@ def _load():
     lib.mmt_lpt_pack.argtypes = [
         i64p, ctypes.c_int64, ctypes.c_int64, i64p, i64p, i64p,
     ]
+    lib.mmt_compute_ranges.restype = None
+    lib.mmt_compute_ranges.argtypes = [
+        u64p, ctypes.c_int64, i64p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, i32p,
+    ]
     lib.mmt_idx_lookup.restype = None
     lib.mmt_idx_lookup.argtypes = [
         u64p, i64p, i64p, ctypes.c_int64, i64p, ctypes.c_int64,
@@ -354,3 +359,18 @@ def idx_lookup(uniq: np.ndarray, start: np.ndarray, cnt: np.ndarray,
                        shift, q.ctypes.data_as(up), nq,
                        lo_out.ctypes.data_as(ip), cnt_out.ctypes.data_as(ip))
     return lo_out, cnt_out
+
+
+def compute_ranges(ax: np.ndarray, bounds: np.ndarray, max_dist: int,
+                   max_iter: int) -> np.ndarray:
+    """Native successor-range selection (chain_tpu.compute_ranges)."""
+    lib = _load()
+    ax = np.ascontiguousarray(ax, dtype=np.uint64)
+    bounds = np.ascontiguousarray(bounds, dtype=np.int64)
+    rng = np.empty(ax.shape[0], dtype=np.int32)
+    lib.mmt_compute_ranges(
+        ax.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), ax.shape[0],
+        bounds.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        bounds.shape[0], max_dist, max_iter,
+        rng.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return rng
