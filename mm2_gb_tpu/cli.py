@@ -403,8 +403,69 @@ def apply_overrides(args, io: O.IndexOptions, mo: O.MapOptions) -> None:
         mo.max_chain_skip = 2**31 - 1
 
 
+_USAGE = """\
+Usage: mm2-gb-tpu [options] <target.fa>|<target.idx> [query.fa] [...]
+Options:
+  Indexing:
+    -H           use homopolymer-compressed k-mer (preferrable for PacBio)
+    -k INT       k-mer size (no larger than 28) [15]
+    -w INT       minimizer window size [10]
+    -I NUM       split index for every ~NUM input bases [4G]
+    -d FILE      dump index to FILE []
+  Mapping:
+    -f FLOAT     filter out top FLOAT fraction of repetitive minimizers [0.0002]
+    -g NUM       stop chain enlongation if there are no minimizers in INT-bp [5000]
+    -G NUM       max intron length (effective with -xsplice; changing -r) [200k]
+    -F NUM       max fragment length (effective with -xsr or in the fragment mode) [800]
+    -r NUM[,NUM] chaining/alignment bandwidth and long-join bandwidth [500,20000]
+    -n INT       minimal number of minimizers on a chain [3]
+    -m INT       minimal chaining score (matching bases minus log gap penalty) [40]
+    -X           skip self and dual mappings (for the all-vs-all mode)
+    -p FLOAT     min secondary-to-primary score ratio [0.8]
+    -N INT       retain at most INT secondary alignments [5]
+  Alignment:
+    -A INT       matching score [2]
+    -B INT       mismatch penalty (larger value for lower divergence) [4]
+    -O INT[,INT] gap open penalty [4,24]
+    -E INT[,INT] gap extension penalty; a k-long gap costs min{O1+k*E1,O2+k*E2} [2,1]
+    -z INT[,INT] Z-drop score and inversion Z-drop score [400,200]
+    -s INT       minimal peak DP alignment score [80]
+    -u CHAR      how to find GT-AG. f:transcript strand, b:both strands, n:don't match GT-AG [n]
+  Input/Output:
+    -a           output in the SAM format (PAF by default)
+    -o FILE      output alignments to FILE [stdout]
+    -L           write CIGAR with >65535 ops at the CG tag
+    -R STR       SAM read group line in a format like '@RG\\tID:foo\\tSM:bar' []
+    -c           output CIGAR in PAF
+    --cs[=STR]   output the cs tag; STR is 'short' (if absent) or 'long' [none]
+    --MD         output the MD tag
+    --eqx        write =/X CIGAR operators
+    -Y           use soft clipping for supplementary alignments
+    -t INT       number of threads [3]
+    -K NUM       minibatch size for mapping [500M]
+    -v INT       verbose level [3]
+    --version    show version number
+  TPU:
+    --tpu-chain  run anchor chaining on the TPU (the --gpu-chain analog)
+    --tpu-align  also run alignment DP fills/extensions on the TPU
+    --tpu-devices INT  data-parallel device count (0 = all) [1]
+    --tpu-cfg FILE     device tuning JSON (the --gpu-cfg analog) []
+  Preset:
+    -x STR       preset (always applied before other options) []
+                 - map-pb/map-ont - PacBio CLR/Nanopore vs reference mapping
+                 - map-hifi - PacBio HiFi reads vs reference mapping
+                 - ava-pb/ava-ont - PacBio/Nanopore read overlap
+                 - asm5/asm10/asm20 - asm-to-ref mapping, for ~0.1/1/5%% sequence divergence
+                 - splice/splice:hq - long-read/Pacbio-CCS spliced alignment
+                 - sr - genomic short-read mapping
+"""
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:]) if argv is None else list(argv)
+    if not argv:  # reference-style usage block (main.c:475-530)
+        sys.stderr.write(_USAGE.replace("%%", "%"))
+        return 1
     # --cs takes an OPTIONAL =fmt like the reference (main.c:231-236);
     # normalize the bare form so argparse can't swallow a positional
     argv = ["--cs=short" if a == "--cs" else a for a in argv]
