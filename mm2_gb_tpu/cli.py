@@ -113,6 +113,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tpu-devices", type=int, default=1,
                    help="data-parallel device count for --tpu-chain "
                         "(0 = all local devices)")
+    p.add_argument("--tpu-nproc", type=int, default=1,
+                   help="multi-host process count; each rank maps its "
+                        "round-robin read share into -o OUT.shard<rank>")
+    p.add_argument("--tpu-rank", type=int, default=0)
+    p.add_argument("--tpu-coord", default=None,
+                   help="jax.distributed coordinator address "
+                        "(host:port) for pod slices")
     p.add_argument("--tpu-cfg", default=None,
                    help="device batch config JSON (analog of --gpu-cfg)")
     p.add_argument("-u", dest="splice_strand", choices=["f", "b", "r", "n"],
@@ -497,7 +504,9 @@ def _run(args, argv, io, mo) -> int:
     except ValueError as e:
         sys.stderr.write(f"[ERROR] {e}\n")
         return 1
-    if args.output and args.output != "-":  # -o (main.c:197-204 freopen)
+    # -o (main.c:197-204 freopen); multi-host ranks write shard files
+    # instead, using -o as the prefix
+    if args.output and args.output != "-" and args.tpu_nproc <= 1:
         try:
             sys.stdout = open(args.output, "w")
         except OSError as e:
@@ -579,6 +588,8 @@ def _run(args, argv, io, mo) -> int:
         sys.stderr.write("[WARNING] --tpu-chain supports single-segment "
                          "reads only; falling back to host chaining.\n")
         mo.flag &= ~(O.MM_F_TPU_CHAIN | O.MM_F_TPU_ALIGN)
+    if (mo.flag & O.MM_F_TPU_CHAIN) and args.tpu_nproc > 1:
+        return _run_tpu_multihost(args, index, mo, rg_id, is_sam)
     if mo.flag & O.MM_F_TPU_CHAIN:
         from mm2_gb_tpu.models.pipeline import (TpuMetrics,
                                                 map_file_tpu_records)
@@ -608,6 +619,45 @@ def _run(args, argv, io, mo) -> int:
     metrics = Metrics()
     map_file_stream(index, mo, args.query, out, args.threads, rg_id, metrics)
     metrics.report(args.verbose)
+    return 0
+
+
+def _run_tpu_multihost(args, index, mo, rg_id, is_sam) -> int:
+    """One rank of a multi-host run (SURVEY.md §5.8): this process maps
+    its round-robin share of reads and writes OUT.shard<rank> plus an
+    .idx sidecar of (file_ordinal, global_read_idx, n_lines) records;
+    tools/mergeshards.py k-way-merges the shards into the deterministic
+    single-host byte order.  --tpu-coord additionally initializes
+    jax.distributed for real pod slices."""
+    import io as _io
+
+    from mm2_gb_tpu.models.pipeline import TpuMetrics, map_file_tpu_records
+    if is_sam:
+        sys.stderr.write("[ERROR] --tpu-nproc currently supports PAF "
+                         "output only.\n")
+        return 1
+    if not args.output or args.output == "-":
+        sys.stderr.write("[ERROR] --tpu-nproc needs -o OUT (shard "
+                         "prefix).\n")
+        return 1
+    rank, nproc = args.tpu_rank, args.tpu_nproc
+    if args.tpu_coord:
+        from mm2_gb_tpu.parallel.mesh import init_distributed
+        init_distributed(args.tpu_coord, nproc, rank)
+    tmet = TpuMetrics()
+    shard_path = f"{args.output}.shard{rank}"
+    with open(shard_path, "w") as sh_out, \
+            open(shard_path + ".idx", "w") as idx_out:
+        for fi, q in enumerate(args.query):
+            for sr, regs in map_file_tpu_records(index, mo, [q], tmet,
+                                                 (rank, nproc)):
+                buf = _io.StringIO()
+                res_regs_out(buf, index, mo, sr.rec, regs, sr.rep_len,
+                             False, rg_id, 0, 1, [regs])
+                s = buf.getvalue()
+                sh_out.write(s)
+                idx_out.write(f"{fi}\t{sr.rec.rid}\t{s.count(chr(10))}\n")
+    tmet.report(args.verbose)
     return 0
 
 

@@ -189,12 +189,17 @@ class TpuMetrics:
 
 
 def _acc_batches(index: MinimizerIndex, opt: MapOptions, paths: list[str],
-                 metrics: TpuMetrics):
+                 metrics: TpuMetrics, shard: tuple[int, int] | None = None):
     """Seed reads and yield accumulation batches bounded by the device
     capacity caps (mm_trbuf accumulate + overflow spill, map.c:886-922,
     943-995).  Caps come from TpuConfig (max_total_n/max_read analogs,
     plmem.cu:473-540); mini-batch boundaries flush like the reference's
-    end-of-stream kt_for hook (kthread.c:52-55)."""
+    end-of-stream kt_for hook (kthread.c:52-55).
+
+    `shard=(rank, nproc)` keeps only reads whose global index is owned
+    by this process (round-robin) — the multi-host data-parallel split
+    (SURVEY.md §5.8); each SeededRead carries its global index in
+    rec.rid for the deterministic cross-host merge."""
     import sys
     import time
 
@@ -202,8 +207,13 @@ def _acc_batches(index: MinimizerIndex, opt: MapOptions, paths: list[str],
     cfg = current_config()
     acc: list[SeededRead] = []
     n_anch = 0
+    gidx = -1
     for batch in read_batches(paths, opt.mini_batch_size):
         for rec in batch:
+            gidx += 1
+            rec.rid = gidx
+            if shard is not None and gidx % shard[1] != shard[0]:
+                continue
             if opt.dbg_print_qname:  # QR dump (map.c:938-941)
                 sys.stderr.write(f"QR\t{rec.name}\t0\t{rec.length}\n")
             t0 = time.perf_counter()
@@ -335,7 +345,8 @@ def _prefill_device(index: MinimizerIndex, opt: MapOptions,
 
 def map_file_tpu_records(index: MinimizerIndex, opt: MapOptions,
                          paths: list[str],
-                         metrics: TpuMetrics | None = None):
+                         metrics: TpuMetrics | None = None,
+                         shard: tuple[int, int] | None = None):
     """Stream (SeededRead, regions) for query files, chaining on the TPU.
 
     Software-pipelined double buffering (the trbuf/stream analog,
@@ -352,7 +363,7 @@ def map_file_tpu_records(index: MinimizerIndex, opt: MapOptions,
     ex = ThreadPoolExecutor(max_workers=1)
     try:
         pending = None
-        for acc in _acc_batches(index, opt, paths, metrics):
+        for acc in _acc_batches(index, opt, paths, metrics, shard):
             fut = ex.submit(_dispatch_batch, index, opt, acc, metrics)
             if pending is not None:
                 yield from _finish_batch(index, opt, pending.result(),

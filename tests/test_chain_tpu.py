@@ -304,3 +304,39 @@ def test_batch_caps_split_and_match():
     assert met1.n_batches > 1
     assert met1.n_spills > 0
     assert capped == base
+
+
+def test_multihost_shard_merge(tmp_path):
+    """Two-rank --tpu-nproc run: shard outputs + mergeshards equal the
+    single-host byte order (SURVEY.md §5.8 deterministic merge)."""
+    import os
+    import subprocess
+    import sys as _sys
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    T = "/root/reference/test"
+    if not os.path.isdir(T):
+        import pytest
+        pytest.skip("reference test data not available")
+    ref = os.path.join(T, "MT-human.fa")
+    qry = os.path.join(T, "MT-orang.fa")
+    base = ["--max-chain-skip=2147483647", "--tpu-chain", ref, qry]
+    single = subprocess.run(
+        [_sys.executable, "-m", "mm2_gb_tpu", *base],
+        capture_output=True, text=True, env=env, timeout=600)
+    assert single.returncode == 0
+    pre = str(tmp_path / "mh")
+    for rank in ("0", "1"):
+        r = subprocess.run(
+            [_sys.executable, "-m", "mm2_gb_tpu",
+             "--max-chain-skip=2147483647", "--tpu-chain",
+             "--tpu-nproc", "2", "--tpu-rank", rank, "-o", pre,
+             ref, qry],
+            capture_output=True, text=True, env=env, timeout=600)
+        assert r.returncode == 0, r.stderr[-400:]
+    merged = subprocess.run(
+        [_sys.executable, "-m", "mm2_gb_tpu.tools.mergeshards", pre, "2"],
+        capture_output=True, text=True, env=env, timeout=120)
+    assert merged.returncode == 0
+    assert merged.stdout == single.stdout
