@@ -250,7 +250,7 @@ def _dispatch_batch(index: MinimizerIndex, opt: MapOptions,
     pend = chain_tpu.dispatch_scores(
         ax, ay, bounds, max_gap_ref, max_gap_qry, opt.bw,
         opt.max_chain_iter, float(chn_pen_gap), float(chn_pen_skip),
-        metrics)
+        metrics, is_cdna=bool(opt.flag & MM_F_SPLICE))
     return acc, bounds, pend
 
 
@@ -293,9 +293,13 @@ def map_batch_tpu(index: MinimizerIndex, opt: MapOptions,
 
 
 def _use_device_align(opt: MapOptions) -> bool:
-    return bool(opt.flag & MM_F_TPU_ALIGN) and bool(opt.flag & MM_F_CIGAR) \
-        and not (opt.flag & (MM_F_SPLICE | MM_F_SR)) \
-        and not (opt.q == opt.q2 and opt.e == opt.e2)
+    if not (opt.flag & MM_F_TPU_ALIGN) or not (opt.flag & MM_F_CIGAR):
+        return False
+    if opt.flag & MM_F_SR:
+        return False
+    if opt.flag & MM_F_SPLICE:  # exts2 device fills (q2 is intron open)
+        return opt.q2 > opt.q + opt.e
+    return not (opt.q == opt.q2 and opt.e == opt.e2)
 
 
 def _prefill_device(index: MinimizerIndex, opt: MapOptions,
@@ -325,17 +329,23 @@ def _prefill_device(index: MinimizerIndex, opt: MapOptions,
     mat = ksw2.gen_simple_mat(5, opt.a, opt.b, opt.sc_ambi)
     cache: dict = {}
     groups: dict = {}
-    for kind, qseq, tseq, w, flag, zdrop, end_bonus in fills:
-        key = align_ops._fill_key(qseq, tseq, w, flag, zdrop, end_bonus)
+    for kind, qseq, tseq, w, flag, zdrop, end_bonus, junc in fills:
+        key = align_ops._fill_key(qseq, tseq, w, flag, zdrop, end_bonus,
+                                  junc)
         groups.setdefault((kind, flag, end_bonus), {}).setdefault(
-            key, (qseq, tseq, w, zdrop))
+            key, (qseq, tseq, w, zdrop, junc))
     for (kind, flag, end_bonus), uniq in groups.items():
         right = bool(flag & ksw2.KSW_EZ_RIGHT)
         calls = [ksw2_tpu.FillCall(q, t, w, right, zd)
-                 for q, t, w, zd in uniq.values()]
+                 for q, t, w, zd, _j in uniq.values()]
         if kind == "fill":
             ezs = ksw2_tpu.extd2_batch_device(
                 calls, mat, opt.q, opt.e, opt.q2, opt.e2, flag)
+        elif kind == "splice":
+            juncs = [j for _q, _t, _w, _z, j in uniq.values()]
+            ezs = ksw2_tpu.exts2_batch_device(
+                calls, mat, opt.q, opt.e, opt.q2, opt.noncan,
+                opt.junc_bonus, flag, juncs)
         else:
             ezs = ksw2_tpu.ext_batch_device(
                 calls, mat, opt.q, opt.e, opt.q2, opt.e2, flag, end_bonus)

@@ -71,9 +71,10 @@ collect_ext = False
 
 
 def _fill_key(qseq: np.ndarray, tseq: np.ndarray, w: int, flag: int,
-              zdrop: int, end_bonus: int):
+              zdrop: int, end_bonus: int, junc=None):
     return (qseq.tobytes(), tseq.tobytes(), int(w), int(flag), int(zdrop),
-            int(end_bonus))
+            int(end_bonus),
+            None if junc is None else junc.tobytes())
 
 
 def begin_fill_collect() -> None:
@@ -147,6 +148,26 @@ def _align_pair(opt: MapOptions, qseq: np.ndarray, tseq: np.ndarray,
         return ez
     if opt.flag & MM_F_SPLICE:
         from mm2_gb_tpu.ops.ksw2_splice import exts2
+        # device-batched splice fills: the APPROX_MAX gap fills between
+        # anchors (align.c:744-758) run in exts2_batch_device; extensions
+        # and everything else stay on the host oracle
+        _SPLICE_BITS = (ksw2.KSW_EZ_SPLICE_FOR | ksw2.KSW_EZ_SPLICE_REV
+                        | ksw2.KSW_EZ_SPLICE_FLANK | ksw2.KSW_EZ_RIGHT
+                        | ksw2.KSW_EZ_REV_CIGAR)
+        dev_ok = (qlen > 0 and tlen > 0 and opt.q2 > opt.q + opt.e
+                  and (flag & ~_SPLICE_BITS) == ksw2.KSW_EZ_APPROX_MAX)
+        if _fill_collect is not None:
+            if dev_ok:
+                _fill_collect.append(
+                    ("splice", qseq.copy(), tseq.copy(), int(w), flag,
+                     int(zdrop), 0,
+                     None if junc is None else np.asarray(junc).copy()))
+            return _fake_ez(qlen, tlen)
+        if dev_ok and _fill_cache is not None:
+            hit = _fill_cache.get(_fill_key(qseq, tseq, w, flag, zdrop,
+                                            0, junc))
+            if hit is not None:
+                return hit
         return exts2(qseq, tseq, mat, opt.q, opt.e, opt.q2, opt.noncan,
                      zdrop, opt.junc_bonus, flag, junc)
     _EXT_FLAGS = (ksw2.KSW_EZ_EXTZ_ONLY,
@@ -162,7 +183,8 @@ def _align_pair(opt: MapOptions, qseq: np.ndarray, tseq: np.ndarray,
     if _fill_collect is not None:
         if dev_kind is not None:
             _fill_collect.append((dev_kind, qseq.copy(), tseq.copy(),
-                                  int(w), flag, int(zdrop), int(end_bonus)))
+                                  int(w), flag, int(zdrop),
+                                  int(end_bonus), None))
         return _fake_ez(qlen, tlen)
     if dev_kind is not None and _fill_cache is not None:
         hit = _fill_cache.get(_fill_key(qseq, tseq, w, flag, zdrop,

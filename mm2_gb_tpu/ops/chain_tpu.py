@@ -125,12 +125,15 @@ def _mg_log2_f32(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _pair_score(xs, ys, ss, xp, yp, sp, fp,
-                max_dist_x, max_dist_y, bw, cg, cs):
+                max_dist_x, max_dist_y, bw, cg, cs, is_cdna=False):
     """Score of predecessor (xp, yp, span sp, score fp) against successors
     (xs, ys, span ss).  Returns (total, valid) int32/bool tensors.
 
     Single-segment-read form of comput_sc (lchain.c:113-138) — the same
     scope the reference GPU kernels support (plscore.cu:74-104).
+    is_cdna (splice chaining): a deletion-side gap (dr > dq, a candidate
+    intron) pays min(lin_pen, log_pen) instead of lin + 0.5*log
+    (lchain.c:128-133; GPU majorAdjustment plscore.cu:97-101).
     """
     dq = ys - yp
     dr = xs - xp
@@ -143,6 +146,9 @@ def _pair_score(xs, ys, ss, xp, yp, sp, fp,
     log_pen = jnp.where(dd >= 1, _mg_log2_f32((dd + 1).astype(jnp.float32)),
                         jnp.float32(0.0))
     pen = (lin + jnp.float32(0.5) * log_pen).astype(jnp.int32)
+    if is_cdna:
+        pen_min = jnp.minimum(lin, log_pen).astype(jnp.int32)
+        pen = jnp.where(dr > dq, pen_min, pen)
     sc = jnp.where((dd != 0) | (dg > sp), sc - pen, sc)
     return sc + fp, valid
 
@@ -167,7 +173,8 @@ def _chain_kernel(ntiles_ref, start_ref,      # scalar prefetch
                   x_hbm, y_hbm, r_hbm, f_in, p_in,
                   f_hbm, p_hbm,
                   xw, yw, rw, fw, acc_f, acc_p, sems, *,
-                  W, span, max_dist_x, max_dist_y, bw, cg, cs):
+                  W, span, max_dist_x, max_dist_y, bw, cg, cs,
+                  is_cdna=False):
     """One fori_loop over dst tiles; see module notes above.
 
     HBM arrays are padded with W leading rows so every window DMA is a
@@ -209,7 +216,7 @@ def _chain_kernel(ntiles_ref, start_ref,      # scalar prefetch
                     fs = fb[r, :][None, :]
                     tot, valid = _pair_score(xt, yt, span_i, xs, ys, span_i,
                                              fs, max_dist_x, max_dist_y, bw,
-                                             cg, cs)
+                                             cg, cs, is_cdna)
                     d_off = rows_i + (W - s0 - r)
                     ok = (valid & (d_off >= 1) & (d_off <= rs)
                           & (tot != span_i) & (tot >= cur_f))
@@ -253,7 +260,7 @@ def _chain_kernel(ntiles_ref, start_ref,      # scalar prefetch
                     tot, valid = _pair_score(
                         xb, yb, span_i, xb[r, :][None, :], yb[r, :][None, :],
                         span_i, fb[r, :][None, :], max_dist_x, max_dist_y,
-                        bw, cg, cs)
+                        bw, cg, cs, is_cdna)
                     d_off = mini_rows - r
                     ok = (valid & (d_off >= 1) & (d_off <= rb[r, :][None, :])
                           & (tot != span_i) & (tot >= fb))
@@ -291,7 +298,8 @@ def _chain_kernel(ntiles_ref, start_ref,      # scalar prefetch
 
 
 def _chain_packed_core(ntiles, start, x, y, rng, *, W, span,
-                       max_dist_x, max_dist_y, bw, cg, cs):
+                       max_dist_x, max_dist_y, bw, cg, cs,
+                       is_cdna=False):
     """Run the blocked chain kernel on W-padded [H, 128] int32 arrays.
 
     `ntiles` ([1] int32) is the dynamic tile trip; `start[i]` the first
@@ -300,7 +308,8 @@ def _chain_packed_core(ntiles, start, x, y, rng, *, W, span,
     """
     kern = functools.partial(
         _chain_kernel, W=W, span=span, max_dist_x=max_dist_x,
-        max_dist_y=max_dist_y, bw=bw, cg=float(cg), cs=float(cs))
+        max_dist_y=max_dist_y, bw=bw, cg=float(cg), cs=float(cs),
+        is_cdna=is_cdna)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(1,),
@@ -332,14 +341,16 @@ def _chain_packed_core(ntiles, start, x, y, rng, *, W, span,
 
 
 chain_packed_tpu = functools.partial(jax.jit, static_argnames=(
-    "W", "span", "max_dist_x", "max_dist_y", "bw", "cg", "cs"))(
-        _chain_packed_core)
+    "W", "span", "max_dist_x", "max_dist_y", "bw", "cg", "cs",
+    "is_cdna"))(_chain_packed_core)
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "H", "W", "span", "max_dist_x", "max_dist_y", "bw", "cg", "cs"))
+    "H", "W", "span", "max_dist_x", "max_dist_y", "bw", "cg", "cs",
+    "is_cdna"))
 def chain_compact_tpu(ntiles, start, packed, *, H, W,
-                      span, max_dist_x, max_dist_y, bw, cg, cs):
+                      span, max_dist_x, max_dist_y, bw, cg, cs,
+                      is_cdna=False):
     """Compact-transfer variant: ships ONE stacked (5, n) int32 operand
     [x32; y32; rng; row; col], scatters into the padded [H, 128] layout
     ON DEVICE, runs the kernel, and gathers a stacked (2, n) [f; p] back
@@ -356,7 +367,7 @@ def chain_compact_tpu(ntiles, start, packed, *, H, W,
     R = z.at[rows, cols].set(rng)
     f, p = _chain_packed_core(ntiles, start, X, Y, R, W=W, span=span,
                               max_dist_x=max_dist_x, max_dist_y=max_dist_y,
-                              bw=bw, cg=cg, cs=cs)
+                              bw=bw, cg=cg, cs=cs, is_cdna=is_cdna)
     return jnp.stack([f[rows, cols], p[rows, cols].astype(jnp.int32)])
 
 
@@ -403,7 +414,7 @@ def dispatch_scores(ax: np.ndarray, ay: np.ndarray,
                     read_bounds: np.ndarray, max_dist_x: int,
                     max_dist_y: int, bw: int, max_iter: int,
                     cg: float, cs: float, metrics=None,
-                    device=None) -> PendingScores:
+                    device=None, is_cdna: bool = False) -> PendingScores:
     """Pack and asynchronously launch chain scoring for a whole batch.
 
     Host-side work (range selection, cutting, lane packing) happens here;
@@ -434,7 +445,7 @@ def dispatch_scores(ax: np.ndarray, ay: np.ndarray,
     if not np.all(span32 == span):
         f, p = _chain_dp_scores(ax, ay, max_dist_x, max_dist_y, bw,
                                 2**31 - 1, max_iter, np.float32(cg),
-                                np.float32(cs), False, 1)
+                                np.float32(cs), is_cdna, 1)
         pend.f, pend.p = f, p
         pend.collected = True
         return pend
@@ -494,7 +505,7 @@ def dispatch_scores(ax: np.ndarray, ay: np.ndarray,
         dev_fp = chain_compact_tpu(
             ntiles, start_pad, packed, H=H_alloc, W=W, span=span,
             max_dist_x=max_dist_x, max_dist_y=max_dist_y, bw=bw,
-            cg=cg, cs=cs)
+            cg=cg, cs=cs, is_cdna=is_cdna)
         pend.parts.append((dev_fp, src, n_real))
         if metrics is not None:
             metrics.t_dispatch += time.perf_counter() - t0
@@ -514,7 +525,7 @@ def dispatch_scores(ax: np.ndarray, ay: np.ndarray,
             fs, ps = _chain_dp_scores(ax[s:e], ay[s:e], max_dist_x,
                                       max_dist_y, bw, 2**31 - 1, max_iter,
                                       np.float32(cg), np.float32(cs),
-                                      False, 1)
+                                      is_cdna, 1)
             pend.f[s:e] = fs
             pend.p[s:e] = np.where(ps >= 0, ps + s, -1)
     return pend

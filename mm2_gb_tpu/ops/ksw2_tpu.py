@@ -515,6 +515,480 @@ def extd2_fwd_tpu(meta, qbytes, tband, qblk, *, wb, r_pad, q, e, q2, e2,
     )(meta, qbytes, tband, qblk)
 
 
+# ------------------------------------------------------- splice (exts2)
+def plan_splice_bands(plan: FillPlan, donors: list, acceptors: list
+                      ) -> tuple[np.ndarray, np.ndarray]:
+    """Band-coordinate donor/acceptor arrays matching plan's tband
+    layout: (G, RB, P, W) int8 gathered per 32-row block at the block's
+    band origin; positions past tlen keep the host arrays' -noncan pad."""
+    P = PAIRS_PER_GROUP
+    W = plan.w_band
+    rb = plan.r_pad // ROWS_PER_STEP
+    G = plan.n_groups
+    dband = np.zeros((G, rb, P, W), np.int8)
+    aband = np.zeros((G, rb, P, W), np.int8)
+    jj = np.arange(W, dtype=np.int64)
+    for bi, c in enumerate(plan.calls):
+        if plan.dropped[bi]:
+            continue
+        g, pp = divmod(bi, P)
+        qlen, tlen = len(c.qseq), len(c.tseq)
+        w = c.w if c.w >= 0 else max(qlen, tlen)
+        rows, st, en, st0, en0, drop, r_true = _row_params(qlen, tlen, w)
+        nblk = (r_true + ROWS_PER_STEP - 1) // ROWS_PER_STEP
+        r0s = np.arange(nblk, dtype=np.int64) * ROWS_PER_STEP
+        bases = _blk_base(st0[np.minimum(r0s, r_true - 1)])
+        don = donors[bi]
+        acc = acceptors[bi]
+        # host arrays are nbytes-sized (>= tlen); index clip stays valid
+        hi = don.shape[0] - 1
+        for blk in range(nblk):
+            base = int(bases[blk])
+            idx = np.minimum(base + jj, hi)
+            dband[g, blk, pp, :] = don[idx]
+            aband[g, blk, pp, :] = acc[idx]
+    return dband, aband
+
+
+def _rle_cigar_splice(op_row: np.ndarray, rev_cigar: bool,
+                      min_intron: int) -> np.ndarray:
+    """RLE for splice op streams: op 3 runs are introns (N); tail
+    sentinel op 5 runs become N only when (len-1) >= min_intron
+    (ksw2_splice._backtrack tail rule), else D; adjacent equal ops
+    merge after conversion."""
+    ops = op_row[op_row != 255]
+    if ops.size == 0:
+        return np.empty(0, np.uint32)
+    brk = np.nonzero(np.diff(ops))[0]
+    starts = np.concatenate(([0], brk + 1))
+    ends = np.concatenate((brk + 1, [ops.size]))
+    out: list[int] = []
+    for s, t in zip(starts, ends):
+        op = int(ops[s])
+        ln = int(t - s)
+        if op == 5:
+            op = 3 if (min_intron > 0 and ln - 1 >= min_intron) else 2
+        if out and (out[-1] & 0xF) == op:
+            out[-1] += ln << 4
+        else:
+            out.append((ln << 4) | op)
+    runs = np.array(out, np.uint32)
+    return runs if rev_cigar else runs[::-1].copy()
+
+
+def exts2_batch_device(calls: list[FillCall], mat: np.ndarray, q: int,
+                       e: int, q2: int, noncan: int, junc_bonus: int,
+                       flag: int, juncs: list | None = None,
+                       interpret: bool = False) -> list[ksw2.Extz]:
+    """Splice-aware gap fills (KSW_EZ_APPROX_MAX) on the device; host
+    fallback per call on band drop / oversize.  Donor/acceptor score
+    arrays (incl. BED junc bonuses) come from the host oracle's
+    _splice_sites, so site semantics are shared byte-for-byte."""
+    from mm2_gb_tpu.ops import ksw2_splice as S
+
+    assert flag & ksw2.KSW_EZ_APPROX_MAX
+    assert not (flag & ksw2.KSW_EZ_SCORE_ONLY)
+    mat = np.asarray(mat, np.int8)
+    m = 5
+    mat0, mat1 = int(mat[0]), int(mat[1])
+    sc_n = -e if int(mat[m * m - 1]) == 0 else int(mat[m * m - 1])
+    right = bool(flag & ksw2.KSW_EZ_RIGHT)
+    rev = bool(flag & ksw2.KSW_EZ_REV_CIGAR)
+    long_thres = (q2 - q) // e - 1
+    if q2 > q + e + long_thres * e:
+        long_thres += 1
+    long_diff = long_thres * e - (q2 - q)
+    if juncs is None:
+        juncs = [None] * len(calls)
+
+    def host(i):
+        c = calls[i]
+        return S.exts2(c.qseq, c.tseq, mat, q, e, q2, noncan, c.zdrop,
+                       junc_bonus, flag, juncs[i])
+
+    out: list[ksw2.Extz | None] = [None] * len(calls)
+    by_class: dict = {}
+    for idx, c in enumerate(calls):
+        qlen, tlen = len(c.qseq), len(c.tseq)
+        mx = max(qlen, tlen)
+        cls = next((sz for sz in SIZE_CLASSES if mx <= sz), None)
+        if cls is None or qlen == 0 or tlen == 0 or q2 <= q + e \
+                or -int(mat.min()) > 2 * (q + e):
+            out[idx] = host(idx)
+        else:
+            wbnd = band_width(min(qlen, tlen) + 64, cls)
+            by_class.setdefault((cls, wbnd), []).append(idx)
+
+    P = PAIRS_PER_GROUP
+    for (cls, wbnd), idxs in sorted(by_class.items()):
+        batch = []
+        for i in idxs:
+            c = calls[i]
+            # unbanded DP (exts2 has no band): a huge w disables the
+            # band terms in every window formula
+            batch.append(FillCall(c.qseq, c.tseq,
+                                  len(c.qseq) + len(c.tseq),
+                                  c.right, c.zdrop))
+        plan = plan_fill_batch(batch, cls, wbnd)
+        donors, acceptors = [], []
+        for bi, i in enumerate(idxs):
+            c = calls[i]
+            tlen = len(c.tseq)
+            nbytes = (tlen + 15) // 16 * 16
+            don, acc = S._splice_sites(
+                np.asarray(c.tseq, np.uint8), tlen, nbytes, noncan,
+                junc_bonus, flag, juncs[i])
+            donors.append(don)
+            acceptors.append(acc)
+        dband, aband = plan_splice_bands(plan, donors, acceptors)
+        p_dev, score_dev = exts2_fwd_tpu(
+            jnp.asarray(plan.meta), jnp.asarray(plan.qbytes),
+            jnp.asarray(plan.tband), jnp.asarray(plan.qblk),
+            jnp.asarray(dband), jnp.asarray(aband),
+            wb=wbnd, r_pad=plan.r_pad, q=q, e=e, q2=q2,
+            mat0=mat0, mat1=mat1, sc_n=sc_n, right=right,
+            long_thres=long_thres, long_diff=long_diff,
+            interpret=interpret)
+        score_host = np.asarray(jax.device_get(score_dev))[:, :, 2]
+        ops_dev = backtrack_device(p_dev, jnp.asarray(plan.meta),
+                                   wb=wbnd, r_pad=plan.r_pad,
+                                   kmax=plan.r_pad + 32, intron_ops=True)
+        ops_host = np.asarray(jax.device_get(ops_dev))
+        for bi, idx in enumerate(idxs):
+            if plan.dropped[bi]:
+                out[idx] = host(idx)
+                continue
+            g, pp = divmod(bi, P)
+            ez = ksw2.Extz()
+            ez.score = int(score_host[g, pp])
+            ez.cigar = _rle_cigar_splice(ops_host[g * P + pp], rev,
+                                         long_thres)
+            out[idx] = ez
+    return out  # type: ignore[return-value]
+
+
+def _exts2_kernel(meta_ref, qb_ref, tband_ref, qblk_ref, don_ref, acc2_ref,
+                  p_ref, score_ref,
+                  u_ref, v_ref, x_ref, y_ref, x2_ref,
+                  s_ref, stq_ref, d_ref, acc_ref, h_ref, *,
+                  wb: int, q: int, e: int, q2: int,
+                  mat0: int, mat1: int, sc_n: int, right: bool,
+                  long_thres: int, long_diff: int, track_h: bool):
+    """Splice-aware variant of _extd2_kernel (ksw2_exts2_sse.c semantics;
+    oracle ops/ksw2_splice.py::exts2).  Differences from extd2: the x2
+    state is an intron opened against per-column donor scores and closed
+    with per-column acceptor scores (both host-precomputed incl. BED
+    junc bonuses, _splice_sites); no y2 state; x2 init/boundary -q2;
+    intron extension is free (bound_v else-branch 0); no z<=mat0 cap;
+    Z-drop uses gap-ext 0."""
+    rb = pl.program_id(1)
+    P = PAIRS_PER_GROUP
+    qe_c = q + e
+    lane = jax.lax.broadcasted_iota(jnp.int32, (P, wb), 1)
+
+    qlen = meta_ref[0, 0, :].reshape(P, 1)
+    tlen = meta_ref[0, 1, :].reshape(P, 1)
+    w = meta_ref[0, 2, :].reshape(P, 1)
+    n_rows = meta_ref[0, 3, :].reshape(P, 1)
+    zdrop = meta_ref[0, 4, :].reshape(P, 1)
+
+    def _window(r):
+        st0 = jnp.maximum(jnp.maximum(0, r - qlen + 1), (r - w + 1) >> 1)
+        en0 = jnp.minimum(jnp.minimum(tlen - 1, r), (r + w) >> 1)
+        return st0, en0
+
+    def _base_at(r0):
+        st0, _ = _window(r0)
+        return jnp.maximum(st0 // 16 * 16 - 16, 0)
+
+    base = _base_at(rb * ROWS_PER_STEP)
+
+    @pl.when(rb == 0)
+    def _init():
+        u_ref[...] = jnp.full((P, wb), -qe_c, jnp.int32)
+        v_ref[...] = jnp.full((P, wb), -qe_c, jnp.int32)
+        x_ref[...] = jnp.full((P, wb), -qe_c, jnp.int32)
+        y_ref[...] = jnp.full((P, wb), -qe_c, jnp.int32)
+        x2_ref[...] = jnp.full((P, wb), -q2, jnp.int32)
+        s_ref[...] = jnp.zeros((P, wb), jnp.int32)
+        acc = jnp.zeros((P, SCORE_LANES), jnp.int32)
+        if track_h:
+            cidx = jax.lax.broadcasted_iota(jnp.int32, (P, SCORE_LANES), 1)
+            acc = jnp.where((cidx == 2) | (cidx == 6) | (cidx == 8),
+                            KSW_NEG_INF_I32, acc)
+            acc = jnp.where((cidx == 4) | (cidx == 5) | (cidx == 7)
+                            | (cidx == 9), -1, acc)
+            h_ref[...] = jnp.full((P, wb), KSW_NEG_INF_I32, jnp.int32)
+        acc_ref[...] = acc
+
+    @pl.when(rb > 0)
+    def _rebase():
+        delta = base - _base_at((rb - 1) * ROWS_PER_STEP)
+        fresh = lane >= wb - delta
+
+        def shift(arr, init):
+            r16 = pltpu.roll(arr, wb - 16, 1)
+            r32 = pltpu.roll(arr, wb - 32, 1)
+            r48 = pltpu.roll(arr, wb - 48, 1)
+            out = jnp.where(delta == 16, r16,
+                            jnp.where(delta == 32, r32,
+                                      jnp.where(delta == 48, r48, arr)))
+            return jnp.where(fresh & (delta > 0), init, out)
+
+        u_ref[...] = shift(u_ref[...], -qe_c)
+        v_ref[...] = shift(v_ref[...], -qe_c)
+        x_ref[...] = shift(x_ref[...], -qe_c)
+        y_ref[...] = shift(y_ref[...], -qe_c)
+        x2_ref[...] = shift(x2_ref[...], -q2)
+        s_ref[...] = shift(s_ref[...], 0)
+        if track_h:
+            h_ref[...] = shift(h_ref[...], KSW_NEG_INF_I32)
+
+    stq_ref[...] = qblk_ref[0, 0].astype(jnp.int32)
+    tq_seq = tband_ref[0, 0].astype(jnp.int32)
+    donor = don_ref[0, 0].astype(jnp.int32)
+    accept = acc2_ref[0, 0].astype(jnp.int32)
+    qb_blk = qb_ref[0, 0]
+
+    for i in range(ROWS_PER_STEP):
+        r = rb * ROWS_PER_STEP + i
+        st0a, en0a = _window(r)
+        act = (r < n_rows) & (st0a <= en0a)
+        st = st0a // 16 * 16 - base
+        en = (en0a + 16) // 16 * 16 - 1 - base
+        st0 = st0a - base
+        en0 = en0a - base
+        lst0a, len0a = _window(r - 1)
+        lst = lst0a // 16 * 16 - base
+        len_ = (len0a + 16) // 16 * 16 - 1 - base
+        x1c = (st > -base) & (lst <= st - 1) & (st - 1 <= len_) \
+            & (lst0a <= len0a) & (r > 0)
+        sshi = st0 + 16 * ((en0 - st0) // 16 + 1)
+        # bound_v (ksw2_splice.py): intron extension is free past
+        # long_thres
+        bv_s = jnp.where(r == 0, -qe_c,
+                         jnp.where(r < long_thres, -e,
+                                   jnp.where(r == long_thres, long_diff,
+                                             0)))
+        bv = jnp.full((P, 1), 1, jnp.int32) * bv_s
+        qbyte = qb_blk[:, i].reshape(P, 1)
+
+        mb = (lane >= st) & (lane <= en) & act
+
+        if i > 0:
+            stq = jnp.roll(stq_ref[...], 1, axis=1)
+            stq = jnp.where(lane == 0, qbyte, stq)
+            stq_ref[...] = stq
+        else:
+            stq = stq_ref[...]
+
+        ms = (lane >= st0) & (lane < sshi) & act
+        vals = jnp.where(tq_seq == stq, mat0, mat1)
+        vals = jnp.where((tq_seq == 4) | (stq == 4), sc_n, vals)
+        s = jnp.where(ms, vals, s_ref[...])
+        s_ref[...] = s
+
+        u = u_ref[...]
+        y = y_ref[...]
+        pr = (lane == r - base) & (en >= r - base) & act
+        y = jnp.where(pr, -qe_c, y)
+        u = jnp.where(pr, bv, u)
+
+        xt1 = jnp.roll(x_ref[...], 1, axis=1)
+        vt1 = jnp.roll(v_ref[...], 1, axis=1)
+        x2t1 = jnp.roll(x2_ref[...], 1, axis=1)
+        v1_fb = jnp.where(st0a // 16 * 16 == 0, bv, -qe_c)
+        fb = (lane == st) & ~x1c
+        xt1 = jnp.where(fb, -qe_c, xt1)
+        x2t1 = jnp.where(fb, -q2, x2t1)
+        vt1 = jnp.where(fb, v1_fb, vt1)
+
+        z = s
+        a = xt1 + vt1
+        b_ = y + u
+        a2 = x2t1 + vt1
+        a2a = a2 + accept
+        if right:
+            d = jnp.where(z > a, 0, 1).astype(jnp.int32)
+            z = jnp.maximum(z, a)
+            d = jnp.where(z > b_, d, 2)
+            z = jnp.maximum(z, b_)
+            d = jnp.where(z > a2a, d, 3)
+            z = jnp.maximum(z, a2a)
+        else:
+            d = (a > z).astype(jnp.int32)
+            z = jnp.maximum(z, a)
+            d = jnp.where(b_ > z, 2, d)
+            z = jnp.maximum(z, b_)
+            d = jnp.where(a2a > z, 3, d)
+            z = jnp.maximum(z, a2a)
+        u_new = z - vt1
+        v_new = z - u
+        tq = z - q
+        a = a - tq
+        b_ = b_ - tq
+        a2 = a2 - (z - q2)
+        if right:
+            ta, tb = a >= 0, b_ >= 0
+            ta2 = a2 >= donor
+        else:
+            ta, tb = a > 0, b_ > 0
+            ta2 = a2 > donor
+        x_new = jnp.where(ta, a, 0) - qe_c
+        y_new = jnp.where(tb, b_, 0) - qe_c
+        x2_new = jnp.where(ta2, a2, donor) - q2
+        d = d | jnp.where(ta, 0x08, 0) | jnp.where(tb, 0x10, 0) \
+            | jnp.where(ta2, 0x20, 0)
+
+        u = jnp.where(mb, u_new, u)
+        v = jnp.where(mb, v_new, v_ref[...])
+        u_ref[...] = u
+        v_ref[...] = v
+        x_ref[...] = jnp.where(mb, x_new, x_ref[...])
+        y_ref[...] = jnp.where(mb, y_new, y)
+        x2_ref[...] = jnp.where(mb, x2_new, x2_ref[...])
+        d_ref[i * P:(i + 1) * P, :] = jnp.where(mb, d, 0).astype(jnp.int8)
+
+        if track_h:
+            def msum(arr, cond):
+                return jnp.sum(jnp.where(cond, arr, 0), axis=1,
+                               keepdims=True)
+            H = h_ref[...]
+            h_en0 = jnp.where(
+                en0a > 0,
+                msum(H, lane == en0 - 1) + msum(u, lane == en0),
+                msum(H, lane == en0) + msum(v, lane == en0))
+            body = (lane >= st0) & (lane < en0)
+            Hn = jnp.where(lane == en0, h_en0,
+                           jnp.where(body, H + v, H))
+            Hn = jnp.where(r == 0,
+                           jnp.where(lane == -base, v - qe_c, H), Hn)
+            H = jnp.where(act, Hn, H)
+            h_ref[...] = H
+            en1 = st0 + (en0 - st0) // 4 * 4
+            win = (lane >= st0) & (lane <= en0)
+            dt = lane - st0
+            rank = jnp.where(lane == en0, 0,
+                             jnp.where(lane < en1,
+                                       1 + (dt & 3) * wb + (dt >> 2),
+                                       8 * wb + (lane - en1)))
+            m = jnp.max(jnp.where(win, H, KSW_NEG_INF_I32), axis=1,
+                        keepdims=True)
+            is_m = win & (H == m)
+            r_star = jnp.min(jnp.where(is_m, rank, 0x7FFFFFFF), axis=1,
+                             keepdims=True)
+            row_t = msum(lane, is_m & (rank == r_star)) + base
+            row_t = jnp.where(r == 0, 0, row_t)
+            m = jnp.where(r == 0, msum(H, lane == -base), m)
+            alive = act & (acc_ref[:, 10:11] == 0)
+            mte, mte_q = acc_ref[:, 8:9], acc_ref[:, 9:10]
+            h_at_en0 = msum(H, lane == en0)
+            upd = alive & (en0a == tlen - 1) & (h_at_en0 > mte)
+            acc_ref[:, 8:9] = jnp.where(upd, h_at_en0, mte)
+            acc_ref[:, 9:10] = jnp.where(upd, r - (en + base), mte_q)
+            mqe, mqe_t = acc_ref[:, 6:7], acc_ref[:, 7:8]
+            h_at_st0 = msum(H, lane == st0)
+            upd = alive & (r - st0a == qlen - 1) & (h_at_st0 > mqe)
+            acc_ref[:, 6:7] = jnp.where(upd, h_at_st0, mqe)
+            acc_ref[:, 7:8] = jnp.where(upd, st0a, mqe_t)
+            mx, mx_t, mx_q = (acc_ref[:, 3:4], acc_ref[:, 4:5],
+                              acc_ref[:, 5:6])
+            row_q = r - row_t
+            better = alive & (m > mx)
+            acc_ref[:, 3:4] = jnp.where(better, m, mx)
+            acc_ref[:, 4:5] = jnp.where(better, row_t, mx_t)
+            acc_ref[:, 5:6] = jnp.where(better, row_q, mx_q)
+            tl_ = row_t - mx_t
+            ql_ = row_q - mx_q
+            l_ = jnp.abs(tl_ - ql_)
+            # splice Z-drop uses gap extension 0 (ksw2_splice.py:256)
+            drop = alive & ~better & (row_t >= mx_t) & (row_q >= mx_q) \
+                & (zdrop >= 0) & (mx - m > zdrop)
+            del l_
+            acc_ref[:, 10:11] = jnp.where(drop, 1, acc_ref[:, 10:11])
+            fin = alive & ~drop & (r == n_rows - 1) & (en0a == tlen - 1)
+            acc_ref[:, 2:3] = jnp.where(
+                fin, msum(H, lane == tlen - 1 - base), acc_ref[:, 2:3])
+            continue
+
+        lt = acc_ref[:, 1:2]
+        h0 = acc_ref[:, 0:1]
+        v_lt = jnp.sum(jnp.where(lane == lt - base, v, 0), axis=1,
+                       keepdims=True)
+        u_lt1 = jnp.sum(jnp.where(lane == lt + 1 - base, u, 0), axis=1,
+                        keepdims=True)
+        c1 = (st0a <= lt) & (lt <= en0a)
+        c2 = (st0a <= lt + 1) & (lt + 1 <= en0a)
+        take_d1 = c1 & c2 & (u_lt1 >= v_lt)
+        step = jnp.where(c1 & c2,
+                         jnp.where(take_d1, u_lt1, v_lt),
+                         jnp.where(c1, v_lt, u_lt1))
+        new_lt = jnp.where(take_d1 | ~c1, lt + 1, lt)
+        is_r0 = r == 0
+        h0n = jnp.where(is_r0, v_lt - qe_c, h0 + step)
+        ltn = jnp.where(is_r0, 0, new_lt)
+        acc_ref[:, 0:1] = jnp.where(act, h0n, h0)
+        acc_ref[:, 1:2] = jnp.where(act, ltn, lt)
+        acc_ref[:, 2:3] = jnp.where(act & (r == n_rows - 1), h0n,
+                                    acc_ref[:, 2:3])
+
+    p_ref[0, 0, :, :] = d_ref[...]
+    score_ref[0, :, :] = acc_ref[...]
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "wb", "r_pad", "q", "e", "q2", "mat0", "mat1", "sc_n", "right",
+    "long_thres", "long_diff", "track_h",
+    "interpret")) if _HAS_JAX else lambda f: f
+def exts2_fwd_tpu(meta, qbytes, tband, qblk, dband, aband, *, wb, r_pad,
+                  q, e, q2, mat0, mat1, sc_n, right, long_thres,
+                  long_diff, track_h=False, interpret=False):
+    """Batched splice forward DP in band coordinates; see exts2 kernel."""
+    G = meta.shape[0]
+    P = PAIRS_PER_GROUP
+    rb = r_pad // ROWS_PER_STEP
+    kern = functools.partial(
+        _exts2_kernel, wb=wb, q=q, e=e, q2=q2,
+        mat0=mat0, mat1=mat1, sc_n=sc_n, right=right,
+        long_thres=long_thres, long_diff=long_diff, track_h=track_h)
+    return pl.pallas_call(
+        kern,
+        grid=(G, rb),
+        in_specs=[
+            pl.BlockSpec((1, 8, P), lambda g, r: (g, 0, 0)),
+            pl.BlockSpec((1, 1, P, ROWS_PER_STEP), lambda g, r: (g, r, 0, 0)),
+            pl.BlockSpec((1, 1, P, wb), lambda g, r: (g, r, 0, 0)),
+            pl.BlockSpec((1, 1, P, wb), lambda g, r: (g, r, 0, 0)),
+            pl.BlockSpec((1, 1, P, wb), lambda g, r: (g, r, 0, 0)),
+            pl.BlockSpec((1, 1, P, wb), lambda g, r: (g, r, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, ROWS_PER_STEP * P, wb),
+                         lambda g, r: (g, r, 0, 0)),
+            pl.BlockSpec((1, P, SCORE_LANES), lambda g, r: (g, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((G, rb, ROWS_PER_STEP * P, wb), jnp.int8),
+            jax.ShapeDtypeStruct((G, P, SCORE_LANES), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((P, wb), jnp.int32),   # u
+            pltpu.VMEM((P, wb), jnp.int32),   # v
+            pltpu.VMEM((P, wb), jnp.int32),   # x
+            pltpu.VMEM((P, wb), jnp.int32),   # y
+            pltpu.VMEM((P, wb), jnp.int32),   # x2
+            pltpu.VMEM((P, wb), jnp.int32),   # s
+            pltpu.VMEM((P, wb), jnp.int32),   # stq
+            pltpu.VMEM((ROWS_PER_STEP * P, wb), jnp.int8),   # d rows
+            pltpu.VMEM((P, SCORE_LANES), jnp.int32),         # acc
+            pltpu.VMEM((P, wb), jnp.int32),                  # H (track_h)
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(meta, qbytes, tband, qblk, dband, aband)
+
+
 # ------------------------------------------------------------ host assembly
 def _assemble_ez(call: FillCall, p_rows_abs: np.ndarray, score: int,
                  flag: int) -> ksw2.Extz:
@@ -623,8 +1097,9 @@ def extd2_batch_device(calls: list[FillCall], mat: np.ndarray, q: int, e: int,
 
 # ------------------------------------------------------- device backtrack
 @functools.partial(jax.jit, static_argnames=(
-    "wb", "r_pad", "kmax")) if _HAS_JAX else lambda f: f
-def backtrack_device(p, meta, starts=None, *, wb, r_pad, kmax):
+    "wb", "r_pad", "kmax", "intron_ops")) if _HAS_JAX else lambda f: f
+def backtrack_device(p, meta, starts=None, *, wb, r_pad, kmax,
+                     intron_ops=False):
     """Vectorized ksw_backtrack on the device (ksw2.h:126-158, is_rot).
 
     Walks all pairs' direction matrices in lockstep without ever moving
@@ -653,6 +1128,7 @@ def backtrack_device(p, meta, starts=None, *, wb, r_pad, kmax):
     def step(k, carry):
         i, j, state, ops = carry
         alive = (i >= 0) | (j >= 0)
+        tail_d = (j < 0) & (i >= 0)
         r = i + j
         st, en = window(r)
         # the band origin of r's 32-row block (same formula the forward
@@ -681,7 +1157,18 @@ def backtrack_device(p, meta, starts=None, *, wb, r_pad, kmax):
         s1 = jnp.where((i < 0) & (j >= 0), 2, s1)   # remaining -> I run
         # op: state 0 -> M(0); 1/3 (E/E2) -> D(2); 2/4 (F/F2) -> I(1)
         is_ins = (s1 == 2) | (s1 == 4)
-        op = jnp.where(s1 == 0, 0, jnp.where(is_ins, 1, 2)).astype(jnp.uint8)
+        if intron_ops:
+            # splice: every state-3 unit is an intron N (ksw2.h via
+            # ksw2_splice._backtrack min_intron_len>0); tail-D units get
+            # a sentinel so the host applies the min-intron rule
+            op = jnp.where(s1 == 0, 0,
+                           jnp.where(is_ins, 1,
+                                     jnp.where(s1 == 3, 3, 2))
+                           ).astype(jnp.uint8)
+            op = jnp.where(tail_d, jnp.uint8(5), op)
+        else:
+            op = jnp.where(s1 == 0, 0,
+                           jnp.where(is_ins, 1, 2)).astype(jnp.uint8)
         op = jnp.where(alive, op, jnp.uint8(255))
         ops = jax.lax.dynamic_update_slice(ops, op.reshape(N, 1), (0, k))
         di = jnp.where((s1 == 0) | (s1 == 1) | (s1 == 3), 1, 0)

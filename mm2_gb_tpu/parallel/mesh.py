@@ -160,6 +160,9 @@ def _shard_reads(bounds: np.ndarray, n_dev: int) -> np.ndarray:
     return np.concatenate(([0], targets, [n_reads]))
 
 
+from mm2_gb_tpu.utils.opts import MM_F_SPLICE as _SPLICE_FLAG
+
+
 def dispatch_batch_multichip(index, opt, seeded, mesh, metrics=None):
     """Launch chain scoring for a seeded batch with reads data-parallel
     across the mesh devices — one async dispatch_scores per chip on its
@@ -192,7 +195,8 @@ def dispatch_batch_multichip(index, opt, seeded, mesh, metrics=None):
         pend = CT.dispatch_scores(ax[s:e], ay[s:e], sub_bounds,
                                   max_gap_ref, max_gap_qry, opt.bw,
                                   opt.max_chain_iter, float(cg), float(cs),
-                                  metrics, device=dev)
+                                  metrics, device=dev,
+                                  is_cdna=bool(opt.flag & _SPLICE_FLAG))
         pends.append((pend, s, e))
     return seeded, bounds, pends
 

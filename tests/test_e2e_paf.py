@@ -418,3 +418,18 @@ def test_tpu_chain_max_occ_rechain(capsys):
     assert rc == 0
     with gzip.open(golden_path("rep60.maxocc.c.paf.gz"), "rt") as f:
         assert capsys.readouterr().out == f.read()
+
+
+def test_splice_tpu_chain_align_byte_match(capsys):
+    """Splice preset through the full TPU path: is_cdna device chaining
+    + device exts2 fills equal the host golden (generated from the
+    reference binary)."""
+    import gzip
+    rc = main(["--max-chain-skip=2147483647", "-x", "splice",
+               "--junc-bed", golden_path("splice.bed.gz"), "-c",
+               "--tpu-chain", "--tpu-align",
+               golden_path("splice_genome.fa.gz"),
+               golden_path("splice_reads.fa.gz")])
+    assert rc == 0
+    with gzip.open(golden_path("splice40.juncbed.c.paf.gz"), "rt") as f:
+        assert capsys.readouterr().out == f.read()

@@ -162,3 +162,89 @@ def test_device_extension_reach_end():
     want = ksw2.extd2(q, t, MAT, 4, 2, 24, 1, 500, 400, 10, EXTO)
     assert want.reach_end
     _check_ext([FillCall(q, t, 500, False, 400)], EXTO, end_bonus=10)
+
+
+# ----------------------------------------------------------- splice (exts2)
+def _mk_splice_case(seed, rev=False):
+    r = np.random.default_rng(seed)
+    n_ex = int(r.integers(1, 4))
+    qs = r.integers(0, 4, size=int(r.integers(80, 300))).astype(np.uint8)
+    t = []
+    bnds = (np.sort(r.choice(np.arange(1, len(qs) - 1), size=n_ex - 1,
+                             replace=False)) if n_ex > 1 else [])
+    pieces = np.split(qs, bnds)
+    for k, p in enumerate(pieces):
+        p = p.copy()
+        mask = r.random(len(p)) < 0.05
+        p[mask] = r.integers(0, 4, size=int(mask.sum()))
+        t.append(p)
+        if k < len(pieces) - 1:
+            ilen = int(r.integers(60, 400))
+            intr = r.integers(0, 4, size=ilen).astype(np.uint8)
+            if not rev:
+                intr[0], intr[1] = 2, 3
+                intr[-2], intr[-1] = 0, 2
+            else:
+                intr[0], intr[1] = 2, 0
+                intr[-2], intr[-1] = 3, 2
+            t.append(intr)
+    return qs, np.concatenate(t).astype(np.uint8)
+
+
+@pytest.mark.parametrize("extra,rev", [
+    (0, False),
+    (ksw2.KSW_EZ_SPLICE_FLANK, False),
+    (ksw2.KSW_EZ_RIGHT, False),
+    (ksw2.KSW_EZ_SPLICE_REV | ksw2.KSW_EZ_SPLICE_FLANK, False),
+    (ksw2.KSW_EZ_REV_CIGAR, True),
+])
+def test_device_exts2_matches_oracle(extra, rev):
+    """Splice fills on device == ops/ksw2_splice.exts2 oracle, incl. BED
+    junction bonuses and every splice flag variant."""
+    from mm2_gb_tpu.ops import ksw2_splice as S
+    from mm2_gb_tpu.ops.ksw2_tpu import FillCall, exts2_batch_device
+    mat = ksw2.gen_simple_mat(5, 1, 2, 1)
+    q_, e_, q2_, noncan, jb = 2, 1, 32, 9, 9
+    flag = ksw2.KSW_EZ_APPROX_MAX | ksw2.KSW_EZ_SPLICE_FOR | extra
+    calls, oracles, juncs = [], [], []
+    for seed in range(4):
+        qs, ts = _mk_splice_case(50 + seed, rev)
+        r = np.random.default_rng(seed)
+        junc = (r.integers(0, 4, size=len(ts)).astype(np.uint8)
+                if seed % 2 else None)
+        calls.append(FillCall(qs, ts, -1,
+                              bool(flag & ksw2.KSW_EZ_RIGHT), -1))
+        juncs.append(junc)
+        oracles.append(S.exts2(qs, ts, mat, q_, e_, q2_, noncan, -1, jb,
+                               flag, junc))
+    devs = exts2_batch_device(calls, mat, q_, e_, q2_, noncan, jb, flag,
+                              juncs, interpret=True)
+    for o, d in zip(oracles, devs):
+        assert o.score == d.score
+        assert np.array_equal(np.asarray(o.cigar, np.uint32),
+                              np.asarray(d.cigar, np.uint32))
+
+
+def test_chain_kernel_is_cdna_matches_oracle():
+    """is_cdna chain scoring (splice presets) on device == host oracle
+    (comput_sc lchain.c:128-133 deletion branch)."""
+    from mm2_gb_tpu.ops import chain as chain_ops
+    from mm2_gb_tpu.ops import chain_tpu
+    rng = np.random.default_rng(21)
+    n = 400
+    # intron-like jumps: large dr vs dq
+    rpos = np.cumsum(rng.integers(1, 60, n)).astype(np.uint64)
+    qpos = np.maximum.accumulate(
+        np.maximum(np.cumsum(rng.integers(1, 12, n)), 1)).astype(np.uint64)
+    ax = rpos
+    ay = (np.uint64(15) << np.uint64(32)) | qpos
+    bounds = np.array([0, n], np.int64)
+    cg = float(np.float32(float(np.float32(0.8)) * 0.01 * 15))
+    fd, pd = chain_tpu.dispatch_scores(ax, ay, bounds, 5000, 5000, 500,
+                                       5000, cg, 0.0,
+                                       is_cdna=True).collect()
+    fo, po = chain_ops._chain_dp_scores(ax, ay, 5000, 5000, 500,
+                                        2**31 - 1, 5000, np.float32(cg),
+                                        np.float32(0.0), True, 1)
+    assert np.array_equal(fo, fd)
+    assert np.array_equal(po, pd)

@@ -162,6 +162,10 @@ def make_splice(rng, tag):
         ["-x", "splice", "--max-intron-len", "20k", "-c"],
         ["-x", "splice", "--cost-non-gt-ag", "4", "-c"],
         ["--splice", "-u", "b", "-c"],
+        # device splice: is_cdna chain kernel + exts2 device fills
+        ["-x", "splice", "-c", "--tpu-chain"],
+        ["-x", "splice", "-c", "--tpu-chain", "--tpu-align"],
+        ["-x", "splice", "-u", "b", "-c", "--tpu-chain", "--tpu-align"],
     ]
     return rng.choice(flag_pool), [rfa, qfa]
 
