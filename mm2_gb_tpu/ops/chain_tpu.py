@@ -351,8 +351,8 @@ chain_packed_tpu = functools.partial(jax.jit, static_argnames=(
 def chain_compact_tpu(ntiles, start, packed, *, H, W,
                       span, max_dist_x, max_dist_y, bw, cg, cs,
                       is_cdna=False):
-    """Compact-transfer variant: ships ONE stacked (5, n) int32 operand
-    [x32; y32; rng; row; col], scatters into the padded [H, 128] layout
+    """Compact-transfer variant: ships ONE stacked (4, n) int32 operand
+    [x32; y32; rng; row*128+col], scatters into the padded [H, 128] layout
     ON DEVICE, runs the kernel, and gathers a stacked (2, n) [f; p] back
     — the padded zeros (incl. the W window pad) never cross the host
     link, and each launch pays one transfer instead of seven (the
@@ -360,7 +360,7 @@ def chain_compact_tpu(ntiles, start, packed, *, H, W,
     H2D analog (plmem.cu:154-236), re-thought for XLA: the reorg is a
     device-side scatter, not a host memcpy."""
     x32, y32, rng = packed[0], packed[1], packed[2]
-    rows, cols = packed[3], packed[4]
+    rows, cols = packed[3] >> 7, packed[3] & 127  # coord = row*128 + col
     z = jnp.zeros((H, LANES), jnp.int32)
     X = z.at[rows, cols].set(x32)
     Y = z.at[rows, cols].set(y32)
@@ -485,12 +485,12 @@ def dispatch_scores(ax: np.ndarray, ay: np.ndarray,
         tiles_real = int(ntiles[0])
         tiles_alloc = 1 << (tiles_real - 1).bit_length()
         H_alloc = W + tiles_alloc * TILE
-        packed = np.zeros((5, n_pad), np.int32)
+        packed = np.zeros((4, n_pad), np.int32)
         packed[0, :n_real] = x32[src]
         packed[1, :n_real] = y32[src]
         packed[2, :n_real] = rng[src]
-        packed[3, :n_real] = rows   # pad coords hit (0,0) in the W pad
-        packed[4, :n_real] = cols
+        # coord = row*128 + col; pad coords hit (0,0) in the W pad
+        packed[3, :n_real] = (rows << 7) | cols
         start_pad = np.full(tiles_alloc, W + TILE - 1, np.int32)
         start_pad[:tiles_real] = start
         if metrics is not None:
