@@ -67,7 +67,9 @@ extern "C" int64_t mmt_chain_rmq(const uint64_t *ax, const uint64_t *ay,
     int64_t inner_size = 0;
 
     auto key_of = [&](int64_t j) {
-        return ((int64_t)(int32_t)ay[j] << 32) | (uint32_t)j;
+        // shift via uint64: left-shifting a negative is UB pre-C++20
+        return (int64_t)(((uint64_t)(int64_t)(int32_t)ay[j] << 32)
+                         | (uint32_t)j);
     };
 
     int64_t i0 = 0, st = 0, st_inner = 0;
@@ -109,9 +111,9 @@ extern "C" int64_t mmt_chain_rmq(const uint64_t *ax, const uint64_t *ay,
         }
         int32_t yi = (int32_t)ay[i];
         // CLOSED krmq interval [(yi-max_dist, INT32_MAX), (yi, 0)]
-        int64_t lo_key = ((int64_t)(yi - max_dist) << 32)
-            | (uint32_t)INT32_MAX;
-        int64_t hi_key = ((int64_t)yi << 32);  // | 0
+        int64_t lo_key = (int64_t)(((uint64_t)(int64_t)(yi - max_dist)
+                                    << 32) | (uint32_t)INT32_MAX);
+        int64_t hi_key = (int64_t)((uint64_t)(int64_t)yi << 32);  // | 0
         int cand = outer.rmq(lo_key, hi_key);
         if (cand >= 0) {
             int64_t j = (int64_t)(uint32_t)outer.nd[cand].key;
@@ -125,8 +127,9 @@ extern "C" int64_t mmt_chain_rmq(const uint64_t *ax, const uint64_t *ay,
                 int32_t n_skip = 0;
                 // descending from (yi-1, +inf) (krmq_interval + itr_prev,
                 // lchain.c:328-347)
-                int64_t from_key = ((int64_t)(yi - 1) << 32)
-                    | (uint32_t)INT32_MAX;
+                int64_t from_key = (int64_t)(((uint64_t)(int64_t)(yi - 1)
+                                              << 32)
+                                             | (uint32_t)INT32_MAX);
                 auto it = inner_act.upper_bound(from_key);
                 while (it != inner_act.begin()) {
                     --it;

@@ -120,6 +120,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tpu-coord", default=None,
                    help="jax.distributed coordinator address "
                         "(host:port) for pod slices")
+    p.add_argument("--tpu-profile", default=None, metavar="DIR",
+                   help="write a jax.profiler trace of the mapping run "
+                        "to DIR (view with TensorBoard / xprof; needs "
+                        "platform profiler support — tunneled devices "
+                        "may not provide it)")
     p.add_argument("--tpu-cfg", default=None,
                    help="device batch config JSON (analog of --gpu-cfg)")
     p.add_argument("-u", dest="splice_strand", choices=["f", "b", "r", "n"],
@@ -588,6 +593,24 @@ def _run(args, argv, io, mo) -> int:
         sys.stderr.write("[WARNING] --tpu-chain supports single-segment "
                          "reads only; falling back to host chaining.\n")
         mo.flag &= ~(O.MM_F_TPU_CHAIN | O.MM_F_TPU_ALIGN)
+    prof = None
+    if args.tpu_profile and (mo.flag & O.MM_F_TPU_CHAIN):
+        # §5.1 tracing analog of the reference's GPU events + roctx
+        # ranges (plchain.cu:315,348-349): one jax.profiler trace over
+        # the whole mapping run
+        import jax
+        jax.profiler.start_trace(args.tpu_profile)
+        prof = args.tpu_profile
+    try:
+        return _run_tpu_or_host(args, index, mo, rg_id, is_sam, out)
+    finally:
+        if prof is not None:
+            import jax
+            jax.profiler.stop_trace()
+            sys.stderr.write(f"[M::profile] trace written to {prof}\n")
+
+
+def _run_tpu_or_host(args, index, mo, rg_id, is_sam, out) -> int:
     if (mo.flag & O.MM_F_TPU_CHAIN) and args.tpu_nproc > 1:
         return _run_tpu_multihost(args, index, mo, rg_id, is_sam)
     if mo.flag & O.MM_F_TPU_CHAIN:

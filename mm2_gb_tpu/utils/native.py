@@ -19,6 +19,9 @@ _TRIED = False
 
 
 def _lib_path() -> str:
+    override = os.environ.get("MM2TPU_NATIVE_LIB")
+    if override:  # e.g. csrc/libhostkit_asan.so (make -C csrc asan)
+        return override
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     return os.path.join(root, "csrc", "libhostkit.so")
 
