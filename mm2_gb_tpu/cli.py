@@ -525,12 +525,14 @@ def _run(args, argv, io, mo) -> int:
                 "g": 10**9, "G": 10**9}.get(s[-1], 1)
         bs = int(float(s[:-1] if mult > 1 else s) * mult)
         mo.split_prefix = args.split_prefix
-        if mo.flag & O.MM_F_TPU_CHAIN:
-            # the reference GPU path is single-index only (plchain.cu:499
-            # asserts; gpu init happens once per process, main.c:440-449)
-            sys.stderr.write("[WARNING] --tpu-chain does not compose with "
-                             "a multi-part index (-I/--split-prefix); "
-                             "falling back to host chaining.\n")
+        if (mo.flag & O.MM_F_TPU_CHAIN) and (
+                (mo.flag & O.MM_F_FRAG_MODE) or len(args.query) > 1):
+            # per-part TPU mapping supports the single-file
+            # single-segment shape (same scope as the reference GPU
+            # path, plchain.cu:499); other shapes chain on the host
+            sys.stderr.write("[WARNING] --tpu-chain with a multi-part "
+                             "index supports one single-segment query "
+                             "file; falling back to host chaining.\n")
             mo.flag &= ~(O.MM_F_TPU_CHAIN | O.MM_F_TPU_ALIGN)
         from mm2_gb_tpu.models.splitmerge import map_multipart
         return map_multipart(args.target, args.query, io, mo, sys.stdout,

@@ -53,7 +53,15 @@ def map_multipart(target: str, paths: list[str], io, mo, out,
                     sys.stderr.write(
                         "[WARNING] For a multi-part index, no @SQ lines "
                         "will be outputted. Please use --split-prefix.\n")
-            map_file_stream(index, mo, paths, out, threads, rg_id)
+            if (mo.flag & O.MM_F_TPU_CHAIN) and len(paths) == 1 \
+                    and not (mo.flag & O.MM_F_FRAG_MODE):
+                from mm2_gb_tpu.cli import res_regs_out
+                from mm2_gb_tpu.models.pipeline import map_file_tpu_records
+                for sr, regs in map_file_tpu_records(index, mo, paths):
+                    res_regs_out(out, index, mo, sr.rec, regs, sr.rep_len,
+                                 is_sam, rg_id, 0, 1, [regs])
+            else:
+                map_file_stream(index, mo, paths, out, threads, rg_id)
             n_parts += 1
         return 0 if n_parts else 1
 
@@ -68,11 +76,22 @@ def map_multipart(target: str, paths: list[str], io, mo, out,
             sys.stderr.write(f"[M::split] mapping against part {n_parts} "
                              f"({index.n_seq} sequences)\n")
         results = []
-        for batch in read_frag_batches(paths, mo, mo.mini_batch_size,
-                                       Metrics()):
-            for frag in batch:
-                res = _map_one(index, mo, frag)
-                results.append(res)
+        if (mo.flag & O.MM_F_TPU_CHAIN) and len(paths) == 1 \
+                and not (mo.flag & O.MM_F_FRAG_MODE):
+            # per-part TPU mapping (beyond the reference GPU path, which
+            # is single-index only, plchain.cu:499): each part runs the
+            # full device pipeline; the merge pass is unchanged
+            from mm2_gb_tpu.models.mapper import _chain_gaps
+            from mm2_gb_tpu.models.pipeline import map_file_tpu_records
+            for sr, regs in map_file_tpu_records(index, mo, paths):
+                frag_gap = _chain_gaps(mo, sr.rec.length)[1]
+                results.append(([regs], [sr.rep_len], frag_gap))
+        else:
+            for batch in read_frag_batches(paths, mo, mo.mini_batch_size,
+                                           Metrics()):
+                for frag in batch:
+                    res = _map_one(index, mo, frag)
+                    results.append(res)
         parts_meta.append((index.names, index.lens))
         if split_prefix:
             fn = f"{split_prefix}.{n_parts:04d}.tmp"

@@ -433,3 +433,25 @@ def test_splice_tpu_chain_align_byte_match(capsys):
     assert rc == 0
     with gzip.open(golden_path("splice40.juncbed.c.paf.gz"), "rt") as f:
         assert capsys.readouterr().out == f.read()
+
+
+def test_multipart_tpu_chain_byte_match(capsys):
+    """-I with --tpu-chain: each part maps through the device pipeline;
+    outputs equal the host/reference goldens (no-merge and merge)."""
+    import gzip
+    rc = main(["--max-chain-skip=2147483647", "-c", "-I", "20k",
+               "--tpu-chain",
+               golden_path("multi3.fa.gz"), golden_path("multi3_q.fa.gz")])
+    assert rc == 0
+    with gzip.open(golden_path("multi3.noI.c.paf.gz"), "rt") as f:
+        assert capsys.readouterr().out == f.read()
+
+
+def test_multipart_tpu_chain_split_merge(capsys, tmp_path):
+    import gzip
+    rc = main(["--max-chain-skip=2147483647", "-c", "-I", "20k",
+               "--tpu-chain", "--split-prefix", str(tmp_path / "sp"),
+               golden_path("multi3.fa.gz"), golden_path("multi3_q.fa.gz")])
+    assert rc == 0
+    with gzip.open(golden_path("multi3.split.c.paf.gz"), "rt") as f:
+        assert capsys.readouterr().out == f.read()

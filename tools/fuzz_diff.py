@@ -117,6 +117,9 @@ def make_genomic(rng, tag):
     if multi_ctg:  # multi-part index build + two-phase merge
         flag_pool += [["-I", "100k", "--split-prefix", f"/tmp/fz_{tag}_sp",
                        "-c"]] * 4
+        flag_pool += [["-I", "100k", "--tpu-chain", "-c"],
+                      ["-I", "100k", "--split-prefix",
+                       f"/tmp/fz_{tag}_tsp", "--tpu-chain", "-c"]]
     return rng.choice(flag_pool), [rfa, qfa]
 
 
