@@ -207,7 +207,12 @@ def bench_e2e() -> dict:
     }
     m = re.search(r"device-wait (\d+\.\d+)s", stats)
     if m:  # attribution: the shared-tunnel device wait dominates noise
-        res["e2e_device_wait_s"] = float(m.group(1))
+        wait = float(m.group(1))
+        res["e2e_device_wait_s"] = wait
+        # host-side wall excl. the shared-tunnel stall — the quiet-chip
+        # lower bound (device compute for this flowcell is ~0.2s at the
+        # measured kernel rate; transfers ~1s at the tunnel's quiet rate)
+        res["e2e_host_s"] = round(best - wait, 2)
     return res
 
 

@@ -28,6 +28,14 @@ see the oracle for the line-by-line correspondence.  Scope: the gap-fill
 configuration (cigar + KSW_EZ_APPROX_MAX, optional KSW_EZ_RIGHT, no in-DP
 Z-drop), which is every align_pair call in the hot loop (align.c:744-758).
 Left/right extensions (EXTZ_ONLY + full H tracking) stay on the host.
+
+Scope note: the single-gap-cost configuration (q==q2 AND e==e2, the
+ksw2_extz2_sse kernel) intentionally stays on the host oracle: no preset
+uses it (it needs explicit single-valued -O AND -E), and its byte
+semantics differ structurally (biased unsigned-saturating int8 updates,
+score clamp, a separate wl/wr window model with in-DP band collapse),
+so it would be a third full kernel for a rare flag combination.
+_use_device_align gates it to the host (pipeline.py).
 """
 
 from __future__ import annotations
