@@ -386,6 +386,31 @@ void mmt_compute_ranges(const uint64_t* ax, int64_t n,
     }
 }
 
+// Packed-layout helpers for the chain kernel (chain_tpu.pack_class_meta):
+// per-row range max (np.maximum.at is pathologically slow) and the
+// per-tile dynamic window starts (first padded row whose range reaches
+// into the tile).
+void mmt_scatter_max(int32_t* out, const int64_t* rows,
+                     const int32_t* vals, int64_t n) {
+    for (int64_t i = 0; i < n; ++i)
+        if (vals[i] > out[rows[i]]) out[rows[i]] = vals[i];
+}
+
+void mmt_tile_starts(const int32_t* rmax, int64_t H, int64_t W,
+                     int64_t tile, int64_t n_tiles, int32_t* start) {
+    for (int64_t i = 0; i < n_tiles; ++i) {
+        int64_t t0 = i * tile;
+        int64_t hi = t0 + W + tile - 1;
+        if (hi > H) hi = H;
+        int32_t ans = (int32_t)(W + tile - 1);
+        for (int64_t r = t0; r < hi; ++r) {
+            int64_t reach = r + (rmax[r] < W ? rmax[r] : W);
+            if (reach >= t0 + W) { ans = (int32_t)(r - t0); break; }
+        }
+        start[i] = ans;
+    }
+}
+
 // LPT lane packing for the device chain kernel's [rows, lanes] layout
 // (chain_tpu._pack_lanes): longest segment first onto the currently
 // shortest lane; ties broken by lane index (== Python heapq (h, lane)

@@ -113,27 +113,75 @@ def _cal_fuzzy_len(r: Region, ax: np.ndarray, ay: np.ndarray) -> None:
 
 def gen_regs(hash_: int, qlen: int, u: np.ndarray, ax: np.ndarray,
              ay: np.ndarray, is_qstrand: bool = False) -> list[Region]:
-    """Chains → regions, sorted by hash-randomized score (hit.c:52-88)."""
+    """Chains → regions, sorted by hash-randomized score (hit.c:52-88).
+
+    Coordinates and fuzzy lengths are computed for ALL chains in one
+    vectorized pass (the semantics of _set_coor/_cal_fuzzy_len applied
+    per chain via cumulative sums) — chain-dense repeat workloads make
+    the per-region scalar path the mapper's bottleneck."""
     n_u = u.shape[0]
     if n_u == 0:
         return []
     counts = (u & np.uint64(0xFFFFFFFF)).astype(np.int64)
     starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    ends = starts + counts - 1
     h = hash64_full((hash64_full(ax[starts]) + hash64_full(ay[starts]))
                     ^ np.uint64(hash_)).astype(np.uint32)
     zx = u ^ h.astype(np.uint64)      # score<<32 | (count ^ hash_low)
     perm = (native.radix_perm64(zx) if native.available()
             else ksort.radix_perm64(zx))
     perm = perm[::-1]                  # larger score first
+
+    M32 = np.uint64(0xFFFFFFFF)
+    tx = (ax & M32).astype(np.int64)
+    ty = (ay & M32).astype(np.int64)
+    span_all = ((ay >> np.uint64(32)) & np.uint64(0xFF)).astype(np.int64)
+    # fuzzy match/block contributions between consecutive anchors
+    # (mm_cal_fuzzy_len, hit.c:8-21); per-chain sums via cumsum deltas
+    if ax.shape[0] > 1:
+        d_tl = tx[1:] - tx[:-1]
+        d_ql = ty[1:] - ty[:-1]
+        sp1 = span_all[1:]
+        c_blen = np.maximum(d_tl, d_ql)
+        both = (d_tl > sp1) & (d_ql > sp1)
+        c_mlen = np.where(both, sp1, np.minimum(d_tl, d_ql))
+        csb = np.concatenate(([0], np.cumsum(c_blen)))
+        csm = np.concatenate(([0], np.cumsum(c_mlen)))
+        blen = span_all[starts] + (csb[ends] - csb[starts])
+        mlen = span_all[starts] + (csm[ends] - csm[starts])
+    else:
+        blen = mlen = span_all[starts].copy()
+    # mm_reg_set_coor (hit.c:23-39), vectorized
+    rev = (ax[starts] >> np.uint64(63)).astype(bool)
+    rid = ((ax[starts] << np.uint64(1)) >> np.uint64(33)).astype(np.int64)
+    span0 = span_all[starts]
+    rs0 = tx[starts]
+    rs = np.where(rs0 + 1 > span0, rs0 + 1 - span0, 0)
+    re = tx[ends] + 1
+    y0 = ty[starts]
+    y1 = ty[ends]
+    fwd = ~rev | is_qstrand
+    qs = np.where(fwd, y0 + 1 - span0, qlen - (y1 + 1))
+    qe = np.where(fwd, y1 + 1, qlen - (y0 + 1 - span0))
+
+    scores = (zx >> np.uint64(32)).astype(np.int64)
+    hashes = (zx & M32).astype(np.int64)
     regs: list[Region] = []
     for i, j in enumerate(perm):
         r = Region(id=i, parent=MM_PARENT_UNSET)
-        r.score = r.score0 = int(zx[j] >> np.uint64(32))
-        r.hash = int(zx[j] & np.uint64(0xFFFFFFFF))
+        r.score = r.score0 = int(scores[j])
+        r.hash = int(hashes[j])
         r.cnt = int(counts[j])
         r.as_ = int(starts[j])
         r.div = -1.0
-        _set_coor(r, qlen, ax, ay, is_qstrand)
+        r.rev = bool(rev[j])
+        r.rid = int(rid[j])
+        r.rs = int(rs[j])
+        r.re = int(re[j])
+        r.qs = int(qs[j])
+        r.qe = int(qe[j])
+        r.mlen = int(mlen[j])
+        r.blen = int(blen[j])
         regs.append(r)
     return regs
 

@@ -588,15 +588,19 @@ def pack_class_meta(sel, seg_lens, seg_of, row_of, rng, W):
 
     # per-tile dynamic window start: the first padded row whose range can
     # reach into the tile decides how much of the window the kernel walks
-    rmax = np.zeros(H, np.int32)
-    np.maximum.at(rmax, rows, rng[src])
-    start = np.empty(n_tiles, np.int32)
-    reach = np.arange(H, dtype=np.int64) + np.minimum(rmax, W)
-    for i in range(n_tiles):
-        t0 = i * TILE
-        w = reach[t0:t0 + W + TILE - 1]
-        can = np.nonzero(w >= t0 + W)[0]
-        start[i] = int(can[0]) if can.shape[0] else W + TILE - 1
+    from mm2_gb_tpu.utils import native
+    if native.available():
+        start = native.pack_meta(rows, rng[src], H, W, TILE, n_tiles)
+    else:
+        rmax = np.zeros(H, np.int32)
+        np.maximum.at(rmax, rows, rng[src])
+        start = np.empty(n_tiles, np.int32)
+        reach = np.arange(H, dtype=np.int64) + np.minimum(rmax, W)
+        for i in range(n_tiles):
+            t0 = i * TILE
+            w = reach[t0:t0 + W + TILE - 1]
+            can = np.nonzero(w >= t0 + W)[0]
+            start[i] = int(can[0]) if can.shape[0] else W + TILE - 1
     ntiles = np.array([n_tiles], np.int32)
     return ntiles, start, H, src, rows, cols
 

@@ -128,6 +128,13 @@ def _load():
         u64p, ctypes.c_int64, i64p, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int64, i32p,
     ]
+    lib.mmt_scatter_max.restype = None
+    lib.mmt_scatter_max.argtypes = [i32p, i64p, i32p, ctypes.c_int64]
+    lib.mmt_tile_starts.restype = None
+    lib.mmt_tile_starts.argtypes = [
+        i32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, i32p,
+    ]
     lib.mmt_idx_lookup.restype = None
     lib.mmt_idx_lookup.argtypes = [
         u64p, i64p, i64p, ctypes.c_int64, i64p, ctypes.c_int64,
@@ -377,3 +384,21 @@ def compute_ranges(ax: np.ndarray, bounds: np.ndarray, max_dist: int,
         bounds.shape[0], max_dist, max_iter,
         rng.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
     return rng
+
+
+def pack_meta(rows: np.ndarray, rng_src: np.ndarray, H: int, W: int,
+              tile: int, n_tiles: int) -> np.ndarray:
+    """rmax scatter-max + per-tile window starts (chain_tpu packing)."""
+    lib = _load()
+    rows = np.ascontiguousarray(rows, dtype=np.int64)
+    rng_src = np.ascontiguousarray(rng_src, dtype=np.int32)
+    rmax = np.zeros(H, np.int32)
+    p32 = ctypes.POINTER(ctypes.c_int32)
+    p64 = ctypes.POINTER(ctypes.c_int64)
+    lib.mmt_scatter_max(rmax.ctypes.data_as(p32),
+                        rows.ctypes.data_as(p64),
+                        rng_src.ctypes.data_as(p32), rows.shape[0])
+    start = np.empty(n_tiles, np.int32)
+    lib.mmt_tile_starts(rmax.ctypes.data_as(p32), H, W, tile, n_tiles,
+                        start.ctypes.data_as(p32))
+    return start
