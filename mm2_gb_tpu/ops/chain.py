@@ -271,28 +271,23 @@ def compact_chains(u: np.ndarray, v: np.ndarray, ax: np.ndarray, ay: np.ndarray
     """
     counts = (u & np.uint64(0xFFFFFFFF)).astype(np.int64)
     n_u = u.shape[0]
-    # per chain: reverse its slice of v (backtrack emitted descending)
-    bx = np.empty(v.shape[0], dtype=np.uint64)
-    by = np.empty(v.shape[0], dtype=np.uint64)
+    N = v.shape[0]
     starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
-    for ci in range(n_u):
-        s, c = int(starts[ci]), int(counts[ci])
-        idx = v[s:s + c][::-1]
-        bx[s:s + c] = ax[idx]
-        by[s:s + c] = ay[idx]
+    # per chain: reverse its slice of v (backtrack emitted descending) —
+    # one gather: rev_pos = start + (count-1) - (pos - start)
+    seg = np.repeat(np.arange(n_u), counts)
+    pos = np.arange(N, dtype=np.int64)
+    rev_pos = 2 * starts[seg] + counts[seg] - 1 - pos
+    big = v[rev_pos]
+    bx = ax[big]
+    by = ay[big]
     # sort chains by their first anchor's target position (radix on x)
     wkeys = bx[starts] if n_u else np.empty(0, np.uint64)
     perm = (native.radix_perm64(wkeys) if native.available()
             else ksort.radix_perm64(wkeys))
-    out_x = np.empty_like(bx)
-    out_y = np.empty_like(by)
-    u2 = np.empty_like(u)
-    kpos = 0
-    for i in range(n_u):
-        j = int(perm[i])
-        s, c = int(starts[j]), int(counts[j])
-        u2[i] = u[j]
-        out_x[kpos:kpos + c] = bx[s:s + c]
-        out_y[kpos:kpos + c] = by[s:s + c]
-        kpos += c
-    return u2, out_x, out_y
+    # reorder whole chains by perm — one gather via per-chain offsets
+    c_p = counts[perm]
+    new_starts = np.concatenate(([0], np.cumsum(c_p)))[:-1]
+    seg2 = np.repeat(np.arange(n_u), c_p)
+    src = starts[perm][seg2] + (pos - new_starts[seg2])
+    return u[perm], bx[src], by[src]

@@ -117,18 +117,19 @@ def collect_matches(index: MinimizerIndex, mv: np.ndarray, qlen: int,
         flt = cnt > max_occ
 
     # rep_len: total query length covered by filtered (repetitive) seeds,
-    # merging overlapping intervals (seed.c:112-121)
-    rep_len = 0
-    rep_st = rep_en = 0
-    for i in np.nonzero(flt)[0]:
-        en = (int(q_pos[i]) >> 1) + 1
-        st = en - int(q_span[i])
-        if st > rep_en:
-            rep_len += rep_en - rep_st
-            rep_st, rep_en = st, en
-        else:
-            rep_en = en
-    rep_len += rep_en - rep_st
+    # merging overlapping intervals (seed.c:112-121).  The scalar loop's
+    # rep_en always equals the previous member's en (ens ascend with
+    # q_pos), so groups split where st > previous en — vectorized.
+    idxs = np.nonzero(flt)[0]
+    if idxs.shape[0]:
+        en_f = (q_pos[idxs].astype(np.int64) >> 1) + 1
+        st_f = en_f - q_span[idxs]
+        brk = np.concatenate(([True], st_f[1:] > en_f[:-1]))
+        g_first = np.nonzero(brk)[0]
+        g_last = np.concatenate((g_first[1:] - 1, [idxs.shape[0] - 1]))
+        rep_len = int((en_f[g_last] - st_f[g_first]).sum())
+    else:
+        rep_len = 0
 
     keep = ~flt
     mini_pos = ((q_span[keep].astype(np.uint64) << np.uint64(32))
