@@ -17,6 +17,15 @@ be identical to minimap2 v2.24 run with --max-chain-skip=infinity
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if _os.environ.get("MM2TPU_FORCE_CPU"):
+    # Harden CPU-only subprocesses against axon-tunnel stalls: the
+    # sitecustomize hook force-sets jax_platforms=axon, so env vars alone
+    # don't protect a child process (see utils/tunnel.py).
+    from mm2_gb_tpu.utils.tunnel import force_cpu as _force_cpu
+    _force_cpu()
+
 from mm2_gb_tpu.utils.opts import IndexOptions, MapOptions, set_preset
 
 __all__ = [

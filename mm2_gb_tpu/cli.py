@@ -519,11 +519,19 @@ def _run(args, argv, io, mo) -> int:
                              f"'{args.output}': {e.strerror}\n")
             return 1
 
-    if args.batch_size is not None and args.query:
-        s = args.batch_size
-        mult = {"k": 10**3, "K": 10**3, "m": 10**6, "M": 10**6,
-                "g": 10**9, "G": 10**9}.get(s[-1], 1)
-        bs = int(float(s[:-1] if mult > 1 else s) * mult)
+    if args.query and (args.batch_size is not None
+                       or args.split_prefix is not None):
+        # --split-prefix without -I still runs the dump+merge machinery
+        # over a (typically single-part) index — the reference gates on
+        # opt.split_prefix alone (main.c:471-472), and the merge pass's
+        # interleaved re-read is observable even with one part
+        if args.batch_size is not None:
+            s = args.batch_size
+            mult = {"k": 10**3, "K": 10**3, "m": 10**6, "M": 10**6,
+                    "g": 10**9, "G": 10**9}.get(s[-1], 1)
+            bs = int(float(s[:-1] if mult > 1 else s) * mult)
+        else:
+            bs = io.batch_size
         mo.split_prefix = args.split_prefix
         if (mo.flag & O.MM_F_TPU_CHAIN) and (
                 (mo.flag & O.MM_F_FRAG_MODE) or len(args.query) > 1):
@@ -630,12 +638,14 @@ def _run_tpu_or_host(args, index, mo, rg_id, is_sam, out) -> int:
             mesh = make_mesh(n_dev)
             for q in args.query:  # per-file sequential (main.c:451-455)
                 for sr, regs in map_file_multichip(index, mo, [q], mesh,
-                                                   tmet):
+                                                   tmet,
+                                                   n_threads=args.threads):
                     res_regs_out(out, index, mo, sr.rec, regs, sr.rep_len,
                                  is_sam, rg_id, 0, 1, [regs])
         else:
             for q in args.query:
-                for sr, regs in map_file_tpu_records(index, mo, [q], tmet):
+                for sr, regs in map_file_tpu_records(
+                        index, mo, [q], tmet, n_threads=args.threads):
                     res_regs_out(out, index, mo, sr.rec, regs, sr.rep_len,
                                  is_sam, rg_id, 0, 1, [regs])
         tmet.report(args.verbose)
@@ -675,7 +685,8 @@ def _run_tpu_multihost(args, index, mo, rg_id, is_sam) -> int:
             open(shard_path + ".idx", "w") as idx_out:
         for fi, q in enumerate(args.query):
             for sr, regs in map_file_tpu_records(index, mo, [q], tmet,
-                                                 (rank, nproc)):
+                                                 (rank, nproc),
+                                                 n_threads=args.threads):
                 buf = _io.StringIO()
                 res_regs_out(buf, index, mo, sr.rec, regs, sr.rep_len,
                              False, rg_id, 0, 1, [regs])

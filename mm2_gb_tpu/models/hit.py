@@ -407,61 +407,97 @@ def est_err(index, qlen: int, regs: list[Region], ax: np.ndarray,
 
 
 def _logf(x: float) -> float:
-    """float32 natural log with float64 evaluation then rounding (≈ glibc logf)."""
+    """float32 natural log with float64 evaluation then rounding (≈ glibc
+    logf), including the IEEE edge cases merged split dumps can hit:
+    logf(0) = -inf (no error), logf(x<0) = nan."""
+    x = float(x)
+    if x == 0.0:
+        return float("-inf")
+    if x < 0.0 or math.isnan(x):
+        return float("nan")
     return float(np.float32(math.log(x)))
+
+
+def _ftoi(x) -> int:
+    """C (int) cast of a float: truncation, with the x86 cvttss2si
+    convention for invalid inputs (NaN / ±inf / out of int32 range all
+    yield INT_MIN) — mm_set_mapq relies on this for degenerate regs
+    (score 0 from merged split dumps)."""
+    x = float(x)
+    if math.isnan(x) or x >= 2147483648.0 or x < -2147483648.0:
+        return -2147483648
+    return int(x)
+
+
+def _fdiv(a, b) -> np.float32:
+    """float32 division with C semantics (0/0 = nan, x/0 = ±inf)."""
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return np.float32(np.float32(a) / np.float32(b))
 
 
 def set_mapq(regs: list[Region], min_chain_sc: int, match_sc: int,
              rep_len: int, is_sr: bool) -> None:
-    """MAPQ model (mm_set_mapq, hit.c:421-466)."""
+    """MAPQ model (mm_set_mapq, hit.c:421-466).
+
+    Every ternary follows the C comparison direction exactly: NaN
+    operands (possible for calloc-zeroed regs from merged split dumps)
+    make `a < b` false, which picks a different branch than a min()
+    would."""
     if not regs:
         return
-    q_coef = 40.0
+    q_coef = np.float32(40.0)
     sum_sc = sum(r.score for r in regs if r.parent == r.id)
-    uniq_ratio = (np.float32(sum_sc) / np.float32(sum_sc + rep_len)
-                  if (sum_sc + rep_len) else np.float32(0))
-    for r in regs:
-        if r.inv:
-            r.mapq = 0
-        elif r.parent == r.id:
-            pen_s1 = (np.float32(1.0) if r.score > 100
-                      else np.float32(0.01) * np.float32(r.score)) * uniq_ratio
-            pen_cm = (np.float32(1.0) if r.cnt > 10
-                      else np.float32(0.1) * np.float32(r.cnt))
-            pen_cm = min(np.float32(pen_s1), pen_cm)
-            subsc = max(r.subsc, min_chain_sc)
-            if r.p is not None and r.p.dp_max2 > 0 and r.p.dp_max > 0:
-                identity = np.float32(r.mlen) / np.float32(r.blen)
-                x = (np.float32(r.p.dp_max2) * np.float32(subsc)
-                     / np.float32(r.p.dp_max) / np.float32(r.score0))
-                mapq = int(identity * pen_cm * np.float32(q_coef)
-                           * (np.float32(1.0) - x * x)
-                           * np.float32(_logf(np.float32(r.p.dp_max) / np.float32(match_sc))))
-                if not is_sr:
-                    mapq_alt = int(np.float32(6.02) * identity * identity
-                                   * np.float32(r.p.dp_max - r.p.dp_max2)
-                                   / np.float32(match_sc) + np.float32(0.499))
-                    mapq = min(mapq, mapq_alt)
-            else:
-                x = (np.float32(subsc) / np.float32(r.score0)
-                     if r.score0 else np.float32(0))
-                if r.p is not None:
-                    identity = np.float32(r.mlen) / np.float32(r.blen)
-                    mapq = int(identity * pen_cm * np.float32(q_coef)
-                               * (np.float32(1.0) - x)
-                               * np.float32(_logf(np.float32(r.p.dp_max) / np.float32(match_sc))))
+    uniq_ratio = _fdiv(sum_sc, sum_sc + rep_len)
+    with np.errstate(invalid="ignore", over="ignore"):
+        for r in regs:
+            if r.inv:
+                r.mapq = 0
+            elif r.parent == r.id:
+                pen_s1 = (np.float32(1.0) if r.score > 100
+                          else np.float32(0.01) * np.float32(r.score)
+                          ) * uniq_ratio
+                pen_cm = (np.float32(1.0) if r.cnt > 10
+                          else np.float32(0.1) * np.float32(r.cnt))
+                pen_cm = pen_s1 if pen_s1 < pen_cm else pen_cm
+                subsc = max(r.subsc, min_chain_sc)
+                if r.p is not None and r.p.dp_max2 > 0 and r.p.dp_max > 0:
+                    identity = _fdiv(r.mlen, r.blen)
+                    x = _fdiv(_fdiv(np.float32(r.p.dp_max2)
+                                    * np.float32(subsc), r.p.dp_max),
+                              r.score0)
+                    mapq = _ftoi(identity * pen_cm * q_coef
+                                 * (np.float32(1.0) - x * x)
+                                 * np.float32(_logf(_fdiv(r.p.dp_max,
+                                                          match_sc))))
+                    if not is_sr:
+                        mapq_alt = _ftoi(
+                            np.float32(6.02) * identity * identity
+                            * np.float32(r.p.dp_max - r.p.dp_max2)
+                            / np.float32(match_sc) + np.float32(0.499))
+                        mapq = mapq if mapq < mapq_alt else mapq_alt
                 else:
-                    mapq = int(pen_cm * np.float32(q_coef)
-                               * (np.float32(1.0) - x)
-                               * np.float32(_logf(r.score)))
-            mapq -= int(np.float32(4.343) * np.float32(_logf(r.n_sub + 1))
-                        + np.float32(0.499))
-            mapq = max(mapq, 0)
-            r.mapq = min(mapq, 60)
-            if r.p is not None and r.p.dp_max > r.p.dp_max2 and r.mapq == 0:
-                r.mapq = 1
-        else:
-            r.mapq = 0
+                    x = _fdiv(subsc, r.score0)
+                    if r.p is not None:
+                        identity = _fdiv(r.mlen, r.blen)
+                        mapq = _ftoi(identity * pen_cm * q_coef
+                                     * (np.float32(1.0) - x)
+                                     * np.float32(_logf(_fdiv(r.p.dp_max,
+                                                              match_sc))))
+                    else:
+                        mapq = _ftoi(pen_cm * q_coef
+                                     * (np.float32(1.0) - x)
+                                     * np.float32(_logf(r.score)))
+                # int32 wrap on the subtraction, as the compiled C does
+                mapq = ((mapq - _ftoi(np.float32(4.343)
+                                      * np.float32(_logf(r.n_sub + 1))
+                                      + np.float32(0.499))
+                         + 2**31) % 2**32) - 2**31
+                mapq = max(mapq, 0)
+                r.mapq = min(mapq, 60)
+                if r.p is not None and r.p.dp_max > r.p.dp_max2                         and r.mapq == 0:
+                    r.mapq = 1
+            else:
+                r.mapq = 0
     _set_inv_mapq(regs)
 
 

@@ -103,10 +103,14 @@ def chain_anchors(index: MinimizerIndex, opt: MapOptions, qlen_sum: int,
             opt.max_chain_iter, opt.min_cnt, opt.min_chain_score,
             chn_pen_gap, chn_pen_skip, is_splice, n_segs)
 
-    # long-join rescue with RMQ chaining over the compacted anchors
-    if (opt.bw_long > opt.bw
-            and (opt.flag & (MM_F_SPLICE | MM_F_SR | MM_F_NO_LJOIN)) == 0
-            and n_segs == 1 and u.shape[0] > 1):
+    # long-join rescue with RMQ chaining over the compacted anchors.
+    # The OUTER condition alone makes the max_occ re-chain an else-if in
+    # the reference (map.c:698-709): when it holds, the caller must skip
+    # the max_occ branch even if the rescue emptied the chain set.
+    ljoin = (opt.bw_long > opt.bw
+             and (opt.flag & (MM_F_SPLICE | MM_F_SR | MM_F_NO_LJOIN)) == 0
+             and n_segs == 1 and u.shape[0] > 1)
+    if ljoin:
         cnt0 = int(u[0] & np.uint64(0xFFFFFFFF))
         st = int(cy[0] & np.uint64(0xFFFFFFFF))
         en = int(cy[cnt0 - 1] & np.uint64(0xFFFFFFFF))
@@ -119,7 +123,7 @@ def chain_anchors(index: MinimizerIndex, opt: MapOptions, qlen_sum: int,
                 cx, cy, opt.max_gap, opt.rmq_inner_dist, opt.bw_long,
                 opt.max_chain_skip, opt.rmq_size_cap, opt.min_cnt,
                 opt.min_chain_score, chn_pen_gap, chn_pen_skip)
-    return u, cx, cy
+    return u, cx, cy, ljoin
 
 
 def _dbg_anchor_line(index, ax, ay, i, gap_ref_i):
@@ -189,11 +193,12 @@ def map_frag(index: MinimizerIndex, opt: MapOptions, seqs: list[str],
     if opt.dbg_print_seed:
         _dbg_seed_dump(index, ax, ay, rep_len)
 
-    u, cx, cy = chain_anchors(index, opt, qlen_sum, n_segs, ax, ay)
+    u, cx, cy, ljoin = chain_anchors(index, opt, qlen_sum, n_segs, ax, ay)
 
-    # re-chain with a higher occurrence cutoff, mostly for short reads
-    # (map.c:708-731)
-    if (opt.max_occ > opt.mid_occ and rep_len > 0
+    # re-chain with a higher occurrence cutoff, mostly for short reads —
+    # an ELSE-IF of the long-join branch (map.c:708-731): skipped when
+    # the long-join condition held, even if its rescue emptied u
+    if (not ljoin and opt.max_occ > opt.mid_occ and rep_len > 0
             and not (opt.flag & MM_F_RMQ)):
         rechain = False
         if u.shape[0] > 0:

@@ -84,10 +84,14 @@ def finish_read(index: MinimizerIndex, opt: MapOptions, sr: SeededRead,
     chn_pen_gap = np.float32(float(np.float32(opt.chain_gap_scale)) * 0.01 * index.k)
     chn_pen_skip = np.float32(float(np.float32(opt.chain_skip_scale)) * 0.01 * index.k)
     # long-join rescue on the host (post_chaining_helper analog,
-    # map.c:428-484 — the reference also re-chains on the CPU after GPU)
-    if (opt.bw_long > opt.bw
-            and (opt.flag & (MM_F_SPLICE | MM_F_SR | MM_F_NO_LJOIN)) == 0
-            and u.shape[0] > 1):
+    # map.c:428-484 — the reference also re-chains on the CPU after GPU).
+    # The OUTER condition makes the max_occ re-chain an else-if
+    # (map.c:698-709): when it holds, that branch is skipped even if the
+    # rescue emptied the chain set.
+    ljoin = (opt.bw_long > opt.bw
+             and (opt.flag & (MM_F_SPLICE | MM_F_SR | MM_F_NO_LJOIN)) == 0
+             and u.shape[0] > 1)
+    if ljoin:
         cnt0 = int(u[0] & np.uint64(0xFFFFFFFF))
         st = int(cy[0] & np.uint64(0xFFFFFFFF))
         en = int(cy[cnt0 - 1] & np.uint64(0xFFFFFFFF))
@@ -109,7 +113,7 @@ def finish_read(index: MinimizerIndex, opt: MapOptions, sr: SeededRead,
     # path's own version, post_chaining_helper map.c:459-483, re-seeds
     # from an empty mv freed by mm_map_seed — a latent reference bug we
     # do not reproduce.)
-    if (opt.max_occ > opt.mid_occ and sr.rep_len > 0
+    if (not ljoin and opt.max_occ > opt.mid_occ and sr.rep_len > 0
             and not (opt.flag & MM_F_RMQ)
             and u.shape[0] == 0 and sr.mv is not None):
         collect = (seed_ops.collect_seed_hits_heap
@@ -254,8 +258,30 @@ def _dispatch_batch(index: MinimizerIndex, opt: MapOptions,
     return acc, bounds, pend
 
 
+def finish_slices(index: MinimizerIndex, opt: MapOptions, slices,
+                  pool=None) -> list[tuple[SeededRead, list]]:
+    """Run finish_read over a batch's (sr, f, p) slices with ordered
+    results — on `pool` when given (the kt_for analog, kthread.c:59-82:
+    per-read work fans out, output order is the input order).  Debug
+    dump modes stay sequential so their stderr interleaving matches the
+    reference's -t 1 requirement (main.c:209,213)."""
+    from mm2_gb_tpu.ops import align as align_ops
+    try:
+        if (pool is not None and len(slices) > 1
+                and not (opt.dbg_print_seed or opt.dbg_print_chain
+                         or opt.dbg_print_qname)):
+            futs = [pool.submit(finish_read, index, opt, sr, fp, pp)
+                    for sr, fp, pp in slices]
+            return [(sl[0], fu.result()) for sl, fu in zip(slices, futs)]
+        return [(sr, finish_read(index, opt, sr, fp, pp))
+                for sr, fp, pp in slices]
+    finally:
+        align_ops.set_fill_cache(None)
+
+
 def _finish_batch(index: MinimizerIndex, opt: MapOptions, batch,
-                  metrics: TpuMetrics) -> list[tuple[SeededRead, list]]:
+                  metrics: TpuMetrics, pool=None
+                  ) -> list[tuple[SeededRead, list]]:
     """Collect device scores, backtrack and post-process one batch."""
     import time
 
@@ -272,13 +298,7 @@ def _finish_batch(index: MinimizerIndex, opt: MapOptions, batch,
         slices.append((sr, fp, pp))
     if _use_device_align(opt):
         _prefill_device(index, opt, slices)
-    out = []
-    try:
-        for sr, fp, pp in slices:
-            out.append((sr, finish_read(index, opt, sr, fp, pp)))
-    finally:
-        from mm2_gb_tpu.ops import align as align_ops
-        align_ops.set_fill_cache(None)
+    out = finish_slices(index, opt, slices, pool)
     metrics.t_finish += time.perf_counter() - t0
     return out
 
@@ -356,14 +376,17 @@ def _prefill_device(index: MinimizerIndex, opt: MapOptions,
 def map_file_tpu_records(index: MinimizerIndex, opt: MapOptions,
                          paths: list[str],
                          metrics: TpuMetrics | None = None,
-                         shard: tuple[int, int] | None = None):
+                         shard: tuple[int, int] | None = None,
+                         n_threads: int = 1):
     """Stream (SeededRead, regions) for query files, chaining on the TPU.
 
     Software-pipelined double buffering (the trbuf/stream analog,
     map.c:1017-1084 + plchain.cu:292-306): batch N is packed and
     dispatched to the device *before* batch N-1's host backtrack/align/
     output runs, so the device computes while the host drains — plus the
-    host seeds batch N+1 while batch N is still in flight."""
+    host seeds batch N+1 while batch N is still in flight.  n_threads > 1
+    additionally fans the per-read host finish out over a thread pool
+    (kt_for analog; ordered emit)."""
     from concurrent.futures import ThreadPoolExecutor
     metrics = metrics or TpuMetrics()
     # a single dispatch worker serializes host->device transfers off the
@@ -371,18 +394,23 @@ def map_file_tpu_records(index: MinimizerIndex, opt: MapOptions,
     # batch N+1 and finishing of batch N-1 overlap batch N's upload —
     # the pinned-buffer async-H2D analog (plmem.cu:200-236)
     ex = ThreadPoolExecutor(max_workers=1)
+    pool = (ThreadPoolExecutor(max_workers=n_threads)
+            if n_threads > 1 else None)
     try:
         pending = None
         for acc in _acc_batches(index, opt, paths, metrics, shard):
             fut = ex.submit(_dispatch_batch, index, opt, acc, metrics)
             if pending is not None:
                 yield from _finish_batch(index, opt, pending.result(),
-                                         metrics)
+                                         metrics, pool)
             pending = fut
         if pending is not None:
-            yield from _finish_batch(index, opt, pending.result(), metrics)
+            yield from _finish_batch(index, opt, pending.result(), metrics,
+                                     pool)
     finally:
         ex.shutdown(wait=True)
+        if pool is not None:
+            pool.shutdown(wait=True)
 
 
 def map_file_tpu(index: MinimizerIndex, opt: MapOptions,

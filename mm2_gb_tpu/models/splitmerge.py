@@ -20,6 +20,18 @@ from mm2_gb_tpu.models.stream import Metrics, _map_one, read_frag_batches
 from mm2_gb_tpu.utils import opts as O
 
 
+def _zero_region(with_extra: bool) -> hitmod.Region:
+    """A calloc'd mm_reg1_t (merge_hits reads one per stale n_reg after
+    the dump file hits EOF; fread leaves the zeroed struct untouched,
+    map.c:1237-1244 + misc.c:155-163 which only aborts on ret == EOF,
+    never on a short read).  With MM_F_CIGAR the reference then assigns
+    a zeroed mm_extra_t whose fread also fails."""
+    r = hitmod.Region(parent=0, div=0.0)
+    if with_extra:
+        r.p = hitmod.AlnExtra()
+    return r
+
+
 def map_multipart(target: str, paths: list[str], io, mo, out,
                   batch_size: int, split_prefix: str | None,
                   rg: str | None, cli_args, verbose: int = 1,
@@ -66,8 +78,20 @@ def map_multipart(target: str, paths: list[str], io, mo, out,
         return 0 if n_parts else 1
 
     parts_meta = []      # (names, lens) per part
-    part_results = []    # per part: list over frags of (seg_regs, rep_lens, frag_gap)
+    part_results = []    # per part: flat per-READ dumps (regs, rep_len,
+    #                      frag_gap) in mapping-pass order — the exact
+    #                      granularity of the reference tmp files
+    #                      (map.c:1343-1354 writes one record per read)
     tmp_files = []
+
+    # mm_map_file re-opens prefix.<part>.tmp with "wb" per query file
+    # (map.c:1423 → splitidx.c:14-15), so with >=2 non-frag query files
+    # each call TRUNCATES the previous file's dumps: only the LAST query
+    # file's records survive per part.  Mapping the earlier files would
+    # produce output the truncation then discards — skip them outright.
+    map_paths = paths
+    if len(paths) > 1 and not (mo.flag & O.MM_F_FRAG_MODE):
+        map_paths = [paths[-1]]
 
     n_parts = 0
     for index in from_fasta_parts(target, io, batch_size):
@@ -76,22 +100,23 @@ def map_multipart(target: str, paths: list[str], io, mo, out,
             sys.stderr.write(f"[M::split] mapping against part {n_parts} "
                              f"({index.n_seq} sequences)\n")
         results = []
-        if (mo.flag & O.MM_F_TPU_CHAIN) and len(paths) == 1 \
+        if (mo.flag & O.MM_F_TPU_CHAIN) and len(map_paths) == 1 \
                 and not (mo.flag & O.MM_F_FRAG_MODE):
             # per-part TPU mapping (beyond the reference GPU path, which
             # is single-index only, plchain.cu:499): each part runs the
             # full device pipeline; the merge pass is unchanged
             from mm2_gb_tpu.models.mapper import _chain_gaps
             from mm2_gb_tpu.models.pipeline import map_file_tpu_records
-            for sr, regs in map_file_tpu_records(index, mo, paths):
+            for sr, regs in map_file_tpu_records(index, mo, map_paths):
                 frag_gap = _chain_gaps(mo, sr.rec.length)[1]
-                results.append(([regs], [sr.rep_len], frag_gap))
+                results.append((regs, sr.rep_len, frag_gap))
         else:
-            for batch in read_frag_batches(paths, mo, mo.mini_batch_size,
-                                           Metrics()):
+            for batch in read_frag_batches(map_paths, mo,
+                                           mo.mini_batch_size, Metrics()):
                 for frag in batch:
-                    res = _map_one(index, mo, frag)
-                    results.append(res)
+                    seg_regs, rep_lens, frag_gap = _map_one(index, mo, frag)
+                    for s in range(len(frag)):
+                        results.append((seg_regs[s], rep_lens[s], frag_gap))
         parts_meta.append((index.names, index.lens))
         if split_prefix:
             fn = f"{split_prefix}.{n_parts:04d}.tmp"
@@ -147,24 +172,46 @@ def map_multipart(target: str, paths: list[str], io, mo, out,
             out.write(f"@SQ\tSN:{merged.names[i]}"
                       f"\tLN:{int(merged.lens[i])}\n")
 
+    # The merge re-read always interleaves multiple query files with
+    # qname grouping (mm_split_merge opens all files, map.c:1448-1449;
+    # frag_mode = n_fp > 1, map.c:1277) and consumes the per-read dumps
+    # with a flat cursor (merge_hits, map.c:1219-1246) — with >=2
+    # non-frag query files this pairs interleaved records with
+    # file-major dumps, a reference quirk the byte contract inherits.
     frag_iter = read_frag_batches(paths, mo, mo.mini_batch_size, Metrics())
-    fi = 0
+    with_cigar = bool(mo.flag & O.MM_F_CIGAR)
+    fi = 0  # flat per-read dump cursor (merge_hits' k; fp offsets persist
+    #         across batches — only the stale arrays are re-calloc'd)
     for batch in frag_iter:
+        # merge_hits callocs n_reg_part/rep_len_part/frag_gap_part per
+        # batch (map.c:1216-1218); past dump EOF an fread is a silent
+        # no-op (misc.c:155-163 aborts only on ret == EOF), so the
+        # previous record's values persist and the regs stay zeroed
+        stale = [(0, 0, 0)] * n_parts
         for frag in batch:
             n_seg = len(frag)
             seg_regs = [[] for _ in range(n_seg)]
             rep_lens = [0] * n_seg
-            # mm_pair gets part 0's dumped frag_gap — the map-time
-            # max_chain_gap_ref incl. the max_frag_len branch
-            # (map.c:509-513 computed, 1346 dumped, 1264 consumed)
-            frag_gap = part_results[0][fi][2]
-            for pi in range(n_parts):
-                p_regs, p_replens, _fg = part_results[pi][fi]
-                for s in range(n_seg):
-                    for r in p_regs[s]:
+            # mm_pair gets part 0's dumped frag_gap of the LAST segment
+            # consumed — the map-time max_chain_gap_ref incl. the
+            # max_frag_len branch (map.c:509-513 computed, 1346 dumped,
+            # frag_gap_part[0] at map.c:1264 consumed)
+            frag_gap = 0
+            for s in range(n_seg):
+                for pi in range(n_parts):
+                    if fi + s < len(part_results[pi]):
+                        p_regs, p_replen, p_fg = part_results[pi][fi + s]
+                        stale[pi] = (len(p_regs), p_replen, p_fg)
+                    else:  # dump EOF (the multi-file truncation quirk)
+                        n_stale, p_replen, p_fg = stale[pi]
+                        p_regs = [_zero_region(with_cigar)
+                                  for _ in range(n_stale)]
+                    for r in p_regs:
                         r.rid += rid_shift[pi]
                         seg_regs[s].append(r)
-                    rep_lens[s] = max(rep_lens[s], p_replens[s])
+                    rep_lens[s] = max(rep_lens[s], p_replen)
+                    if pi == 0:
+                        frag_gap = p_fg
             # merge_hits re-ranking (map.c:1247-1260)
             for s in range(n_seg):
                 regs = seg_regs[s]
@@ -199,7 +246,7 @@ def map_multipart(target: str, paths: list[str], io, mo, out,
             for j, rec in enumerate(frag):
                 res_regs_out(out, merged, mo, rec, seg_regs[j], rep_lens[j],
                              is_sam, rg_id, j, n_seg, seg_regs)
-            fi += 1
+            fi += n_seg
 
     for fn in tmp_files:
         os.unlink(fn)

@@ -109,6 +109,20 @@ def cut_segments(rng: np.ndarray) -> np.ndarray:
 # in-kernel score function
 # --------------------------------------------------------------------------
 
+def _nofma(x: jnp.ndarray) -> jnp.ndarray:
+    """Pin an intermediate float32 rounding.
+
+    XLA contracts f32 mul+add into a single-rounding fma (the CPU backend
+    even through lax.optimization_barrier); the host oracle (and the C
+    reference it byte-matches) rounds the product first.  Routing the
+    product through a maximum with -FLT_MAX is value-neutral for every
+    finite input but cannot be folded away (x could be -inf for all the
+    compiler knows), so the add's operand is no longer a multiply and
+    fmuladd formation is blocked on every backend.
+    """
+    return jnp.maximum(x, jnp.float32(-3.4028235e38))
+
+
 def _mg_log2_f32(x: jnp.ndarray) -> jnp.ndarray:
     """Bit-exact mg_log2 (mmpriv.h:118-126) on float32 tensors."""
     zi = jax.lax.bitcast_convert_type(x, jnp.uint32)
@@ -118,8 +132,8 @@ def _mg_log2_f32(x: jnp.ndarray) -> jnp.ndarray:
     c1 = jnp.float32(-0.34484843)
     c2 = jnp.float32(2.02466578)
     c3 = jnp.float32(-0.67487759)
-    r = c1 * zf + c2
-    r = r * zf
+    r = _nofma(c1 * zf) + c2
+    r = _nofma(r * zf)
     r = r + c3
     return e.astype(jnp.float32) + r
 
@@ -142,10 +156,11 @@ def _pair_score(xs, ys, ss, xp, yp, sp, fp,
              & (dq <= max_dist_y) & (dd <= bw))
     dg = jnp.minimum(dr, dq)
     sc = jnp.minimum(sp, dg)
-    lin = (cg * dd.astype(jnp.float32) + cs * dg.astype(jnp.float32))
+    lin = (_nofma(cg * dd.astype(jnp.float32))
+           + _nofma(cs * dg.astype(jnp.float32)))
     log_pen = jnp.where(dd >= 1, _mg_log2_f32((dd + 1).astype(jnp.float32)),
                         jnp.float32(0.0))
-    pen = (lin + jnp.float32(0.5) * log_pen).astype(jnp.int32)
+    pen = (lin + _nofma(jnp.float32(0.5) * log_pen)).astype(jnp.int32)
     if is_cdna:
         pen_min = jnp.minimum(lin, log_pen).astype(jnp.int32)
         pen = jnp.where(dr > dq, pen_min, pen)

@@ -60,6 +60,22 @@ ROWS_PER_STEP = 32
 PAIRS_PER_GROUP = 8
 KSW_NEG_INF_I32 = -0x40000000
 SIZE_CLASSES = (512, 1024, 2048, 4096)
+
+
+def _size_classes(interpret: bool) -> tuple:
+    """Size classes available to a batch.
+
+    Interpret mode (CPU meshes, tests) caps the class ladder at 1024 by
+    default: the 2048/4096 interpret kernels cold-compile for tens of
+    minutes on a 1-CPU host, and oversize calls fall back to the host
+    oracle anyway — which interpret mode equals byte-for-byte by
+    construction.  MM2TPU_INTERPRET_MAX_CLASS overrides (e.g. 4096 to
+    exercise the big classes in a dedicated slow test)."""
+    if not interpret:
+        return SIZE_CLASSES
+    import os
+    cap = int(os.environ.get("MM2TPU_INTERPRET_MAX_CLASS", "1024"))
+    return tuple(s for s in SIZE_CLASSES if s <= cap) or SIZE_CLASSES[:1]
 SCORE_LANES = 128
 
 
@@ -105,6 +121,11 @@ def _row_params(qlen: int, tlen: int, w: int):
     st = st0 // 16 * 16
     en = (en0 + 16) // 16 * 16 - 1
     return rows, st, en, st0, en0, dropped, r_true
+
+
+def _interpret() -> bool:
+    """Pallas kernels need interpret mode off-TPU (CPU meshes, tests)."""
+    return jax.default_backend() != "tpu"
 
 
 def band_width(w: int, nb: int) -> int:
@@ -587,13 +608,15 @@ def _rle_cigar_splice(op_row: np.ndarray, rev_cigar: bool,
 def exts2_batch_device(calls: list[FillCall], mat: np.ndarray, q: int,
                        e: int, q2: int, noncan: int, junc_bonus: int,
                        flag: int, juncs: list | None = None,
-                       interpret: bool = False) -> list[ksw2.Extz]:
+                       interpret: bool | None = None) -> list[ksw2.Extz]:
     """Splice-aware gap fills (KSW_EZ_APPROX_MAX) on the device; host
     fallback per call on band drop / oversize.  Donor/acceptor score
     arrays (incl. BED junc bonuses) come from the host oracle's
     _splice_sites, so site semantics are shared byte-for-byte."""
     from mm2_gb_tpu.ops import ksw2_splice as S
 
+    if interpret is None:
+        interpret = _interpret()
     assert flag & ksw2.KSW_EZ_APPROX_MAX
     assert not (flag & ksw2.KSW_EZ_SCORE_ONLY)
     mat = np.asarray(mat, np.int8)
@@ -619,7 +642,8 @@ def exts2_batch_device(calls: list[FillCall], mat: np.ndarray, q: int,
     for idx, c in enumerate(calls):
         qlen, tlen = len(c.qseq), len(c.tseq)
         mx = max(qlen, tlen)
-        cls = next((sz for sz in SIZE_CLASSES if mx <= sz), None)
+        cls = next((sz for sz in _size_classes(interpret)
+                    if mx <= sz), None)
         if cls is None or qlen == 0 or tlen == 0 or q2 <= q + e \
                 or -int(mat.min()) > 2 * (q + e):
             out[idx] = host(idx)
@@ -1025,7 +1049,7 @@ def _assemble_ez(call: FillCall, p_rows_abs: np.ndarray, score: int,
 
 def extd2_batch_device(calls: list[FillCall], mat: np.ndarray, q: int, e: int,
                        q2: int, e2: int, flag: int,
-                       interpret: bool = False,
+                       interpret: bool | None = None,
                        backtrack: str = "device") -> list[ksw2.Extz]:
     """Run a batch of gap fills on the device; host fallback per call when
     the band collapses or the call exceeds the largest size class.
@@ -1035,6 +1059,8 @@ def extd2_batch_device(calls: list[FillCall], mat: np.ndarray, q: int, e: int,
     fetches the banded p matrix and reuses ksw2._backtrack -- faster when
     the device link is wide (the forward kernel alone is ~6x the host DP).
     """
+    if interpret is None:
+        interpret = _interpret()
     assert flag & ksw2.KSW_EZ_APPROX_MAX
     assert not (flag & ksw2.KSW_EZ_SCORE_ONLY)
     mat = np.asarray(mat, np.int8)
@@ -1052,7 +1078,8 @@ def extd2_batch_device(calls: list[FillCall], mat: np.ndarray, q: int, e: int,
     by_class: dict[int, list[int]] = {}
     for idx, c in enumerate(calls):
         mx = max(len(c.qseq), len(c.tseq))
-        cls = next((s for s in SIZE_CLASSES if mx <= s), None)
+        cls = next((s for s in _size_classes(interpret)
+                    if mx <= s), None)
         if cls is None or len(c.qseq) == 0 or len(c.tseq) == 0 \
                 or -int(mat.min()) > 2 * (qq + ee):
             out[idx] = ksw2.extd2(c.qseq, c.tseq, mat, q, e, q2, e2,
@@ -1212,11 +1239,13 @@ def _rle_cigar(op_row: np.ndarray, rev_cigar: bool) -> np.ndarray:
 
 def ext_batch_device(calls: list[FillCall], mat: np.ndarray, q: int, e: int,
                      q2: int, e2: int, flag: int, end_bonus: int,
-                     interpret: bool = False) -> list[ksw2.Extz]:
+                     interpret: bool | None = None) -> list[ksw2.Extz]:
     """Left/right extension DP (KSW_EZ_EXTZ_ONLY) on the device with full
     H tracking and Z-drop (ksw2_extd2_sse.c non-approx path).  Per-call
     zdrop comes from FillCall.zdrop; KSW_EZ_RIGHT selects the kernel
     variant; KSW_EZ_REV_CIGAR only affects the host RLE direction."""
+    if interpret is None:
+        interpret = _interpret()
     assert flag & ksw2.KSW_EZ_EXTZ_ONLY
     assert not (flag & (ksw2.KSW_EZ_APPROX_MAX | ksw2.KSW_EZ_SCORE_ONLY))
     mat = np.asarray(mat, np.int8)
@@ -1240,7 +1269,8 @@ def ext_batch_device(calls: list[FillCall], mat: np.ndarray, q: int, e: int,
     by_class: dict[int, list[int]] = {}
     for idx, c in enumerate(calls):
         mx = max(len(c.qseq), len(c.tseq))
-        cls = next((sz for sz in SIZE_CLASSES if mx <= sz), None)
+        cls = next((sz for sz in _size_classes(interpret)
+                    if mx <= sz), None)
         if cls is None or len(c.qseq) == 0 or len(c.tseq) == 0 \
                 or -int(mat.min()) > 2 * (qq + ee):
             out[idx] = host(calls[idx])

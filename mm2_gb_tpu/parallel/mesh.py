@@ -201,10 +201,10 @@ def dispatch_batch_multichip(index, opt, seeded, mesh, metrics=None):
     return seeded, bounds, pends
 
 
-def finish_batch_multichip(index, opt, state, metrics=None):
+def finish_batch_multichip(index, opt, state, metrics=None, pool=None):
     """Collect every shard's scores and run the host finish path in
     global read order; returns [(SeededRead, regions)]."""
-    from mm2_gb_tpu.models.pipeline import finish_read
+    from mm2_gb_tpu.models.pipeline import finish_slices
 
     seeded, bounds, pends = state
     n = int(bounds[-1])
@@ -214,31 +214,43 @@ def finish_batch_multichip(index, opt, state, metrics=None):
         fs, ps = pend.collect()
         f[s:e] = fs
         p[s:e] = np.where(ps >= 0, ps + s, -1)
-    out = []
+    slices = []
     for i, sr in enumerate(seeded):
         s, e = int(bounds[i]), int(bounds[i + 1])
         fp = f[s:e]
         pp = np.where(p[s:e] >= 0, p[s:e] - s, -1)
-        out.append((sr, finish_read(index, opt, sr, fp, pp)))
-    return out
+        slices.append((sr, fp, pp))
+    return finish_slices(index, opt, slices, pool)
 
 
-def map_file_multichip(index, opt, paths, mesh, metrics=None):
+def map_file_multichip(index, opt, paths, mesh, metrics=None,
+                       n_threads: int = 1):
     """Stream (SeededRead, regions) with reads data-parallel across the
     mesh — the multi-chip end-to-end mapping driver.  Double-buffered
     like the single-chip path: all chips score batch N while the host
-    finishes batch N-1."""
+    finishes batch N-1; n_threads > 1 fans the per-read finish out over
+    a thread pool (kt_for analog, ordered emit)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from mm2_gb_tpu.models.pipeline import TpuMetrics, _acc_batches
 
     metrics = metrics or TpuMetrics()
-    pending = None
-    for acc in _acc_batches(index, opt, paths, metrics):
-        state = dispatch_batch_multichip(index, opt, acc, mesh, metrics)
+    pool = (ThreadPoolExecutor(max_workers=n_threads)
+            if n_threads > 1 else None)
+    try:
+        pending = None
+        for acc in _acc_batches(index, opt, paths, metrics):
+            state = dispatch_batch_multichip(index, opt, acc, mesh, metrics)
+            if pending is not None:
+                yield from finish_batch_multichip(index, opt, pending,
+                                                  metrics, pool)
+            pending = state
         if pending is not None:
-            yield from finish_batch_multichip(index, opt, pending, metrics)
-        pending = state
-    if pending is not None:
-        yield from finish_batch_multichip(index, opt, pending, metrics)
+            yield from finish_batch_multichip(index, opt, pending, metrics,
+                                              pool)
+    finally:
+        if pool is not None:
+            pool.shutdown(wait=True)
 
 
 def init_distributed(coordinator: str | None = None,

@@ -15,14 +15,26 @@ CIGAR_STR = "MIDNSHP=XB"
 
 
 def _fmt_div(div: float) -> str:
-    # format.c:289-292: exact zero prints "0", otherwise %.4f
+    # format.c:289-292: exact zero prints "0", otherwise %.4f.  glibc
+    # %.4f spells NaN/inf with their sign; CPython's formatter drops the
+    # NaN sign, so spell them out (zeroed regs from merged split dumps
+    # produce -nan here).
+    import math
     if div == 0.0:
         return "0"
+    if math.isnan(div):
+        return "-nan" if math.copysign(1.0, div) < 0 else "nan"
+    if math.isinf(div):
+        return "-inf" if div < 0 else "inf"
     return "%.4f" % div
 
 
 def _event_identity(r: Region) -> float:
-    """mm_event_identity (align.c:909-915): gap runs counted as one event."""
+    """mm_event_identity (align.c:909-915): gap runs counted as one event.
+
+    A calloc-zeroed reg (merged split dumps past EOF, see splitmerge.py)
+    divides 0/0; x86 SSE produces the negative default QNaN, which the
+    de:f tag then prints as "-nan" — replicated via math.copysign."""
     if r.p is None:
         return -1.0
     n_gap = n_gapo = 0
@@ -31,7 +43,13 @@ def _event_identity(r: Region) -> float:
         if op in (1, 2):  # I or D
             n_gapo += 1
             n_gap += ln
-    return float(r.mlen) / (r.blen + r.p.n_ambi - n_gap + n_gapo)
+    den = r.blen + r.p.n_ambi - n_gap + n_gapo
+    if den == 0:
+        import math
+        if r.mlen == 0:
+            return math.copysign(float("nan"), -1.0)
+        return math.copysign(float("inf"), r.mlen)
+    return float(r.mlen) / den
 
 
 def write_paf(r: Region | None, qname: str, qlen: int, index,

@@ -4,14 +4,20 @@ import sys
 # force CPU + a virtual 8-device mesh for sharding tests BEFORE jax import
 # (the session shell may export JAX_PLATFORMS=axon for the tunneled TPU;
 # tests must be deterministic on CPU unless explicitly requested)
-if not os.environ.get("MM2TPU_TEST_TPU"):
-    os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8").strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+if not os.environ.get("MM2TPU_TEST_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    # the axon sitecustomize hook overrides JAX_PLATFORMS programmatically
+    # and a stalled tunnel then hangs every backend init — unregister it
+    # so the suite completes (with skips) even during an outage
+    from mm2_gb_tpu.utils.tunnel import force_cpu
+    force_cpu()
 
 import pytest  # noqa: E402
 

@@ -165,6 +165,7 @@ def test_multichip_chain_matches_oracle():
     import sys
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
+    env["MM2TPU_FORCE_CPU"] = "1"
     env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
                         + " --xla_force_host_platform_device_count=8").strip()
     script = """
@@ -315,6 +316,7 @@ def test_multihost_shard_merge(tmp_path):
 
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
+    env["MM2TPU_FORCE_CPU"] = "1"
     T = "/root/reference/test"
     if not os.path.isdir(T):
         import pytest

@@ -455,3 +455,37 @@ def test_multipart_tpu_chain_split_merge(capsys, tmp_path):
     assert rc == 0
     with gzip.open(golden_path("multi3.split.c.paf.gz"), "rt") as f:
         assert capsys.readouterr().out == f.read()
+
+
+def _gz_golden(name):
+    import gzip
+    with gzip.open(golden_path(name), "rt") as f:
+        return f.read()
+
+
+@pytest.mark.parametrize("golden,flags", [
+    ("splitq.I100k.c.paf.gz", ["-I", "100k", "-c"]),
+    ("splitq.sponly.paf.gz", []),
+    ("splitq.I100k.sam.gz", ["-I", "100k", "-a"]),
+])
+def test_split_prefix_multifile_truncation_quirk(golden, flags, capsys,
+                                                 tmp_path):
+    """--split-prefix with >=2 non-frag query files: each mm_map_file
+    call re-opens the part tmp with "wb" (map.c:1423, splitidx.c:14-15),
+    so only the LAST file's dumps survive; the merge then re-reads the
+    queries INTERLEAVED (map.c:1448-1449) and silently keeps stale
+    counts with calloc-zeroed regs past dump EOF (misc.c:155-163).  The
+    byte contract inherits all of it — including the "-nan" de:f tags
+    and the --split-prefix-without--I routing."""
+    gold = _gz_golden(golden)
+    rc = main(["--max-chain-skip=2147483647", *flags,
+               "--split-prefix", str(tmp_path / "sp"),
+               golden_path("splitq_ref.fa.gz"), golden_path("splitq_q1.fa.gz"),
+               golden_path("splitq_q2.fa.gz")])
+    assert rc == 0
+    out = capsys.readouterr().out
+    out = "\n".join(l for l in out.splitlines()
+                    if not l.startswith("@PG"))
+    if out and not out.endswith("\n"):
+        out += "\n"
+    assert out == gold

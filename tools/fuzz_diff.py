@@ -9,6 +9,7 @@ Workload kinds (chosen per seed):
   pe       — short paired-end reads in FR orientation; -x sr.
 Each worker uses seed-private file names, so parallel campaigns don't race.
 """
+import os
 import random
 import subprocess
 import sys
@@ -223,10 +224,15 @@ def main():
             f if f != "--rmq=yes" else "--rmq" for f in flags]
         g = subprocess.run([REF] + ref_flags + files,
                            capture_output=True, text=True)
+        env = dict(os.environ)
+        if env.get("JAX_PLATFORMS") == "cpu":
+            # harden against axon stalls: the sitecustomize hook overrides
+            # JAX_PLATFORMS, so the child must unregister it itself
+            env["MM2TPU_FORCE_CPU"] = "1"
         try:
             o = subprocess.run([sys.executable, "-m", "mm2_gb_tpu"]
                                + our_flags + files, capture_output=True,
-                               text=True, timeout=900)
+                               text=True, timeout=900, env=env)
         except subprocess.TimeoutExpired:
             # a shared-tunnel stall, not a divergence: skip, don't abort
             print(f"SKIP seed={seed} kind={kind} flags={flags} (timeout; "
