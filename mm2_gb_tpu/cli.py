@@ -586,6 +586,7 @@ def _run(args, argv, io, mo) -> int:
     out = sys.stdout
     is_sam = bool(mo.flag & O.MM_F_OUT_SAM)
     rg_id = None
+    sam_header = None
     if is_sam:
         from mm2_gb_tpu.utils.sam import write_sam_header
         from mm2_gb_tpu import __version__
@@ -593,9 +594,13 @@ def _run(args, argv, io, mo) -> int:
             rg = args.rg.replace("\\t", "\t")
             rg_id = next((f[3:] for f in rg.split("\t")
                           if f.startswith("ID:")), None)
-        out.write(write_sam_header(index, args.rg, __version__,
-                                   (argv if argv is not None
-                                    else sys.argv[1:])) + "\n")
+        sam_header = write_sam_header(index, args.rg, __version__,
+                                      (argv if argv is not None
+                                       else sys.argv[1:])) + "\n"
+        if not ((mo.flag & O.MM_F_TPU_CHAIN) and args.tpu_nproc > 1):
+            out.write(sam_header)
+        # else: rank 0 of the multi-host run puts the header in its
+        # shard with a sort-first idx record (see _run_tpu_multihost)
     if (mo.flag & O.MM_F_TPU_CHAIN) and (mo.flag & O.MM_F_FRAG_MODE):
         # the reference's GPU path is single-segment only
         # (assert(opt->max_frag_len <= 0), plchain.cu:499); instead of
@@ -612,7 +617,8 @@ def _run(args, argv, io, mo) -> int:
         jax.profiler.start_trace(args.tpu_profile)
         prof = args.tpu_profile
     try:
-        return _run_tpu_or_host(args, index, mo, rg_id, is_sam, out)
+        return _run_tpu_or_host(args, index, mo, rg_id, is_sam, out,
+                                sam_header)
     finally:
         if prof is not None:
             import jax
@@ -620,12 +626,16 @@ def _run(args, argv, io, mo) -> int:
             sys.stderr.write(f"[M::profile] trace written to {prof}\n")
 
 
-def _run_tpu_or_host(args, index, mo, rg_id, is_sam, out) -> int:
+def _run_tpu_or_host(args, index, mo, rg_id, is_sam, out,
+                     sam_header=None) -> int:
     if (mo.flag & O.MM_F_TPU_CHAIN) and args.tpu_nproc > 1:
-        return _run_tpu_multihost(args, index, mo, rg_id, is_sam)
+        return _run_tpu_multihost(args, index, mo, rg_id, is_sam,
+                                  sam_header)
     if mo.flag & O.MM_F_TPU_CHAIN:
         from mm2_gb_tpu.models.pipeline import (TpuMetrics,
                                                 map_file_tpu_records)
+        from mm2_gb_tpu.utils.tpucfg import derive_caps
+        derive_caps(args.verbose)  # plmem.cu:473-540 analog (HBM model)
         tmet = TpuMetrics()
         n_dev = args.tpu_devices
         if n_dev != 1:
@@ -657,20 +667,21 @@ def _run_tpu_or_host(args, index, mo, rg_id, is_sam, out) -> int:
     return 0
 
 
-def _run_tpu_multihost(args, index, mo, rg_id, is_sam) -> int:
+def _run_tpu_multihost(args, index, mo, rg_id, is_sam,
+                       sam_header=None) -> int:
     """One rank of a multi-host run (SURVEY.md §5.8): this process maps
     its round-robin share of reads and writes OUT.shard<rank> plus an
     .idx sidecar of (file_ordinal, global_read_idx, n_lines) records;
     tools/mergeshards.py k-way-merges the shards into the deterministic
-    single-host byte order.  --tpu-coord additionally initializes
-    jax.distributed for real pod slices."""
+    single-host byte order.  SAM: rank 0 carries the header as a
+    sort-first (-1, -1) idx record.  The idx ends with a
+    `#done <n_records>` sentinel so the merge detects crashed or
+    truncated ranks instead of silently dropping their reads.
+    --tpu-coord additionally initializes jax.distributed for real pod
+    slices."""
     import io as _io
 
     from mm2_gb_tpu.models.pipeline import TpuMetrics, map_file_tpu_records
-    if is_sam:
-        sys.stderr.write("[ERROR] --tpu-nproc currently supports PAF "
-                         "output only.\n")
-        return 1
     if not args.output or args.output == "-":
         sys.stderr.write("[ERROR] --tpu-nproc needs -o OUT (shard "
                          "prefix).\n")
@@ -681,18 +692,25 @@ def _run_tpu_multihost(args, index, mo, rg_id, is_sam) -> int:
         init_distributed(args.tpu_coord, nproc, rank)
     tmet = TpuMetrics()
     shard_path = f"{args.output}.shard{rank}"
+    n_rec = 0
     with open(shard_path, "w") as sh_out, \
             open(shard_path + ".idx", "w") as idx_out:
+        if is_sam and rank == 0 and sam_header:
+            sh_out.write(sam_header)
+            idx_out.write(f"-1\t-1\t{sam_header.count(chr(10))}\n")
+            n_rec += 1
         for fi, q in enumerate(args.query):
             for sr, regs in map_file_tpu_records(index, mo, [q], tmet,
                                                  (rank, nproc),
                                                  n_threads=args.threads):
                 buf = _io.StringIO()
                 res_regs_out(buf, index, mo, sr.rec, regs, sr.rep_len,
-                             False, rg_id, 0, 1, [regs])
+                             is_sam, rg_id, 0, 1, [regs])
                 s = buf.getvalue()
                 sh_out.write(s)
                 idx_out.write(f"{fi}\t{sr.rec.rid}\t{s.count(chr(10))}\n")
+                n_rec += 1
+        idx_out.write(f"#done\t{n_rec}\n")
     tmet.report(args.verbose)
     return 0
 

@@ -165,10 +165,14 @@ class TpuMetrics:
     n_spills: int = 0        # batches cut by anchor/read caps
     cells_used: int = 0      # anchors placed in packed layouts
     cells_alloc: int = 0     # packed layout capacity (excl. window pad)
+    # per-window-class readback stats: W -> [wait_s, pairs, n_collects]
+    # (the per-kernel runtime/Mpairs table analog, plchain.cu:258-281)
+    cls_stats: dict = None
 
     def __post_init__(self):
         import time
         self.wall0 = time.perf_counter()
+        self.cls_stats = {}
 
     def report(self, verbose: int = 3) -> None:
         if verbose < 3:
@@ -190,6 +194,12 @@ class TpuMetrics:
           f"pack {self.t_pack:.3f}s, dispatch {self.t_dispatch:.3f}s, "
           f"device-wait {self.t_wait:.3f}s, finish {self.t_finish:.3f}s; "
           f"host {host:.3f}s / wall {wall:.3f}s\n")
+        for W in sorted(self.cls_stats):
+            wait, pairs, nc = self.cls_stats[W]
+            rate = pairs / wait / 1e6 if wait > 0 else 0.0
+            w(f"[M::tpu]   class W={W}: {nc} collects, "
+              f"{pairs} pairs, wait {wait:.3f}s ({rate:.1f} Mpairs/s "
+              "incl. queue+link)\n")
 
 
 def _acc_batches(index: MinimizerIndex, opt: MapOptions, paths: list[str],

@@ -407,16 +407,33 @@ class PendingScores:
     def __init__(self, n: int):
         self.f = np.zeros(n, dtype=np.int32)
         self.p = np.full(n, -1, dtype=np.int64)
-        self.parts: list = []   # (dev_f, dev_p, src, rows, cols)
+        self.parts: list = []   # (dev_fp, src, n_real, W, pairs)
         self.collected = n == 0
+        self.metrics = None
 
     def collect(self) -> tuple[np.ndarray, np.ndarray]:
-        """Block on the device results and scatter into (f, p)."""
+        """Block on the device results and scatter into (f, p).
+
+        Each window class's readback is timed separately into
+        TpuMetrics.cls_stats (the per-kernel event-table analog,
+        gpu/planalyze.cu:59-86 / plchain.cu:258-281).  The device stream
+        executes in launch order, so a part's device_get resolves when
+        that class's kernels are done; per-part deltas attribute wall to
+        classes (tunnel wait rides on the FIRST part's delta)."""
         if not self.collected:
-            for dev_fp, src, n_real in self.parts:
+            import time
+            for dev_fp, src, n_real, W, pairs in self.parts:
+                t0 = time.perf_counter()
                 # device_get, NOT np.asarray: the latter falls into a
                 # pathological element-wise path on tunneled TPU platforms
                 fp = jax.device_get(dev_fp)
+                dt = time.perf_counter() - t0
+                if self.metrics is not None:
+                    st = self.metrics.cls_stats.setdefault(
+                        W, [0.0, 0, 0])
+                    st[0] += dt
+                    st[1] += pairs
+                    st[2] += 1
                 self.f[src] = fp[0, :n_real]
                 prel = fp[1, :n_real].astype(np.int64)
                 self.p[src] = np.where(prel > 0, src - prel, -1)
@@ -521,10 +538,12 @@ def dispatch_scores(ax: np.ndarray, ay: np.ndarray,
             ntiles, start_pad, packed, H=H_alloc, W=W, span=span,
             max_dist_x=max_dist_x, max_dist_y=max_dist_y, bw=bw,
             cg=cg, cs=cs, is_cdna=is_cdna)
-        pend.parts.append((dev_fp, src, n_real))
+        pend.parts.append((dev_fp, src, n_real, W,
+                           int(rng[src].astype(np.int64).sum())))
         if metrics is not None:
             metrics.t_dispatch += time.perf_counter() - t0
     pend.collected = False
+    pend.metrics = metrics
 
     # capacity fallback: segments wider than the largest window class chain
     # on the host, like the reference's CPU fallback for reads that miss

@@ -1,12 +1,20 @@
-"""Deterministic merge of multi-host PAF shards (SURVEY.md §5.8).
+"""Deterministic merge of multi-host PAF/SAM shards (SURVEY.md §5.8).
 
 Each rank of a `--tpu-nproc N -o OUT` run writes OUT.shard<r> plus
 OUT.shard<r>.idx with one `(file_ordinal, global_read_idx, n_lines)`
-record per mapped read.  This tool k-way-merges the shards by
-(file_ordinal, global_read_idx) — the same order a single-host run
-emits, so the merged bytes equal the single-host output.
+record per mapped read, a sort-first `(-1, -1)` record for the SAM
+header on rank 0, and a trailing `#done <n_records>` sentinel.  This
+tool k-way-merges the shards by (file_ordinal, global_read_idx) — the
+same order a single-host run emits, so the merged bytes equal the
+single-host output.
 
-Usage:  python -m mm2_gb_tpu.tools.mergeshards <OUT> <N> [> merged.paf]
+Integrity: a missing shard, a missing/mismatched `#done` sentinel, a
+shard body shorter than its idx claims, a read owned by the wrong rank
+(global_read_idx % nproc != rank), or a gap in the per-file read-index
+sequence all abort with a non-zero exit instead of silently truncating
+the merge.
+
+Usage:  python -m mm2_gb_tpu.tools.mergeshards <OUT> <N> [> merged.out]
 """
 
 from __future__ import annotations
@@ -15,23 +23,80 @@ import heapq
 import sys
 
 
+class ShardError(RuntimeError):
+    pass
+
+
+def _load_shard(prefix: str, rank: int, nproc: int):
+    """Read one rank's idx + body fully, validating the sentinel, line
+    counts and ownership.  Returns [(fi, gidx, chunk)]."""
+    try:
+        idx_lines = open(f"{prefix}.shard{rank}.idx").read().splitlines()
+        body = open(f"{prefix}.shard{rank}").read()
+    except OSError as e:
+        raise ShardError(f"rank {rank}: missing shard file ({e})") from e
+    if not idx_lines or not idx_lines[-1].startswith("#done\t"):
+        raise ShardError(
+            f"rank {rank}: no #done sentinel — the rank crashed or was "
+            f"truncated; refusing to merge")
+    n_done = int(idx_lines[-1].split("\t")[1])
+    recs_raw = idx_lines[:-1]
+    if len(recs_raw) != n_done:
+        raise ShardError(
+            f"rank {rank}: idx has {len(recs_raw)} records but sentinel "
+            f"says {n_done}")
+    recs = []
+    pos = 0
+    lines = body.splitlines(keepends=True)
+    li = 0
+    for raw in recs_raw:
+        fi, gidx, n_lines = (int(v) for v in raw.split("\t"))
+        if fi >= 0 and gidx % nproc != rank:
+            raise ShardError(
+                f"rank {rank}: read index {gidx} belongs to rank "
+                f"{gidx % nproc}")
+        if li + n_lines > len(lines):
+            raise ShardError(
+                f"rank {rank}: shard body truncated (idx claims "
+                f"{n_lines} more lines at record ({fi},{gidx}))")
+        chunk = "".join(lines[li:li + n_lines])
+        li += n_lines
+        recs.append((fi, gidx, chunk))
+        pos += 1
+    if li != len(lines):
+        raise ShardError(
+            f"rank {rank}: shard body has {len(lines) - li} trailing "
+            f"lines not covered by the idx")
+    return recs
+
+
 def merge(prefix: str, nproc: int, out) -> int:
-    streams = []
-    for r in range(nproc):
-        sh = open(f"{prefix}.shard{r}")
-        idx = open(f"{prefix}.shard{r}.idx")
-        streams.append((sh, idx))
+    per_rank = [_load_shard(prefix, r, nproc) for r in range(nproc)]
+
+    # per-file completeness across ranks: the union of read indices must
+    # be the contiguous range 0..max (a crashed rank that still wrote a
+    # sentinel would leave holes)
+    seen: dict[int, set] = {}
+    for recs in per_rank:
+        for fi, gidx, _ in recs:
+            if fi >= 0:
+                seen.setdefault(fi, set()).add(gidx)
+    for fi, idxs in seen.items():
+        want = max(idxs) + 1
+        if len(idxs) != want:
+            missing = sorted(set(range(want)) - idxs)[:5]
+            raise ShardError(
+                f"file {fi}: {want - len(idxs)} reads missing from the "
+                f"shards (first: {missing})")
 
     heap = []
+    iters = [iter(recs) for recs in per_rank]
 
     def push(r):
-        sh, idx = streams[r]
-        line = idx.readline()
-        if not line:
-            return
-        fi, gidx, n_lines = (int(v) for v in line.split("\t"))
-        chunk = "".join(sh.readline() for _ in range(n_lines))
-        heapq.heappush(heap, (fi, gidx, r, chunk))
+        rec = next(iters[r], None)
+        if rec is not None:
+            fi, gidx, chunk = rec
+            heapq.heappush(heap, (fi, gidx, r, chunk))
 
     for r in range(nproc):
         push(r)
@@ -39,9 +104,6 @@ def merge(prefix: str, nproc: int, out) -> int:
         _fi, _gidx, r, chunk = heapq.heappop(heap)
         out.write(chunk)
         push(r)
-    for sh, idx in streams:
-        sh.close()
-        idx.close()
     return 0
 
 
@@ -50,7 +112,11 @@ def main(argv=None) -> int:
     if len(argv) < 2:
         sys.stderr.write(__doc__ + "\n")
         return 1
-    return merge(argv[0], int(argv[1]), sys.stdout)
+    try:
+        return merge(argv[0], int(argv[1]), sys.stdout)
+    except ShardError as e:
+        sys.stderr.write(f"[ERROR] {e}\n")
+        return 1
 
 
 if __name__ == "__main__":

@@ -28,6 +28,10 @@ class TpuConfig:
     # cap would be exceeded
     max_anchors_batch: int = 1_000_000
     max_reads_batch: int = 200_000
+    # True when the JSON set the caps explicitly — the auto capacity
+    # model (derive_caps) then leaves them alone, mirroring the
+    # reference's config-overrides-model tiering (plmem.cu:473-540)
+    caps_explicit: bool = False
     # NOTE: the reference's micro_batch knob (plmem.cuh:7-9) has no TPU
     # analog: XLA reuses HBM buffers across dispatches and JAX's async
     # dispatch queues kernels, so there is nothing to sub-batch.
@@ -57,7 +61,57 @@ def load_tpu_config(path: str | None) -> TpuConfig:
     for k in ("lanes", "tile", "max_anchors_batch", "max_reads_batch"):
         if k in data:
             setattr(cfg, k, int(data[k]))
+    if "max_anchors_batch" in data or "max_reads_batch" in data:
+        cfg.caps_explicit = True
     return cfg
+
+
+# Bytes of device HBM per batched anchor, per in-flight macro-batch:
+#   packed operand (4, n) int32 = 16 B  + result (2, n) int32 = 8 B,
+#   both power-of-two padded (<= 2x)                      -> 48 B
+#   on-device padded layouts x/y/r/f/p: 5 x int32 at the measured ~50%
+#   lane-packing efficiency, tile count power-of-two padded -> 80 B
+# x2 for the double-buffered pipeline (batch N scores on the device
+# while batch N-1 drains on the host).  The reference derives its
+# max_total_n/max_read the same way from its SoA footprint
+# (plmem.cu:473-540, factors F1..F4).
+BYTES_PER_ANCHOR = 2 * (48 + 80)
+HBM_FRACTION = 0.5          # leave headroom for XLA scratch + compiles
+AVG_ANCHORS_PER_READ = 1000  # reference's max_read = max_total_n / 1000
+
+
+def derive_caps(verbose: int = 1) -> None:
+    """Auto capacity model: scale the macro-batch caps to the attached
+    device's HBM when the config didn't pin them (plmem_config_batch
+    analog).  No-op on CPU backends or when the device can't report its
+    memory; never lowers caps below the shipped defaults."""
+    global _current
+    cfg = _current
+    if cfg.caps_explicit:
+        return
+    try:
+        import jax
+        dev = jax.devices()[0]
+        if dev.platform == "cpu":
+            return
+        stats = dev.memory_stats() or {}
+        hbm = int(stats.get("bytes_limit", 0))
+    except Exception:
+        return
+    if hbm <= 0:
+        return
+    anchors = int(hbm * HBM_FRACTION / BYTES_PER_ANCHOR)
+    if anchors <= cfg.max_anchors_batch:
+        return
+    cfg.max_anchors_batch = anchors
+    cfg.max_reads_batch = max(cfg.max_reads_batch,
+                              anchors // AVG_ANCHORS_PER_READ)
+    if verbose >= 3:
+        sys.stderr.write(
+            f"[M::tpucfg] auto capacity: {hbm / 2**30:.1f} GiB HBM x "
+            f"{HBM_FRACTION} / {BYTES_PER_ANCHOR} B/anchor -> "
+            f"max_anchors_batch {anchors}, max_reads_batch "
+            f"{cfg.max_reads_batch}\n")
 
 
 def apply_tpu_config(cfg: TpuConfig) -> None:

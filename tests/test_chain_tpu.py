@@ -342,3 +342,145 @@ def test_multihost_shard_merge(tmp_path):
         capture_output=True, text=True, env=env, timeout=120)
     assert merged.returncode == 0
     assert merged.stdout == single.stdout
+
+
+def test_multihost_sam_and_truncation_guard(tmp_path):
+    """--tpu-nproc with -a: rank 0 carries the SAM header as a
+    sort-first idx record and the merged SAM equals single-host bytes;
+    a truncated shard body makes mergeshards fail loudly."""
+    import os
+    import subprocess
+    import sys as _sys
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["MM2TPU_FORCE_CPU"] = "1"
+    from tests.conftest import golden_path
+    ref = golden_path("splitq_ref.fa.gz")
+    qry = golden_path("splitq_q1.fa.gz")  # 12 reads: both ranks get work
+    base = ["--max-chain-skip=2147483647", "--tpu-chain", "-a", ref, qry]
+    single = subprocess.run(
+        [_sys.executable, "-m", "mm2_gb_tpu", *base],
+        capture_output=True, text=True, env=env, timeout=600)
+    assert single.returncode == 0
+    pre = str(tmp_path / "mhs")
+    for rank in ("0", "1"):
+        r = subprocess.run(
+            [_sys.executable, "-m", "mm2_gb_tpu",
+             "--max-chain-skip=2147483647", "--tpu-chain", "-a",
+             "--tpu-nproc", "2", "--tpu-rank", rank, "-o", pre,
+             ref, qry],
+            capture_output=True, text=True, env=env, timeout=600)
+        assert r.returncode == 0, r.stderr[-400:]
+    merged = subprocess.run(
+        [_sys.executable, "-m", "mm2_gb_tpu.tools.mergeshards", pre, "2"],
+        capture_output=True, text=True, env=env, timeout=120)
+    assert merged.returncode == 0, merged.stderr[-400:]
+
+    def _no_pg(s):  # @PG CL: carries the (different) argv
+        return [l for l in s.splitlines() if not l.startswith("@PG")]
+    assert _no_pg(merged.stdout) == _no_pg(single.stdout)
+
+    # truncate rank 1's body: merge must abort, not silently drop reads
+    body = open(pre + ".shard1").read()
+    open(pre + ".shard1", "w").write(body[:len(body) // 2])
+    bad = subprocess.run(
+        [_sys.executable, "-m", "mm2_gb_tpu.tools.mergeshards", pre, "2"],
+        capture_output=True, text=True, env=env, timeout=120)
+    assert bad.returncode != 0
+    assert "truncated" in bad.stderr or "trailing" in bad.stderr
+
+    # missing sentinel (crashed rank): also a loud failure
+    open(pre + ".shard1", "w").write(body)
+    idx = open(pre + ".shard1.idx").read().splitlines()
+    open(pre + ".shard1.idx", "w").write("\n".join(idx[:-1]) + "\n")
+    bad2 = subprocess.run(
+        [_sys.executable, "-m", "mm2_gb_tpu.tools.mergeshards", pre, "2"],
+        capture_output=True, text=True, env=env, timeout=120)
+    assert bad2.returncode != 0
+    assert "sentinel" in bad2.stderr
+
+
+def test_multihost_jax_distributed_coordinator(tmp_path):
+    """Two CONCURRENT ranks through jax.distributed.initialize (local
+    coordinator, CPU backend) via --tpu-coord; shards merge to the
+    single-host byte order.  Exercises init_distributed for real
+    (SURVEY.md §5.8 pod-slice path)."""
+    import os
+    import socket
+    import subprocess
+    import sys as _sys
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["MM2TPU_FORCE_CPU"] = "1"
+    T = "/root/reference/test"
+    if not os.path.isdir(T):
+        import pytest
+        pytest.skip("reference test data not available")
+    ref = os.path.join(T, "MT-human.fa")
+    qry = os.path.join(T, "MT-orang.fa")
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+    single = subprocess.run(
+        [_sys.executable, "-m", "mm2_gb_tpu",
+         "--max-chain-skip=2147483647", "--tpu-chain", ref, qry],
+        capture_output=True, text=True, env=env, timeout=600)
+    assert single.returncode == 0
+    pre = str(tmp_path / "mhd")
+    procs = []
+    for rank in ("0", "1"):
+        procs.append(subprocess.Popen(
+            [_sys.executable, "-m", "mm2_gb_tpu",
+             "--max-chain-skip=2147483647", "--tpu-chain",
+             "--tpu-nproc", "2", "--tpu-rank", rank,
+             "--tpu-coord", coord, "-o", pre, ref, qry],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env))
+    for pr in procs:
+        out, err = pr.communicate(timeout=600)
+        assert pr.returncode == 0, err[-600:]
+    merged = subprocess.run(
+        [_sys.executable, "-m", "mm2_gb_tpu.tools.mergeshards", pre, "2"],
+        capture_output=True, text=True, env=env, timeout=120)
+    assert merged.returncode == 0, merged.stderr[-400:]
+    assert merged.stdout == single.stdout
+
+
+def test_auto_capacity_model(monkeypatch):
+    """derive_caps scales the batch caps to the device HBM via the
+    bytes-per-anchor model (plmem.cu:473-540 analog); explicit JSON caps
+    and CPU backends are left alone."""
+    from mm2_gb_tpu.utils import tpucfg
+
+    class FakeDev:
+        platform = "tpu"
+
+        def memory_stats(self):
+            return {"bytes_limit": 16 * 2**30}
+
+    class FakeJax:
+        @staticmethod
+        def devices():
+            return [FakeDev()]
+
+    old = tpucfg._current
+    try:
+        tpucfg._current = tpucfg.TpuConfig()
+        monkeypatch.setitem(__import__("sys").modules, "jax", FakeJax)
+        tpucfg.derive_caps(0)
+        want = int(16 * 2**30 * tpucfg.HBM_FRACTION
+                   / tpucfg.BYTES_PER_ANCHOR)
+        assert tpucfg._current.max_anchors_batch == want
+        assert tpucfg._current.max_reads_batch == max(
+            200_000, want // tpucfg.AVG_ANCHORS_PER_READ)
+
+        # explicit JSON caps win
+        tpucfg._current = tpucfg.TpuConfig(max_anchors_batch=123,
+                                           caps_explicit=True)
+        tpucfg.derive_caps(0)
+        assert tpucfg._current.max_anchors_batch == 123
+    finally:
+        tpucfg._current = old
