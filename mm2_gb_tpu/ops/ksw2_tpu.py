@@ -62,15 +62,21 @@ KSW_NEG_INF_I32 = -0x40000000
 SIZE_CLASSES = (512, 1024, 2048, 4096)
 
 
-def _size_classes(interpret: bool) -> tuple:
-    """Size classes available to a batch.
+def _size_classes(interpret) -> tuple:
+    """Size classes available to a batch; () routes every call to the
+    per-call host-oracle fallback.
 
-    Interpret mode (CPU meshes, tests) caps the class ladder at 1024 by
-    default: the 2048/4096 interpret kernels cold-compile for tens of
-    minutes on a 1-CPU host, and oversize calls fall back to the host
-    oracle anyway — which interpret mode equals byte-for-byte by
-    construction.  MM2TPU_INTERPRET_MAX_CLASS overrides (e.g. 4096 to
-    exercise the big classes in a dedicated slow test)."""
+    "oracle" (the implicit CPU-backend resolution) disables the device
+    classes entirely: a single cold interpret-mode compile of these
+    kernels takes MINUTES of XLA CPU time per (class, band) shape, and
+    the host oracle is byte-identical by construction — CPU pipelines
+    (fuzz --tpu-align seeds, CPU meshes, the test suite) lose nothing
+    but the wait.  Explicit interpret=True (kernel-logic validation,
+    tests/test_ksw2_tpu.py) keeps the ladder, capped at 1024 by default
+    because the 2048/4096 interpret compiles are the slowest of all;
+    MM2TPU_INTERPRET_MAX_CLASS overrides the cap."""
+    if interpret == "oracle":
+        return ()
     if not interpret:
         return SIZE_CLASSES
     import os
@@ -616,7 +622,10 @@ def exts2_batch_device(calls: list[FillCall], mat: np.ndarray, q: int,
     from mm2_gb_tpu.ops import ksw2_splice as S
 
     if interpret is None:
-        interpret = _interpret()
+        # implicit resolution: real kernels on TPU, host oracle on CPU
+        # backends (see _size_classes); interpret=True runs the kernels
+        # in interpret mode for logic validation
+        interpret = "oracle" if _interpret() else False
     assert flag & ksw2.KSW_EZ_APPROX_MAX
     assert not (flag & ksw2.KSW_EZ_SCORE_ONLY)
     mat = np.asarray(mat, np.int8)
@@ -1060,7 +1069,10 @@ def extd2_batch_device(calls: list[FillCall], mat: np.ndarray, q: int, e: int,
     the device link is wide (the forward kernel alone is ~6x the host DP).
     """
     if interpret is None:
-        interpret = _interpret()
+        # implicit resolution: real kernels on TPU, host oracle on CPU
+        # backends (see _size_classes); interpret=True runs the kernels
+        # in interpret mode for logic validation
+        interpret = "oracle" if _interpret() else False
     assert flag & ksw2.KSW_EZ_APPROX_MAX
     assert not (flag & ksw2.KSW_EZ_SCORE_ONLY)
     mat = np.asarray(mat, np.int8)
@@ -1245,7 +1257,10 @@ def ext_batch_device(calls: list[FillCall], mat: np.ndarray, q: int, e: int,
     zdrop comes from FillCall.zdrop; KSW_EZ_RIGHT selects the kernel
     variant; KSW_EZ_REV_CIGAR only affects the host RLE direction."""
     if interpret is None:
-        interpret = _interpret()
+        # implicit resolution: real kernels on TPU, host oracle on CPU
+        # backends (see _size_classes); interpret=True runs the kernels
+        # in interpret mode for logic validation
+        interpret = "oracle" if _interpret() else False
     assert flag & ksw2.KSW_EZ_EXTZ_ONLY
     assert not (flag & (ksw2.KSW_EZ_APPROX_MAX | ksw2.KSW_EZ_SCORE_ONLY))
     mat = np.asarray(mat, np.int8)

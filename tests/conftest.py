@@ -21,7 +21,22 @@ if not os.environ.get("MM2TPU_TEST_TPU"):
 
 import pytest  # noqa: E402
 
+# Persistent XLA compile cache for the suite: the interpret-mode Pallas
+# compiles (slow-marked kernel tests) are paid once per host
+from mm2_gb_tpu.utils.tpucfg import enable_compile_cache  # noqa: E402
+enable_compile_cache()
+
 REF_TEST_DIR = "/root/reference/test"
+
+
+def pytest_collection_modifyitems(config, items):
+    if os.environ.get("MM2TPU_RUN_SLOW"):
+        return
+    skip_slow = pytest.mark.skip(
+        reason="slow interpret-mode kernel compile; set MM2TPU_RUN_SLOW=1")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip_slow)
 
 
 @pytest.fixture(scope="session")

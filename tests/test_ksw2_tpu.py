@@ -2,10 +2,20 @@
 
 The oracle ops/ksw2.py::extd2 byte-matches ksw2_extd2_sse.c (goldens in
 tests/golden/ksw2_cases.json); the device kernel must agree exactly on
-(score, cigar) for the gap-fill flag configuration."""
+(score, cigar) for the gap-fill flag configuration.
+
+Marked `slow`: these run the Pallas kernels with interpret=True, and a
+COLD interpret-mode XLA-CPU compile takes minutes per (class, band)
+shape on a 1-CPU host.  Run with MM2TPU_RUN_SLOW=1 (the persistent
+compile cache in conftest makes repeat runs cheap); the default suite
+covers the same DP semantics through the host oracle
+(tests/test_ksw2.py) and the CPU device-align pipeline routes to that
+oracle (ops/ksw2_tpu._size_classes)."""
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow
 
 from mm2_gb_tpu.ops import ksw2
 from mm2_gb_tpu.ops.ksw2_tpu import FillCall, extd2_batch_device
