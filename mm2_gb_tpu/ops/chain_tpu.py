@@ -490,10 +490,14 @@ def dispatch_scores(ax: np.ndarray, ay: np.ndarray,
     seg_maxrng = (np.maximum.reduceat(rng, bounds[:-1]) if n_segs
                   else np.empty(0, np.int32))
 
+    from mm2_gb_tpu.utils import native
+    use_native = native.available()
     x32 = (ax & np.uint64(0xFFFFFFFF)).astype(np.int32)
     y32 = (ay & np.uint64(0xFFFFFFFF)).astype(np.int32)
-    seg_of = np.repeat(np.arange(n_segs), seg_lens)
-    row_of = np.arange(n, dtype=np.int64) - np.repeat(bounds[:-1], seg_lens)
+    if not use_native:
+        seg_of = np.repeat(np.arange(n_segs), seg_lens)
+        row_of = (np.arange(n, dtype=np.int64)
+                  - np.repeat(bounds[:-1], seg_lens))
     if metrics is not None:
         metrics.t_range += time.perf_counter() - t0
         metrics.n_segs += int(n_segs)
@@ -506,23 +510,39 @@ def dispatch_scores(ax: np.ndarray, ay: np.ndarray,
         if sel.shape[0] == 0:
             continue
         t0 = time.perf_counter()
-        ntiles, start, H, src, rows, cols = pack_class_meta(
-            sel, seg_lens, seg_of, row_of, rng, W)
         # quantize every compiled shape to a power of two so batches of
         # varying size reuse cached executables (XLA recompiles per
         # shape; ntiles stays the dynamic trip count, so padded tiles
         # are allocated but never executed)
-        n_real = int(src.shape[0])
-        n_pad = max(1 << (n_real - 1).bit_length(), 2048)
-        tiles_real = int(ntiles[0])
+        if use_native:
+            # fused one-pass pack (mmt_pack_class): operand rows, src
+            # map, per-row range max and pair count in a single sweep
+            lens = seg_lens[sel]
+            lane_of, off_of, height = native.lpt_pack(lens, LANES)
+            tiles_real = max(_round_up(max(height, 1), TILE) // TILE, 1)
+            H = W + tiles_real * TILE
+            n_real = int(lens.sum())
+            n_pad = max(1 << (n_real - 1).bit_length(), 2048)
+            packed, src, rmax, pairs = native.pack_class_fused(
+                bounds, sel, lane_of, off_of, x32, y32, rng,
+                W, H, n_real, n_pad)
+            start = native.tile_starts(rmax, H, W, TILE, tiles_real)
+            ntiles = np.array([tiles_real], np.int32)
+        else:
+            ntiles, start, H, src, rows, cols = pack_class_meta(
+                sel, seg_lens, seg_of, row_of, rng, W)
+            n_real = int(src.shape[0])
+            n_pad = max(1 << (n_real - 1).bit_length(), 2048)
+            tiles_real = int(ntiles[0])
+            packed = np.zeros((4, n_pad), np.int32)
+            packed[0, :n_real] = x32[src]
+            packed[1, :n_real] = y32[src]
+            packed[2, :n_real] = rng[src]
+            # coord = row*128 + col; pad coords hit (0,0) in the W pad
+            packed[3, :n_real] = (rows << 7) | cols
+            pairs = int(rng[src].astype(np.int64).sum())
         tiles_alloc = 1 << (tiles_real - 1).bit_length()
         H_alloc = W + tiles_alloc * TILE
-        packed = np.zeros((4, n_pad), np.int32)
-        packed[0, :n_real] = x32[src]
-        packed[1, :n_real] = y32[src]
-        packed[2, :n_real] = rng[src]
-        # coord = row*128 + col; pad coords hit (0,0) in the W pad
-        packed[3, :n_real] = (rows << 7) | cols
         start_pad = np.full(tiles_alloc, W + TILE - 1, np.int32)
         start_pad[:tiles_real] = start
         if metrics is not None:
@@ -538,8 +558,7 @@ def dispatch_scores(ax: np.ndarray, ay: np.ndarray,
             ntiles, start_pad, packed, H=H_alloc, W=W, span=span,
             max_dist_x=max_dist_x, max_dist_y=max_dist_y, bw=bw,
             cg=cg, cs=cs, is_cdna=is_cdna)
-        pend.parts.append((dev_fp, src, n_real, W,
-                           int(rng[src].astype(np.int64).sum())))
+        pend.parts.append((dev_fp, src, n_real, W, pairs))
         if metrics is not None:
             metrics.t_dispatch += time.perf_counter() - t0
     pend.collected = False

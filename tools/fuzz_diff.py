@@ -121,6 +121,19 @@ def make_genomic(rng, tag):
         flag_pool += [["-I", "100k", "--tpu-chain", "-c"],
                       ["-I", "100k", "--split-prefix",
                        f"/tmp/fz_{tag}_tsp", "--tpu-chain", "-c"]]
+    if rng.random() < 0.15:
+        # second query file, NO frag mode: per-file sequential mapping
+        # (main.c:451-455), and with --split-prefix the reference's
+        # tmp-truncation + interleaved-merge quirk (splitmerge.py)
+        q2 = f"/tmp/fz_{tag}_q2.fa"
+        write_fa(q2, [(f"r{i}", s) for i, (_n, s) in
+                      enumerate(reads[:rng.randrange(3, len(reads) + 1)])])
+        pool2 = [[], ["-c"], ["-a"],
+                 ["--split-prefix", f"/tmp/fz_{tag}_m2", "-c"],
+                 ["--split-prefix", f"/tmp/fz_{tag}_m2"],
+                 ["-I", "100k", "--split-prefix", f"/tmp/fz_{tag}_m2",
+                  "-c"]]
+        return rng.choice(pool2), [rfa, qfa, q2]
     return rng.choice(flag_pool), [rfa, qfa]
 
 
