@@ -116,7 +116,11 @@ class MinimizerIndex:
             start = start.astype(np.int64)
             cnt = cnt.astype(np.int64)
             if uniq.shape[0]:
-                shift = max(int(uniq[-1]).bit_length() - 14, 0)
+                # ~0.5 keys per bucket so a lookup is one probe, not a
+                # cache-missing binary search; capped at 2^24 buckets
+                # (128 MB offsets) for huge references
+                bits = min(24, max(14, int(uniq.shape[0]).bit_length() + 1))
+                shift = max(int(uniq[-1]).bit_length() - bits, 0)
                 n_buckets = (int(uniq[-1]) >> shift) + 1
                 edges = (np.arange(n_buckets + 1, dtype=np.uint64)
                          << np.uint64(shift))

@@ -203,7 +203,8 @@ class TpuMetrics:
 
 
 def _acc_batches(index: MinimizerIndex, opt: MapOptions, paths: list[str],
-                 metrics: TpuMetrics, shard: tuple[int, int] | None = None):
+                 metrics: TpuMetrics, shard: tuple[int, int] | None = None,
+                 pool=None):
     """Seed reads and yield accumulation batches bounded by the device
     capacity caps (mm_trbuf accumulate + overflow spill, map.c:886-922,
     943-995).  Caps come from TpuConfig (max_total_n/max_read analogs,
@@ -213,7 +214,12 @@ def _acc_batches(index: MinimizerIndex, opt: MapOptions, paths: list[str],
     `shard=(rank, nproc)` keeps only reads whose global index is owned
     by this process (round-robin) — the multi-host data-parallel split
     (SURVEY.md §5.8); each SeededRead carries its global index in
-    rec.rid for the deterministic cross-host merge."""
+    rec.rid for the deterministic cross-host merge.
+
+    `pool` fans seeding out in 64-read chunks with ordered results (the
+    kt_for analog for the seed stage; the native sketch/lookup kernels
+    release the GIL) — bounded chunks keep peak anchor memory at
+    cap-scale rather than mini-batch-scale."""
     import sys
     import time
 
@@ -223,6 +229,7 @@ def _acc_batches(index: MinimizerIndex, opt: MapOptions, paths: list[str],
     n_anch = 0
     gidx = -1
     for batch in read_batches(paths, opt.mini_batch_size):
+        mine = []
         for rec in batch:
             gidx += 1
             rec.rid = gidx
@@ -230,18 +237,26 @@ def _acc_batches(index: MinimizerIndex, opt: MapOptions, paths: list[str],
                 continue
             if opt.dbg_print_qname:  # QR dump (map.c:938-941)
                 sys.stderr.write(f"QR\t{rec.name}\t0\t{rec.length}\n")
+            mine.append(rec)
+        for c0 in range(0, len(mine), 64):
+            chunk = mine[c0:c0 + 64]
             t0 = time.perf_counter()
-            sr = seed_read(index, opt, rec)
+            if pool is not None and len(chunk) > 1:
+                seeded = list(pool.map(
+                    lambda r: seed_read(index, opt, r), chunk))
+            else:
+                seeded = [seed_read(index, opt, r) for r in chunk]
             metrics.t_seed += time.perf_counter() - t0
-            metrics.n_reads += 1
-            metrics.n_anchors += int(sr.ax.shape[0])
-            if acc and (n_anch + sr.ax.shape[0] > cfg.max_anchors_batch
-                        or len(acc) >= cfg.max_reads_batch):
-                metrics.n_spills += 1
-                yield acc
-                acc, n_anch = [], 0
-            acc.append(sr)
-            n_anch += int(sr.ax.shape[0])
+            for sr in seeded:
+                metrics.n_reads += 1
+                metrics.n_anchors += int(sr.ax.shape[0])
+                if acc and (n_anch + sr.ax.shape[0] > cfg.max_anchors_batch
+                            or len(acc) >= cfg.max_reads_batch):
+                    metrics.n_spills += 1
+                    yield acc
+                    acc, n_anch = [], 0
+                acc.append(sr)
+                n_anch += int(sr.ax.shape[0])
         if acc:
             yield acc
             acc, n_anch = [], 0
@@ -408,7 +423,7 @@ def map_file_tpu_records(index: MinimizerIndex, opt: MapOptions,
             if n_threads > 1 else None)
     try:
         pending = None
-        for acc in _acc_batches(index, opt, paths, metrics, shard):
+        for acc in _acc_batches(index, opt, paths, metrics, shard, pool):
             fut = ex.submit(_dispatch_batch, index, opt, acc, metrics)
             if pending is not None:
                 yield from _finish_batch(index, opt, pending.result(),

@@ -239,7 +239,7 @@ def map_file_multichip(index, opt, paths, mesh, metrics=None,
             if n_threads > 1 else None)
     try:
         pending = None
-        for acc in _acc_batches(index, opt, paths, metrics):
+        for acc in _acc_batches(index, opt, paths, metrics, pool=pool):
             state = dispatch_batch_multichip(index, opt, acc, mesh, metrics)
             if pending is not None:
                 yield from finish_batch_multichip(index, opt, pending,
