@@ -183,6 +183,9 @@ def make_splice(rng, tag):
         ["-x", "splice", "-c", "--tpu-chain"],
         ["-x", "splice", "-c", "--tpu-chain", "--tpu-align"],
         ["-x", "splice", "-u", "b", "-c", "--tpu-chain", "--tpu-align"],
+        # splice through the split-prefix dump+merge
+        ["-x", "splice", "-c", "--split-prefix", f"/tmp/fz_{tag}_ssp"],
+        ["-x", "splice", "-a", "--split-prefix", f"/tmp/fz_{tag}_ssp"],
     ]
     return rng.choice(flag_pool), [rfa, qfa]
 
@@ -212,6 +215,10 @@ def make_pe(rng, tag):
         ["-x", "sr", "-a", "--secondary", "no"],
         ["-x", "sr", "--no-pairing"], ["-x", "sr", "-a", "-Q"],
         ["--sr", "--frag", "yes"],
+        # paired-end through the split-prefix dump+merge (mm_pair gets
+        # the dumped frag_gap, map.c:1264)
+        ["-x", "sr", "-a", "--split-prefix", f"/tmp/fz_{tag}_psp"],
+        ["-x", "sr", "-c", "--split-prefix", f"/tmp/fz_{tag}_psp"],
     ]
     return rng.choice(flag_pool), [rfa, q1, q2]
 
