@@ -484,3 +484,52 @@ def test_auto_capacity_model(monkeypatch):
         assert tpucfg._current.max_anchors_batch == 123
     finally:
         tpucfg._current = old
+
+
+def test_fused_pack_matches_numpy_path():
+    """mmt_pack_class (fused native per-class operand pack) is
+    bit-identical to the NumPy pack_class_meta construction."""
+    from mm2_gb_tpu.ops import chain_tpu
+    from mm2_gb_tpu.utils import native
+
+    if not native.available():
+        import pytest
+        pytest.skip("native hostkit unavailable")
+    TILE, LANES = chain_tpu.TILE, chain_tpu.LANES
+    rng_np = np.random.default_rng(5)
+    # synthetic segment structure: 300 segments, ragged lengths
+    seg_lens = rng_np.integers(1, 700, 300).astype(np.int64)
+    cuts = np.zeros(seg_lens.shape[0] + 1, np.int64)
+    np.cumsum(seg_lens, out=cuts[1:])
+    n = int(cuts[-1])
+    x32 = rng_np.integers(0, 2**20, n).astype(np.int32)
+    y32 = rng_np.integers(0, 2**20, n).astype(np.int32)
+    rng = rng_np.integers(0, 512, n).astype(np.int32)
+    seg_of = np.repeat(np.arange(seg_lens.shape[0]), seg_lens)
+    row_of = np.arange(n, dtype=np.int64) - np.repeat(cuts[:-1], seg_lens)
+    W = 512
+    sel = np.arange(seg_lens.shape[0])
+
+    ntiles, start, H, src, rows, cols = chain_tpu.pack_class_meta(
+        sel, seg_lens, seg_of, row_of, rng, W)
+    n_real = int(src.shape[0])
+    n_pad = max(1 << (n_real - 1).bit_length(), 2048)
+    packed_np = np.zeros((4, n_pad), np.int32)
+    packed_np[0, :n_real] = x32[src]
+    packed_np[1, :n_real] = y32[src]
+    packed_np[2, :n_real] = rng[src]
+    packed_np[3, :n_real] = (rows << 7) | cols
+
+    lens = seg_lens[sel]
+    lane_of, off_of, height = native.lpt_pack(lens, LANES)
+    tiles = max(-(-max(height, 1) // TILE), 1)
+    Hf = W + tiles * TILE
+    packed_f, src_f, rmax, pairs = native.pack_class_fused(
+        cuts, sel, lane_of, off_of, x32, y32, rng, W, Hf, n_real, n_pad)
+    start_f = native.tile_starts(rmax, Hf, W, TILE, tiles)
+
+    assert Hf == H and tiles == int(ntiles[0])
+    assert np.array_equal(packed_f, packed_np)
+    assert np.array_equal(src_f, src)
+    assert np.array_equal(start_f, start)
+    assert pairs == int(rng[src].astype(np.int64).sum())
