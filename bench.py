@@ -149,12 +149,21 @@ def kernel_stage(ax, ay, bounds, mo, cg, rng) -> None:
         rng = chain_tpu.compute_ranges(ax, bounds, max_dist,
                                        mo.max_chain_iter)
     # correctness smoke through the full device path (packing + kernels +
-    # readback), which the e2e tests also validate vs the host oracle
+    # readback): scores/predecessors must EQUAL the host oracle — catches
+    # hardware-lowering drift (e.g. fma contraction) before the e2e gate
     f, p = chain_tpu.chain_scores_device(ax, ay, bounds, max_dist, max_dist,
                                          mo.bw, mo.max_chain_iter, cg, 0.0)
     assert int((f > 0).sum()) > 0
-    RESULT["device_smoke"] = True
+    from mm2_gb_tpu.ops.chain import _chain_dp_scores
+    s0, e0 = int(bounds[0]), int(bounds[min(8, len(bounds) - 1)])
+    fo, po = _chain_dp_scores(ax[s0:e0], ay[s0:e0], max_dist, max_dist,
+                              mo.bw, 2**31 - 1, mo.max_chain_iter,
+                              np.float32(cg), np.float32(0.0), False, 1)
+    po = np.where(po >= 0, po + s0, -1)
+    RESULT["device_smoke"] = bool(np.array_equal(fo, f[s0:e0])
+                                  and np.array_equal(po, p[s0:e0]))
     emit()
+    assert RESULT["device_smoke"], "device chain scores != host oracle"
 
     cuts = chain_tpu.cut_segments(rng)
     seg_lens = np.diff(cuts)
