@@ -8,11 +8,13 @@ tool k-way-merges the shards by (file_ordinal, global_read_idx) — the
 same order a single-host run emits, so the merged bytes equal the
 single-host output.
 
-Integrity: a missing shard, a missing/mismatched `#done` sentinel, a
-shard body shorter than its idx claims, a read owned by the wrong rank
+Integrity (validated BEFORE any output is written): a missing shard, a
+missing/mismatched `#done` sentinel, a shard body whose line count
+disagrees with its idx, a read owned by the wrong rank
 (global_read_idx % nproc != rank), or a gap in the per-file read-index
 sequence all abort with a non-zero exit instead of silently truncating
-the merge.
+the merge.  Bodies stream through the merge; only the (small) idx
+sidecars are held in memory.
 
 Usage:  python -m mm2_gb_tpu.tools.mergeshards <OUT> <N> [> merged.out]
 """
@@ -27,51 +29,50 @@ class ShardError(RuntimeError):
     pass
 
 
-def _load_shard(prefix: str, rank: int, nproc: int):
-    """Read one rank's idx + body fully, validating the sentinel, line
-    counts and ownership.  Returns [(fi, gidx, chunk)]."""
+def _load_idx(prefix: str, rank: int, nproc: int):
+    """Parse + validate one rank's idx sidecar and check the shard body's
+    line count (streamed).  Returns [(fi, gidx, n_lines)]."""
     try:
         idx_lines = open(f"{prefix}.shard{rank}.idx").read().splitlines()
-        body = open(f"{prefix}.shard{rank}").read()
     except OSError as e:
-        raise ShardError(f"rank {rank}: missing shard file ({e})") from e
+        raise ShardError(f"rank {rank}: missing idx sidecar ({e})") from e
     if not idx_lines or not idx_lines[-1].startswith("#done\t"):
         raise ShardError(
             f"rank {rank}: no #done sentinel — the rank crashed or was "
             f"truncated; refusing to merge")
     n_done = int(idx_lines[-1].split("\t")[1])
-    recs_raw = idx_lines[:-1]
-    if len(recs_raw) != n_done:
-        raise ShardError(
-            f"rank {rank}: idx has {len(recs_raw)} records but sentinel "
-            f"says {n_done}")
     recs = []
-    pos = 0
-    lines = body.splitlines(keepends=True)
-    li = 0
-    for raw in recs_raw:
+    for raw in idx_lines[:-1]:
         fi, gidx, n_lines = (int(v) for v in raw.split("\t"))
         if fi >= 0 and gidx % nproc != rank:
             raise ShardError(
                 f"rank {rank}: read index {gidx} belongs to rank "
                 f"{gidx % nproc}")
-        if li + n_lines > len(lines):
-            raise ShardError(
-                f"rank {rank}: shard body truncated (idx claims "
-                f"{n_lines} more lines at record ({fi},{gidx}))")
-        chunk = "".join(lines[li:li + n_lines])
-        li += n_lines
-        recs.append((fi, gidx, chunk))
-        pos += 1
-    if li != len(lines):
+        recs.append((fi, gidx, n_lines))
+    if len(recs) != n_done:
         raise ShardError(
-            f"rank {rank}: shard body has {len(lines) - li} trailing "
-            f"lines not covered by the idx")
+            f"rank {rank}: idx has {len(recs)} records but sentinel "
+            f"says {n_done}")
+    expect = sum(r[2] for r in recs)
+    actual = 0
+    try:
+        with open(f"{prefix}.shard{rank}", "rb") as f:
+            while True:
+                chunk = f.read(1 << 20)
+                if not chunk:
+                    break
+                actual += chunk.count(b"\n")
+    except OSError as e:
+        raise ShardError(f"rank {rank}: missing shard body ({e})") from e
+    if actual != expect:
+        raise ShardError(
+            f"rank {rank}: shard body has {actual} lines but the idx "
+            f"claims {expect} — truncated or trailing data")
     return recs
 
 
 def merge(prefix: str, nproc: int, out) -> int:
-    per_rank = [_load_shard(prefix, r, nproc) for r in range(nproc)]
+    per_rank = [_load_idx(prefix, r, nproc) for r in range(nproc)]
 
     # per-file completeness across ranks: the union of read indices must
     # be the contiguous range 0..max (a crashed rank that still wrote a
@@ -89,21 +90,28 @@ def merge(prefix: str, nproc: int, out) -> int:
                 f"file {fi}: {want - len(idxs)} reads missing from the "
                 f"shards (first: {missing})")
 
-    heap = []
-    iters = [iter(recs) for recs in per_rank]
+    bodies = [open(f"{prefix}.shard{r}") for r in range(nproc)]
+    try:
+        iters = [iter(recs) for recs in per_rank]
+        heap = []
 
-    def push(r):
-        rec = next(iters[r], None)
-        if rec is not None:
-            fi, gidx, chunk = rec
-            heapq.heappush(heap, (fi, gidx, r, chunk))
+        def push(r):
+            rec = next(iters[r], None)
+            if rec is not None:
+                fi, gidx, n_lines = rec
+                chunk = "".join(bodies[r].readline()
+                                for _ in range(n_lines))
+                heapq.heappush(heap, (fi, gidx, r, chunk))
 
-    for r in range(nproc):
-        push(r)
-    while heap:
-        _fi, _gidx, r, chunk = heapq.heappop(heap)
-        out.write(chunk)
-        push(r)
+        for r in range(nproc):
+            push(r)
+        while heap:
+            _fi, _gidx, r, chunk = heapq.heappop(heap)
+            out.write(chunk)
+            push(r)
+    finally:
+        for f in bodies:
+            f.close()
     return 0
 
 
