@@ -244,7 +244,11 @@ def map_multipart(target: str, paths: list[str], io, mo, out,
                 pemod.pair(frag_gap, mo.pe_bonus, mo.a * 2 + mo.b, mo.a,
                            [r.length for r in frag], seg_regs)
             for j, rec in enumerate(frag):
-                res_regs_out(out, merged, mo, rec, seg_regs[j], rep_lens[j],
+                # rl:i is 0 for every merged read: the merge pipeline
+                # callocs s->rep_len and never fills it (map.c:1300 vs
+                # 1099/1178) — the dumped rep_len max feeds only
+                # mm_set_mapq above (map.c:1222-1227,1261)
+                res_regs_out(out, merged, mo, rec, seg_regs[j], 0,
                              is_sam, rg_id, j, n_seg, seg_regs)
             fi += n_seg
 

@@ -489,3 +489,18 @@ def test_split_prefix_multifile_truncation_quirk(golden, flags, capsys,
     if out and not out.endswith("\n"):
         out += "\n"
     assert out == gold
+
+
+def test_split_prefix_merge_rl_zero(capsys, tmp_path):
+    """Merged split-prefix output prints rl:i:0 for every read: the merge
+    pipeline callocs s->rep_len and never fills it (map.c:1300); the
+    dumped rep_len max feeds only mm_set_mapq.  Repeat-rich workload so
+    the non-split rl would be nonzero (fuzz seed 95110 regression)."""
+    gold = _gz_golden("repsplit.sp.c.paf.gz")
+    assert "rl:i:" in gold and "rl:i:0" in gold
+    rc = main(["--max-chain-skip=2147483647", "-c",
+               "--split-prefix", str(tmp_path / "sp"),
+               golden_path("repsplit_ref.fa.gz"),
+               golden_path("repsplit_q.fa.gz")])
+    assert rc == 0
+    assert capsys.readouterr().out == gold
