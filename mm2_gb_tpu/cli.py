@@ -106,8 +106,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lj-min-ratio", type=float, default=None)
     p.add_argument("--print-qname", action="store_true")
     p.add_argument("--print-aln-seq", action="store_true")
-    p.add_argument("--tpu-chain", action="store_true",
-                   help="run chaining on the TPU (analog of --gpu-chain)")
+    p.add_argument("--tpu-chain", "--gpu-chain", action="store_true",
+                   help="run chaining on the TPU (mm2-gb's --gpu-chain; "
+                        "the alias is accepted for drop-in use)")
     p.add_argument("--tpu-align", action="store_true",
                    help="batch gap-fill extension DP on the TPU")
     p.add_argument("--tpu-devices", type=int, default=1,
@@ -125,8 +126,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "to DIR (view with TensorBoard / xprof; needs "
                         "platform profiler support — tunneled devices "
                         "may not provide it)")
-    p.add_argument("--tpu-cfg", default=None,
-                   help="device batch config JSON (analog of --gpu-cfg)")
+    p.add_argument("--tpu-cfg", "--gpu-cfg", default=None,
+                   help="device batch config JSON (mm2-gb's --gpu-cfg; "
+                        "the alias is accepted for drop-in use)")
     p.add_argument("-u", dest="splice_strand", choices=["f", "b", "r", "n"],
                    default=None)
     p.add_argument("-C", "--cost-non-gt-ag", dest="noncan", type=int,
