@@ -504,3 +504,15 @@ def test_split_prefix_merge_rl_zero(capsys, tmp_path):
                golden_path("repsplit_q.fa.gz")])
     assert rc == 0
     assert capsys.readouterr().out == gold
+
+
+def test_gpu_chain_alias(capsys):
+    """mm2-gb's --gpu-chain spelling maps to --tpu-chain (drop-in CLI)."""
+    T = "/root/reference/test"
+    if not os.path.isdir(T):
+        pytest.skip("reference test data not available")
+    rc = main(["--max-chain-skip=2147483647", "--gpu-chain",
+               os.path.join(T, "t2.fa"), os.path.join(T, "q2.fa")])
+    assert rc == 0
+    with open(golden_path("t2.skipinf.paf")) as f:
+        assert capsys.readouterr().out == f.read()
