@@ -65,9 +65,12 @@ RESULT: dict = {"metric": "tpu_chaining_throughput", "value": 0.0,
 def emit() -> None:
     """Print the current result as one complete, flushed JSON line.
     Called after every stage so a driver timeout can only lose the
-    not-yet-measured stages, never the whole record."""
+    not-yet-measured stages, never the whole record.  The dict is
+    snapshotted (a single GIL-atomic C call) before serialization so the
+    watchdog thread can emit while the main thread inserts keys."""
     with _emit_lock:
-        sys.stdout.write(json.dumps(RESULT) + "\n")
+        snap = dict(RESULT)
+        sys.stdout.write(json.dumps(snap) + "\n")
         sys.stdout.flush()
 
 

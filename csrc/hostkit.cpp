@@ -15,6 +15,7 @@
 // (mm2_gb_tpu/utils/native.py).  Each function is cross-checked against the
 // pure-Python oracles in tests/.
 
+#include <array>
 #include <cstdint>
 #include <cstring>
 #include <cmath>
@@ -41,18 +42,19 @@ inline uint64_t mix64(uint64_t key, uint64_t mask) {
 }
 
 const int8_t* base_code_table() {
-    static int8_t tbl[256];
-    static bool init = false;
-    if (!init) {
-        std::memset(tbl, 4, sizeof(tbl));
-        tbl['A'] = tbl['a'] = 0;
-        tbl['C'] = tbl['c'] = 1;
-        tbl['G'] = tbl['g'] = 2;
-        tbl['T'] = tbl['t'] = 3;
-        tbl['U'] = tbl['u'] = 3;
-        init = true;
-    }
-    return tbl;
+    // C++11 magic-static init: thread-safe now that seeding fans out
+    // over a pool (a plain bool guard could publish before the stores)
+    static const std::array<int8_t, 256> tbl = [] {
+        std::array<int8_t, 256> t;
+        t.fill(4);
+        t['A'] = t['a'] = 0;
+        t['C'] = t['c'] = 1;
+        t['G'] = t['g'] = 2;
+        t['T'] = t['t'] = 3;
+        t['U'] = t['u'] = 3;
+        return t;
+    }();
+    return tbl.data();
 }
 
 struct MiniPair { uint64_t x, y; };

@@ -521,6 +521,25 @@ def _run(args, argv, io, mo) -> int:
                              f"'{args.output}': {e.strerror}\n")
             return 1
 
+    from mm2_gb_tpu.models.index import _is_mmi
+    if args.dump_index and args.batch_size is not None \
+            and not (args.target.endswith(".npz") or _is_mmi(args.target)):
+        # -d with -I: successive parts append into ONE .mmi, exactly as
+        # the reference's reader/dumper loop does (main.c:404+)
+        if not args.dump_index.endswith(".mmi"):
+            sys.stderr.write("[ERROR] multi-part dump (-d with -I) needs "
+                             "a .mmi output.\n")
+            return 1
+        from mm2_gb_tpu.models.index import from_fasta_parts, save_mmi_parts
+        s = args.batch_size
+        mult = {"k": 10**3, "K": 10**3, "m": 10**6, "M": 10**6,
+                "g": 10**9, "G": 10**9}.get(s[-1], 1)
+        bs = int(float(s[:-1] if mult > 1 else s) * mult)
+        save_mmi_parts(from_fasta_parts(args.target, io, bs),
+                       args.dump_index)
+        if not args.query:
+            return 0
+        args.target = args.dump_index  # map against what was dumped
     if args.query and (args.batch_size is not None
                        or args.split_prefix is not None):
         # --split-prefix without -I still runs the dump+merge machinery
@@ -551,7 +570,33 @@ def _run(args, argv, io, mo) -> int:
                              args.verbose, args.threads)
     from mm2_gb_tpu.models.index import _is_mmi
     if args.target.endswith(".npz") or _is_mmi(args.target):
-        index = MinimizerIndex.load(args.target)
+        if _is_mmi(args.target) and args.query:
+            # a prebuilt index may hold multiple parts; those must go
+            # through the per-part mapping (+ optional split merge)
+            # machinery like the reference's index-reader loop
+            from mm2_gb_tpu.models.index import load_mmi_parts
+            it = load_mmi_parts(args.target)
+            index = next(it, None)
+            if index is None:
+                sys.stderr.write(f"[ERROR] failed to read the index "
+                                 f"'{args.target}'.\n")
+                return 1
+            if next(it, None) is not None:
+                from mm2_gb_tpu.models.splitmerge import map_multipart
+                if mo.flag & O.MM_F_TPU_CHAIN:
+                    sys.stderr.write(
+                        "[WARNING] --tpu-chain with a multi-part index "
+                        "supports one single-segment query file; falling "
+                        "back to host chaining.\n")
+                    mo.flag &= ~(O.MM_F_TPU_CHAIN | O.MM_F_TPU_ALIGN)
+                mo.split_prefix = args.split_prefix
+                return map_multipart(
+                    args.target, args.query, io, mo, sys.stdout,
+                    io.batch_size, args.split_prefix, args.rg,
+                    (argv if argv is not None else sys.argv[1:]),
+                    args.verbose, args.threads)
+        else:
+            index = MinimizerIndex.load(args.target)
         if (mo.flag & O.MM_F_CIGAR) and (index.flag & O.MM_I_NO_SEQ):
             sys.stderr.write("[ERROR] the prebuilt index doesn't contain "
                              "sequences.\n")  # main.c:406-408
@@ -589,6 +634,22 @@ def _run(args, argv, io, mo) -> int:
     is_sam = bool(mo.flag & O.MM_F_OUT_SAM)
     rg_id = None
     sam_header = None
+    if (mo.flag & O.MM_F_TPU_CHAIN) and (mo.flag & O.MM_F_FRAG_MODE):
+        # the reference's GPU path is single-segment only
+        # (assert(opt->max_frag_len <= 0), plchain.cu:499); instead of
+        # aborting, chain multi-segment fragments on the host.  This must
+        # precede the SAM-header decision below, which keys on
+        # MM_F_TPU_CHAIN to decide whether multi-host rank 0 carries the
+        # header in its shard.
+        sys.stderr.write("[WARNING] --tpu-chain supports single-segment "
+                         "reads only; falling back to host chaining.\n")
+        mo.flag &= ~(O.MM_F_TPU_CHAIN | O.MM_F_TPU_ALIGN)
+    if args.tpu_nproc > 1 and not (mo.flag & O.MM_F_TPU_CHAIN):
+        # a rank whose TPU path fell back (or was never requested) cannot
+        # shard; erroring beats silently mapping everything to stdout
+        sys.stderr.write("[ERROR] --tpu-nproc requires --tpu-chain with "
+                         "single-segment reads.\n")
+        return 1
     if is_sam:
         from mm2_gb_tpu.utils.sam import write_sam_header
         from mm2_gb_tpu import __version__
@@ -603,13 +664,6 @@ def _run(args, argv, io, mo) -> int:
             out.write(sam_header)
         # else: rank 0 of the multi-host run puts the header in its
         # shard with a sort-first idx record (see _run_tpu_multihost)
-    if (mo.flag & O.MM_F_TPU_CHAIN) and (mo.flag & O.MM_F_FRAG_MODE):
-        # the reference's GPU path is single-segment only
-        # (assert(opt->max_frag_len <= 0), plchain.cu:499); instead of
-        # aborting, chain multi-segment fragments on the host
-        sys.stderr.write("[WARNING] --tpu-chain supports single-segment "
-                         "reads only; falling back to host chaining.\n")
-        mo.flag &= ~(O.MM_F_TPU_CHAIN | O.MM_F_TPU_ALIGN)
     prof = None
     if args.tpu_profile and (mo.flag & O.MM_F_TPU_CHAIN):
         # §5.1 tracing analog of the reference's GPU events + roctx
@@ -702,6 +756,7 @@ def _run_tpu_multihost(args, index, mo, rg_id, is_sam,
             idx_out.write(f"-1\t-1\t{sam_header.count(chr(10))}\n")
             n_rec += 1
         for fi, q in enumerate(args.query):
+            scanned0 = tmet.n_scanned
             for sr, regs in map_file_tpu_records(index, mo, [q], tmet,
                                                  (rank, nproc),
                                                  n_threads=args.threads):
@@ -712,6 +767,9 @@ def _run_tpu_multihost(args, index, mo, rg_id, is_sam,
                 sh_out.write(s)
                 idx_out.write(f"{fi}\t{sr.rec.rid}\t{s.count(chr(10))}\n")
                 n_rec += 1
+            # total records this rank SAW in the file (not just owned) —
+            # lets the merge detect trailing losses on any rank
+            idx_out.write(f"#file\t{fi}\t{tmet.n_scanned - scanned0}\n")
         idx_out.write(f"#done\t{n_rec}\n")
     tmet.report(args.verbose)
     return 0

@@ -228,134 +228,189 @@ def _is_mmi(path: str) -> bool:
 
 
 def _load_mmi(path: str) -> "MinimizerIndex":
-    """Read the reference's binary index format (mm_idx_load, index.c:504-557).
+    """First part of an .mmi file (mm_idx_load, index.c:504-557)."""
+    with open(path, "rb") as f:
+        idx = _load_mmi_part(f)
+        if idx is None:
+            raise ValueError(f"{path}: not an .mmi index")
+        return idx
+
+
+def load_mmi_parts(path: str):
+    """Yield successive index parts from a (possibly multi-part) .mmi:
+    the reference appends one mm_idx_dump per index part to a single
+    file (main.c:404+ loop), and mm_idx_reader_read loads them back in
+    sequence (index.c:609-615)."""
+    with open(path, "rb") as f:
+        while True:
+            idx = _load_mmi_part(f)
+            if idx is None:
+                return
+            yield idx
+
+
+def _load_mmi_part(f) -> "MinimizerIndex | None":
+    """Read one index part from an open .mmi stream; None at EOF.
 
     Bucket khash entries reconstruct to minimizer hashes as
     (key>>1)<<b | bucket; key bit 0 set means the value IS the single
     packed position, otherwise it is off<<32|cnt into the bucket's p[].
     """
-    with open(path, "rb") as f:
-        magic = f.read(4)
-        if magic != MMI_MAGIC:
-            raise ValueError(f"{path}: not an .mmi index")
-        w, k, b, n_seq, flag = np.frombuffer(f.read(20), np.uint32)
-        names: list[str] = []
-        lens = np.empty(n_seq, np.uint32)
-        for i in range(n_seq):
-            ln = f.read(1)[0]
-            names.append(f.read(ln).decode() if ln else str(i))
-            lens[i] = np.frombuffer(f.read(4), np.uint32)[0]
-        offsets = np.zeros(n_seq, np.uint64)
-        total = 0
-        for i in range(n_seq):
-            offsets[i] = total
-            total += int(lens[i])
-        hash_chunks = []
-        pos_chunks = []
-        for i in range(1 << int(b)):
-            n_p = int(np.frombuffer(f.read(4), np.uint32)[0])
-            p = np.frombuffer(f.read(8 * n_p), np.uint64)
-            size = int(np.frombuffer(f.read(4), np.uint32)[0])
-            if size == 0:
-                continue
-            kv = np.frombuffer(f.read(16 * size), np.uint64).reshape(size, 2)
-            keys, vals = kv[:, 0], kv[:, 1]
-            minier = ((keys >> np.uint64(1)) << np.uint64(int(b))) \
-                | np.uint64(i)
-            single = (keys & np.uint64(1)) == 1
-            if single.any():
-                hash_chunks.append(minier[single])
-                pos_chunks.append(vals[single])
-            multi = ~single
-            if multi.any():
-                off = (vals[multi] >> np.uint64(32)).astype(np.int64)
-                cnt = (vals[multi] & np.uint64(0xFFFFFFFF)).astype(np.int64)
-                reps = np.repeat(minier[multi], cnt)
-                idx = np.repeat(off, cnt) + (
-                    np.arange(reps.shape[0], dtype=np.int64)
-                    - np.repeat(np.cumsum(cnt) - cnt, cnt))
-                hash_chunks.append(reps)
-                pos_chunks.append(p[idx])
-        if hash_chunks:
-            occ_hash = np.concatenate(hash_chunks)
-            occ_pos = np.concatenate(pos_chunks)
-            order = np.lexsort((occ_pos, occ_hash))
-            occ_hash = np.ascontiguousarray(occ_hash[order])
-            occ_pos = np.ascontiguousarray(occ_pos[order])
-        else:
-            occ_hash = np.empty(0, np.uint64)
-            occ_pos = np.empty(0, np.uint64)
-        seq_codes = np.empty(total, np.uint8)
-        if not (int(flag) & MM_I_NO_SEQ):
-            n_words = (total + 7) // 8
-            S = np.frombuffer(f.read(4 * n_words), np.uint32)
-            nib = np.empty(n_words * 8, np.uint8)
-            for j in range(8):  # unpack 4-bit codes (mm_seq4_get)
-                nib[j::8] = ((S >> np.uint32(4 * j)) & np.uint32(0xF)
-                             ).astype(np.uint8)
-            seq_codes = nib[:total]
-        return MinimizerIndex(int(k), int(w), int(flag), names, lens,
-                              offsets, seq_codes, occ_hash, occ_pos)
+    magic = f.read(4)
+    if magic != MMI_MAGIC:
+        return None
+    w, k, b, n_seq, flag = np.frombuffer(f.read(20), np.uint32)
+    names: list[str] = []
+    lens = np.empty(n_seq, np.uint32)
+    for i in range(n_seq):
+        ln = f.read(1)[0]
+        names.append(f.read(ln).decode() if ln else str(i))
+        lens[i] = np.frombuffer(f.read(4), np.uint32)[0]
+    offsets = np.zeros(n_seq, np.uint64)
+    total = 0
+    for i in range(n_seq):
+        offsets[i] = total
+        total += int(lens[i])
+    hash_chunks = []
+    pos_chunks = []
+    for i in range(1 << int(b)):
+        n_p = int(np.frombuffer(f.read(4), np.uint32)[0])
+        p = np.frombuffer(f.read(8 * n_p), np.uint64)
+        size = int(np.frombuffer(f.read(4), np.uint32)[0])
+        if size == 0:
+            continue
+        kv = np.frombuffer(f.read(16 * size), np.uint64).reshape(size, 2)
+        keys, vals = kv[:, 0], kv[:, 1]
+        minier = ((keys >> np.uint64(1)) << np.uint64(int(b))) \
+            | np.uint64(i)
+        single = (keys & np.uint64(1)) == 1
+        if single.any():
+            hash_chunks.append(minier[single])
+            pos_chunks.append(vals[single])
+        multi = ~single
+        if multi.any():
+            off = (vals[multi] >> np.uint64(32)).astype(np.int64)
+            cnt = (vals[multi] & np.uint64(0xFFFFFFFF)).astype(np.int64)
+            reps = np.repeat(minier[multi], cnt)
+            idx = np.repeat(off, cnt) + (
+                np.arange(reps.shape[0], dtype=np.int64)
+                - np.repeat(np.cumsum(cnt) - cnt, cnt))
+            hash_chunks.append(reps)
+            pos_chunks.append(p[idx])
+    if hash_chunks:
+        occ_hash = np.concatenate(hash_chunks)
+        occ_pos = np.concatenate(pos_chunks)
+        order = np.lexsort((occ_pos, occ_hash))
+        occ_hash = np.ascontiguousarray(occ_hash[order])
+        occ_pos = np.ascontiguousarray(occ_pos[order])
+    else:
+        occ_hash = np.empty(0, np.uint64)
+        occ_pos = np.empty(0, np.uint64)
+    seq_codes = np.empty(total, np.uint8)
+    if not (int(flag) & MM_I_NO_SEQ):
+        n_words = (total + 7) // 8
+        S = np.frombuffer(f.read(4 * n_words), np.uint32)
+        nib = np.empty(n_words * 8, np.uint8)
+        for j in range(8):  # unpack 4-bit codes (mm_seq4_get)
+            nib[j::8] = ((S >> np.uint32(4 * j)) & np.uint32(0xF)
+                         ).astype(np.uint8)
+        seq_codes = nib[:total]
+    return MinimizerIndex(int(k), int(w), int(flag), names, lens,
+                          offsets, seq_codes, occ_hash, occ_pos)
 
 
 def _save_mmi(index: "MinimizerIndex", path: str) -> None:
     """Write the reference's binary index format (mm_idx_dump,
     index.c:463-502); loadable by minimap2 v2.24."""
+    with open(path, "wb") as f:
+        _save_mmi_part(index, f)
+
+
+def save_mmi_parts(parts, path: str) -> int:
+    """Append successive index parts to one .mmi, exactly as the
+    reference's -d with a multi-part index does (one mm_idx_dump per
+    part into idx_rdr->fp_out, main.c:404+ / index.c:619)."""
+    n = 0
+    with open(path, "wb") as f:
+        for index in parts:
+            _save_mmi_part(index, f)
+            n += 1
+    return n
+
+
+def _save_mmi_part(index: "MinimizerIndex", f) -> None:
     b = 14
     mask = np.uint64((1 << b) - 1)
-    with open(path, "wb") as f:
-        f.write(MMI_MAGIC)
-        np.array([index.w, index.k, b, index.n_seq, index.flag],
-                 np.uint32).tofile(f)
-        for i in range(index.n_seq):
-            name = index.names[i].encode()[:255]
-            f.write(bytes([len(name)]))
-            f.write(name)
-            np.array([index.lens[i]], np.uint32).tofile(f)
-        buckets = (index.occ_hash & mask).astype(np.int64)
-        # group by (bucket, key): occ table is already hash-sorted
-        for i in range(1 << b):
-            sel = np.nonzero(buckets == i)[0]
-            h = index.occ_hash[sel]
-            pos = index.occ_pos[sel]
-            uniq, starts, counts = np.unique(h, return_index=True,
-                                             return_counts=True)
-            singles = counts == 1
-            p = pos[np.concatenate([
-                np.arange(s, s + c) for s, c, m in
-                zip(starts, counts, singles) if not m]) if (~singles).any()
-                else np.empty(0, np.int64)]
-            np.array([p.shape[0]], np.uint32).tofile(f)
-            p.astype(np.uint64).tofile(f)
-            np.array([uniq.shape[0]], np.uint32).tofile(f)
-            if uniq.shape[0] == 0:
-                continue
-            kv = np.empty((uniq.shape[0], 2), np.uint64)
-            off = 0
-            for j, (u, s, c) in enumerate(zip(uniq, starts, counts)):
-                key = (u >> np.uint64(b)) << np.uint64(1)
-                if c == 1:
-                    kv[j] = (key | np.uint64(1), pos[s])
-                else:
-                    kv[j] = (key, (np.uint64(off) << np.uint64(32))
-                             | np.uint64(c))
-                    off += int(c)
-            kv.tofile(f)
-        if not (index.flag & MM_I_NO_SEQ):
-            total = int(index.lens.sum())
-            n_words = (total + 7) // 8
-            nib = np.zeros(n_words * 8, np.uint8)
-            nib[:total] = index.seq_codes
-            S = np.zeros(n_words, np.uint32)
-            for j in range(8):
-                S |= nib[j::8].astype(np.uint32) << np.uint32(4 * j)
-            S.tofile(f)
+    f.write(MMI_MAGIC)
+    np.array([index.w, index.k, b, index.n_seq, index.flag],
+             np.uint32).tofile(f)
+    for i in range(index.n_seq):
+        name = index.names[i].encode()[:255]
+        f.write(bytes([len(name)]))
+        f.write(name)
+        np.array([index.lens[i]], np.uint32).tofile(f)
+    buckets = (index.occ_hash & mask).astype(np.int64)
+    # group by (bucket, key): occ table is already hash-sorted
+    for i in range(1 << b):
+        sel = np.nonzero(buckets == i)[0]
+        h = index.occ_hash[sel]
+        pos = index.occ_pos[sel]
+        uniq, starts, counts = np.unique(h, return_index=True,
+                                         return_counts=True)
+        singles = counts == 1
+        p = pos[np.concatenate([
+            np.arange(s, s + c) for s, c, m in
+            zip(starts, counts, singles) if not m]) if (~singles).any()
+            else np.empty(0, np.int64)]
+        np.array([p.shape[0]], np.uint32).tofile(f)
+        p.astype(np.uint64).tofile(f)
+        np.array([uniq.shape[0]], np.uint32).tofile(f)
+        if uniq.shape[0] == 0:
+            continue
+        kv = np.empty((uniq.shape[0], 2), np.uint64)
+        off = 0
+        for j, (u, s, c) in enumerate(zip(uniq, starts, counts)):
+            key = (u >> np.uint64(b)) << np.uint64(1)
+            if c == 1:
+                kv[j] = (key | np.uint64(1), pos[s])
+            else:
+                kv[j] = (key, (np.uint64(off) << np.uint64(32))
+                         | np.uint64(c))
+                off += int(c)
+        kv.tofile(f)
+    if not (index.flag & MM_I_NO_SEQ):
+        total = int(index.lens.sum())
+        n_words = (total + 7) // 8
+        nib = np.zeros(n_words * 8, np.uint8)
+        nib[:total] = index.seq_codes
+        S = np.zeros(n_words, np.uint32)
+        for j in range(8):
+            S |= nib[j::8].astype(np.uint32) << np.uint32(4 * j)
+        S.tofile(f)
 
 
 def from_fasta_parts2(path: str, opts: IndexOptions, batch_size: int):
     """Yield (index, is_last) multi-part indices of >= batch_size bases
     each (mm_idx_reader_read batching, index.c:583-628).  is_last mirrors
-    mm_idx_reader_eof (main.c:413) via a one-record lookahead."""
+    mm_idx_reader_eof (main.c:413) via a one-record lookahead.
+
+    Prebuilt targets yield their stored parts: a multi-part .mmi replays
+    the parts as dumped (batch_size is ignored, like the reference's
+    reader for .idx inputs, index.c:609-615); .npz is single-part."""
+    if path.endswith(".npz"):
+        yield MinimizerIndex.load(path), True
+        return
+    if _is_mmi(path):
+        it = load_mmi_parts(path)
+        pending = next(it, None)
+        pid = 0
+        while pending is not None:
+            nxt = next(it, None)
+            pending.index_id = pid
+            pid += 1
+            yield pending, nxt is None
+            pending = nxt
+        return
     it = read_fastx(path)
     part: list[SeqRecord] = []
     total = 0

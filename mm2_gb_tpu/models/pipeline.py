@@ -163,6 +163,8 @@ class TpuMetrics:
     n_dispatch: int = 0      # kernel launches
     n_batches: int = 0
     n_spills: int = 0        # batches cut by anchor/read caps
+    n_scanned: int = 0       # input records seen (incl. other ranks' in
+    #                          a sharded run) — multi-host completeness
     cells_used: int = 0      # anchors placed in packed layouts
     cells_alloc: int = 0     # packed layout capacity (excl. window pad)
     # per-window-class readback stats: W -> [wait_s, pairs, n_collects]
@@ -233,6 +235,7 @@ def _acc_batches(index: MinimizerIndex, opt: MapOptions, paths: list[str],
         for rec in batch:
             gidx += 1
             rec.rid = gidx
+            metrics.n_scanned += 1
             if shard is not None and gidx % shard[1] != shard[0]:
                 continue
             if opt.dbg_print_qname:  # QR dump (map.c:938-941)

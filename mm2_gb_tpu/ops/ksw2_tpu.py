@@ -129,9 +129,8 @@ def _row_params(qlen: int, tlen: int, w: int):
     return rows, st, en, st0, en0, dropped, r_true
 
 
-def _interpret() -> bool:
-    """Pallas kernels need interpret mode off-TPU (CPU meshes, tests)."""
-    return jax.default_backend() != "tpu"
+from mm2_gb_tpu.ops.chain_tpu import _interpret  # noqa: E402  (single
+# backend check shared with the chain kernels)
 
 
 def band_width(w: int, nb: int) -> int:

@@ -42,7 +42,12 @@ def _load_idx(prefix: str, rank: int, nproc: int):
             f"truncated; refusing to merge")
     n_done = int(idx_lines[-1].split("\t")[1])
     recs = []
+    totals: dict[int, int] = {}
     for raw in idx_lines[:-1]:
+        if raw.startswith("#file\t"):
+            _, fi, n = raw.split("\t")
+            totals[int(fi)] = int(n)
+            continue
         fi, gidx, n_lines = (int(v) for v in raw.split("\t"))
         if fi >= 0 and gidx % nproc != rank:
             raise ShardError(
@@ -68,27 +73,38 @@ def _load_idx(prefix: str, rank: int, nproc: int):
         raise ShardError(
             f"rank {rank}: shard body has {actual} lines but the idx "
             f"claims {expect} — truncated or trailing data")
-    return recs
+    return recs, totals
 
 
 def merge(prefix: str, nproc: int, out) -> int:
-    per_rank = [_load_idx(prefix, r, nproc) for r in range(nproc)]
+    loaded = [_load_idx(prefix, r, nproc) for r in range(nproc)]
+    per_rank = [recs for recs, _t in loaded]
 
-    # per-file completeness across ranks: the union of read indices must
-    # be the contiguous range 0..max (a crashed rank that still wrote a
-    # sentinel would leave holes)
+    # per-file completeness across ranks.  Every rank scans the whole
+    # file and records its total in a #file record, so the ranks must
+    # agree on each file's read count and the union of read indices must
+    # be exactly range(total) — detecting interior holes AND trailing
+    # losses (e.g. one rank ran against a truncated copy of the file)
+    totals: dict[int, int] = {}
+    for r, (_recs, t) in enumerate(loaded):
+        for fi, n in t.items():
+            if fi in totals and totals[fi] != n:
+                raise ShardError(
+                    f"file {fi}: ranks disagree on its read count "
+                    f"({totals[fi]} vs rank {r}'s {n})")
+            totals.setdefault(fi, n)
     seen: dict[int, set] = {}
     for recs in per_rank:
         for fi, gidx, _ in recs:
             if fi >= 0:
                 seen.setdefault(fi, set()).add(gidx)
     for fi, idxs in seen.items():
-        want = max(idxs) + 1
-        if len(idxs) != want:
+        want = totals.get(fi, max(idxs) + 1)
+        if len(idxs) != want or (idxs and max(idxs) + 1 > want):
             missing = sorted(set(range(want)) - idxs)[:5]
             raise ShardError(
-                f"file {fi}: {want - len(idxs)} reads missing from the "
-                f"shards (first: {missing})")
+                f"file {fi}: {abs(want - len(idxs))} reads missing from "
+                f"the shards (first: {missing})")
 
     bodies = [open(f"{prefix}.shard{r}") for r in range(nproc)]
     try:

@@ -533,3 +533,41 @@ def test_fused_pack_matches_numpy_path():
     assert np.array_equal(src_f, src)
     assert np.array_equal(start_f, start)
     assert pairs == int(rng[src].astype(np.int64).sum())
+
+
+def test_mergeshards_trailing_loss_and_total_disagreement(tmp_path):
+    """Synthetic shards: per-file #file totals let the merge detect
+    TRAILING read losses (one rank saw a truncated query file) and
+    cross-rank total disagreement — not just interior holes."""
+    import subprocess
+    import sys as _sys
+
+    def write_rank(rank, recs, total, done=None):
+        body, idx = [], []
+        for fi, gidx in recs:
+            line = f"read{gidx}\tline\n"
+            body.append(line)
+            idx.append(f"{fi}\t{gidx}\t1")
+        idx.append(f"#file\t0\t{total}")
+        idx.append(f"#done\t{done if done is not None else len(recs)}")
+        open(tmp_path / f"mh.shard{rank}", "w").write("".join(body))
+        open(tmp_path / f"mh.shard{rank}.idx", "w").write(
+            "\n".join(idx) + "\n")
+
+    # healthy: 4 reads, ranks own evens/odds
+    write_rank(0, [(0, 0), (0, 2)], 4)
+    write_rank(1, [(0, 1), (0, 3)], 4)
+    ok = subprocess.run(
+        [_sys.executable, "-m", "mm2_gb_tpu.tools.mergeshards",
+         str(tmp_path / "mh"), "2"], capture_output=True, text=True)
+    assert ok.returncode == 0
+    assert ok.stdout.splitlines() == [f"read{i}\tline" for i in range(4)]
+
+    # trailing loss: rank 1 only saw 2 reads (truncated file copy) but
+    # wrote a valid sentinel; union {0,1,2} vs total 4
+    write_rank(1, [(0, 1)], 2)
+    bad = subprocess.run(
+        [_sys.executable, "-m", "mm2_gb_tpu.tools.mergeshards",
+         str(tmp_path / "mh"), "2"], capture_output=True, text=True)
+    assert bad.returncode != 0
+    assert "disagree" in bad.stderr or "missing" in bad.stderr

@@ -37,3 +37,52 @@ def test_mmi_roundtrip(tmp_path, ref_test_dir):
     assert np.array_equal(idx.occ_pos, back.occ_pos)
     assert np.array_equal(idx.seq_codes, back.seq_codes)
     assert idx.names == back.names
+
+
+def test_multipart_mmi_dump_and_map(tmp_path, capsys):
+    """-d with -I appends parts into ONE .mmi (main.c:404+ loop);
+    mapping against a multi-part .mmi replays the stored parts per-part
+    like the reference's index reader, and the reference binary can read
+    our multi-part dump."""
+    import gzip
+    import os
+    import subprocess
+    import sys as _sys
+
+    from mm2_gb_tpu.cli import main
+    from mm2_gb_tpu.models.index import load_mmi_parts
+    from tests.conftest import golden_path
+
+    ref_gz = golden_path("splitq_ref.fa.gz")
+    ref_fa = str(tmp_path / "r.fa")
+    with gzip.open(ref_gz, "rt") as f:
+        open(ref_fa, "w").write(f.read())
+    q_gz = golden_path("splitq_q1.fa.gz")
+    mmi = str(tmp_path / "mp.mmi")
+    rc = main(["-I", "100k", "-d", mmi, ref_fa])
+    assert rc == 0
+    capsys.readouterr()
+    parts = list(load_mmi_parts(mmi))
+    assert len(parts) > 1
+
+    # our mapping against our multi-part dump == the reference binary
+    # mapping against ITS OWN multi-part dump of the same fasta
+    ref_bin = "/tmp/refbuild/minimap2_cpu"
+    if not os.path.exists(ref_bin):
+        import pytest
+        pytest.skip("reference binary unavailable")
+    ref_mmi = str(tmp_path / "ref.mmi")
+    subprocess.run([ref_bin, "-I", "100k", "-d", ref_mmi, ref_fa],
+                   capture_output=True)
+    gold = subprocess.run(
+        [ref_bin, "-t", "1", "--max-chain-skip=2147483647", "-c",
+         ref_mmi, q_gz], capture_output=True, text=True).stdout
+    rc = main(["--max-chain-skip=2147483647", "-c", mmi, q_gz])
+    assert rc == 0
+    assert capsys.readouterr().out == gold
+
+    # interop: the reference binary maps with OUR multi-part dump
+    theirs = subprocess.run(
+        [ref_bin, "-t", "1", "--max-chain-skip=2147483647", "-c",
+         mmi, q_gz], capture_output=True, text=True).stdout
+    assert theirs == gold
