@@ -114,6 +114,10 @@ def make_genomic(rng, tag):
         ["--no-long-join", "-c"], ["-M", "0.3", "-c"], ["-N", "0", "-c"],
         ["--cap-sw-mem", "1m", "-c"], ["-a", "-Y"], ["-a", "-Q"],
         ["--heap-sort=yes", "-c"], ["--dual=no"], ["-g", "2k", "-c"],
+        # round-3 additions: HPC sketching, large k/w, secondary modes
+        ["-H"], ["-H", "-c"], ["-H", "-x", "map-pb", "-c"],
+        ["-k", "19", "-w", "19", "-c"], ["-k", "28", "-w", "28"],
+        ["--secondary", "no", "-c"], ["-p", "0.9", "-N", "2", "-c"],
     ]
     if multi_ctg:  # multi-part index build + two-phase merge
         flag_pool += [["-I", "100k", "--split-prefix", f"/tmp/fz_{tag}_sp",
