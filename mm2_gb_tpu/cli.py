@@ -12,11 +12,11 @@ from __future__ import annotations
 import argparse
 import sys
 
-from mm2_gb_tpu.models.index import MinimizerIndex
-from mm2_gb_tpu.models.mapper import map_frag
+# NOTE: numpy/jax consumers (models.*, utils.paf) are imported lazily
+# inside _run so `--version`/`--help`/arg-error paths start instantly
+# (main.c-grade CLI latency; numpy alone costs ~0.35 s, the axon jax
+# site hook ~1.9 s — bin/mm2-gb-tpu strips that hook for host-only runs)
 from mm2_gb_tpu.utils import opts as O
-from mm2_gb_tpu.utils.fastx import read_fastx
-from mm2_gb_tpu.utils.paf import write_paf
 
 
 def _parse_num(s: str) -> int:
@@ -501,6 +501,9 @@ def main(argv: list[str] | None = None) -> int:
 
 
 def _run(args, argv, io, mo) -> int:
+    # heavy imports deferred to here: `--version`/`--help`/arg errors
+    # must not pay the numpy startup tax
+    from mm2_gb_tpu.models.index import MinimizerIndex
     apply_overrides(args, io, mo)
     if (mo.flag & O.MM_F_SPLICE) and (mo.flag & O.MM_F_FRAG_MODE):
         sys.stderr.write("[ERROR] --splice and --frag should not be "
@@ -524,12 +527,9 @@ def _run(args, argv, io, mo) -> int:
     from mm2_gb_tpu.models.index import _is_mmi
     if args.dump_index and args.batch_size is not None \
             and not (args.target.endswith(".npz") or _is_mmi(args.target)):
-        # -d with -I: successive parts append into ONE .mmi, exactly as
-        # the reference's reader/dumper loop does (main.c:404+)
-        if not args.dump_index.endswith(".mmi"):
-            sys.stderr.write("[ERROR] multi-part dump (-d with -I) needs "
-                             "a .mmi output.\n")
-            return 1
+        # -d with -I: successive parts append into ONE file in mmi
+        # format regardless of its name, exactly as the reference's
+        # reader/dumper loop does (main.c:404+ writes mmi to any -d path)
         from mm2_gb_tpu.models.index import from_fasta_parts, save_mmi_parts
         s = args.batch_size
         mult = {"k": 10**3, "K": 10**3, "m": 10**6, "M": 10**6,
@@ -568,7 +568,6 @@ def _run(args, argv, io, mo) -> int:
                              bs, args.split_prefix, args.rg,
                              (argv if argv is not None else sys.argv[1:]),
                              args.verbose, args.threads)
-    from mm2_gb_tpu.models.index import _is_mmi
     if args.target.endswith(".npz") or _is_mmi(args.target):
         if _is_mmi(args.target) and args.query:
             # a prebuilt index may hold multiple parts; those must go
@@ -651,13 +650,12 @@ def _run(args, argv, io, mo) -> int:
                          "single-segment reads.\n")
         return 1
     if is_sam:
-        from mm2_gb_tpu.utils.sam import write_sam_header
-        from mm2_gb_tpu import __version__
+        from mm2_gb_tpu.utils.sam import PG_VN, write_sam_header
         if args.rg:
             rg = args.rg.replace("\\t", "\t")
             rg_id = next((f[3:] for f in rg.split("\t")
                           if f.startswith("ID:")), None)
-        sam_header = write_sam_header(index, args.rg, __version__,
+        sam_header = write_sam_header(index, args.rg, PG_VN,
                                       (argv if argv is not None
                                        else sys.argv[1:])) + "\n"
         if not ((mo.flag & O.MM_F_TPU_CHAIN) and args.tpu_nproc > 1):
@@ -791,6 +789,7 @@ def _qname_same(a: str, b: str) -> bool:
 
 def res_regs_out(out, index, mo, rec, regs, rep_len, is_sam, rg_id,
                  seg_idx, n_seg, seg_regs) -> None:
+    from mm2_gb_tpu.utils.paf import write_paf
     from mm2_gb_tpu.utils.sam import write_sam_record
     if regs:
         for j, r in enumerate(regs):

@@ -494,7 +494,8 @@ def set_mapq(regs: list[Region], min_chain_sc: int, match_sc: int,
                          + 2**31) % 2**32) - 2**31
                 mapq = max(mapq, 0)
                 r.mapq = min(mapq, 60)
-                if r.p is not None and r.p.dp_max > r.p.dp_max2                         and r.mapq == 0:
+                if (r.p is not None and r.p.dp_max > r.p.dp_max2
+                        and r.mapq == 0):
                     r.mapq = 1
             else:
                 r.mapq = 0

@@ -45,10 +45,9 @@ def map_multipart(target: str, paths: list[str], io, mo, out,
         # each part independently and print as they go (main.c:404-462
         # index-reader loop).  For SAM, @SQ lines are suppressed when
         # more parts follow (mm_write_sam_hdr(0,...), main.c:418-421).
-        from mm2_gb_tpu import __version__
         from mm2_gb_tpu.models.index import from_fasta_parts2
         from mm2_gb_tpu.models.stream import map_file_stream
-        from mm2_gb_tpu.utils.sam import write_sam_header
+        from mm2_gb_tpu.utils.sam import PG_VN, write_sam_header
         rg_id = None
         n_parts = 0
         for index, is_last in from_fasta_parts2(target, io, batch_size):
@@ -59,7 +58,7 @@ def map_multipart(target: str, paths: list[str], io, mo, out,
                     rg_id = next((f[3:] for f in rg.split("\t")
                                   if f.startswith("ID:")), None)
                 out.write(write_sam_header(index if is_last else None,
-                                           rg, __version__, cli_args)
+                                           rg, PG_VN, cli_args)
                           + "\n")
                 if not is_last and verbose >= 2:
                     sys.stderr.write(
@@ -158,8 +157,7 @@ def map_multipart(target: str, paths: list[str], io, mo, out,
     is_sam = bool(mo.flag & O.MM_F_OUT_SAM)
     rg_id = None
     if is_sam:
-        from mm2_gb_tpu import __version__
-        from mm2_gb_tpu.utils.sam import write_sam_header
+        from mm2_gb_tpu.utils.sam import PG_VN, write_sam_header
         if rg:  # -R forwarded through the multipart path (main.c:196)
             rg = rg.replace("\\t", "\t")
             rg_id = next((f[3:] for f in rg.split("\t")
@@ -167,7 +165,7 @@ def map_multipart(target: str, paths: list[str], io, mo, out,
         # split-prefix order: @RG/@PG first without @SQ (main.c:415-417),
         # @SQ lines printed by the merge pass (mm_split_merge,
         # map.c:1466-1468)
-        out.write(write_sam_header(None, rg, __version__, cli_args) + "\n")
+        out.write(write_sam_header(None, rg, PG_VN, cli_args) + "\n")
         for i in range(merged.n_seq):
             out.write(f"@SQ\tSN:{merged.names[i]}"
                       f"\tLN:{int(merged.lens[i])}\n")

@@ -119,6 +119,13 @@ def _nofma(x: jnp.ndarray) -> jnp.ndarray:
     finite input but cannot be folded away (x could be -inf for all the
     compiler knows), so the add's operand is no longer a multiply and
     fmuladd formation is blocked on every backend.
+
+    FINITE-RANGE ASSUMPTION: a true -inf product would be clamped to
+    -FLT_MAX here and diverge from the oracle's -inf.  Not reachable with
+    the bounded operands we feed it — dd/dg < 2*max_dist <= 2^31 and
+    |cg|,|cs| <= 255*0.99 (mm_mapopt_update caps chn_pen_gap/skip at
+    0.99*avg_qspan, avg_qspan <= 255), so |product| < 2^40 << FLT_MAX —
+    but any NEW caller must keep its operands finite-bounded.
     """
     return jnp.maximum(x, jnp.float32(-3.4028235e38))
 

@@ -105,6 +105,13 @@ def merge(prefix: str, nproc: int, out) -> int:
             raise ShardError(
                 f"file {fi}: {abs(want - len(idxs))} reads missing from "
                 f"the shards (first: {missing})")
+    # a file ALL ranks counted but none shipped records for must also
+    # abort, not silently vanish from the merged output
+    for fi, want in totals.items():
+        if want > 0 and fi not in seen:
+            raise ShardError(
+                f"file {fi}: ranks report {want} reads but no shard "
+                f"carries any record for it")
 
     bodies = [open(f"{prefix}.shard{r}") for r in range(nproc)]
     try:

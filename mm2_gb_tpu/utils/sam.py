@@ -16,6 +16,13 @@ from mm2_gb_tpu.utils.opts import (MM_F_COPY_COMMENT, MM_F_LONG_CIGAR,
                                    MM_F_OUT_CS_LONG, MM_F_OUT_MD,
                                    MM_F_SOFTCLIP)
 
+# @PG VN: value.  The byte contract includes the SAM header, so the
+# default is the reference binary's MM_VERSION (main.c:15); set
+# MM2TPU_PG_VN to brand the header with this package's own version.
+import os as _os  # noqa: E402
+
+PG_VN = _os.environ.get("MM2TPU_PG_VN", "2.24-mm2-gb-biosys")
+
 CIGAR_STR = "MIDNSHP=XB"
 _COMP = {"A": "T", "C": "G", "G": "C", "T": "A", "a": "t", "c": "g",
          "g": "c", "t": "a", "U": "A", "u": "a", "R": "Y", "Y": "R",

@@ -52,7 +52,9 @@ def test_cigar_paf_byte_match(ref_test_dir, target, query, golden, capsys):
 
 
 def test_sam_byte_match(ref_test_dir, capsys):
-    """SAM records match the reference; @PG differs by design (CL/VN)."""
+    """SAM records match the reference; @PG CL: differs only because the
+    golden was generated with the reference binary's own argv (the live
+    full-byte check incl. @PG is test_sam_full_byte_match_vs_binary)."""
     rc = main(["--max-chain-skip=2147483647", "-a",
                os.path.join(ref_test_dir, "t-inv.fa"),
                os.path.join(ref_test_dir, "q-inv.fa")])
@@ -62,6 +64,26 @@ def test_sam_byte_match(ref_test_dir, capsys):
     with open(golden_path("t-inv.skipinf.sam")) as f:
         want = [l for l in f.read().splitlines() if not l.startswith("@PG")]
     assert got == want
+
+
+REF_BIN = "/tmp/refbuild/minimap2_cpu"
+
+
+@pytest.mark.skipif(not os.path.exists(REF_BIN),
+                    reason="reference binary not built")
+def test_sam_full_byte_match_vs_binary(ref_test_dir, capsys):
+    """FULL SAM — header @PG line included — equals the reference binary
+    byte for byte when both are invoked with the identical argv (the @PG
+    VN: default is the reference's MM_VERSION, main.c:15/format.c:128)."""
+    import subprocess
+    args = ["-a", "-t", "1", "--max-chain-skip=2147483647",
+            os.path.join(ref_test_dir, "MT-human.fa"),
+            os.path.join(ref_test_dir, "MT-orang.fa")]
+    ref = subprocess.run([REF_BIN, *args], capture_output=True, text=True)
+    assert ref.returncode == 0
+    rc = main(args)
+    assert rc == 0
+    assert capsys.readouterr().out == ref.stdout
 
 
 MODE_CASES = [
