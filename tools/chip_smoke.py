@@ -1,0 +1,352 @@
+"""In-round chip evidence loop (round-3 VERDICT item #1).
+
+Probes the axon tunnel and, when the TPU is alive, runs the full
+device-vs-gold battery the reference culture demands (gpu/debug.h:31-59,
+planalyze.cu:59-86 device-vs-host checkers + event tables):
+
+  1. chain kernel bit-equality vs the host oracle — standard, is_cdna
+     (splice) and the compact-transfer scatter path;
+  2. extd2 / extension / exts2 device alignment kernels (REAL kernels,
+     interpret=False) vs the byte-exact host oracle, plus a fenced
+     Gcells/s timing;
+  3. chain kernel throughput (Gpairs/s, planalyze methodology — reuses
+     bench.py's stage);
+  4. end-to-end CLI vs the reference binary: --tpu-chain and
+     --tpu-chain --tpu-align -c, byte gate + wall at equal threads.
+
+Every stage appends into one result dict that is re-written (flushed,
+atomic rename) to benchmarks/results/chip_smoke_<utc>.json after each
+stage, so a tunnel death mid-run loses only the stages not yet run.
+Exit code 0 always (evidence collection, not a gate); the JSON carries
+the pass/fail booleans.
+
+Usage:  python tools/chip_smoke.py [--budget SECONDS]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import threading
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+REF_BIN = "/tmp/refbuild/minimap2_cpu"
+T_START = time.perf_counter()
+BUDGET = float(os.environ.get("MM2TPU_SMOKE_BUDGET", "1500"))
+
+STAMP = time.strftime("%Y%m%d_%H%M%S", time.gmtime())
+OUT_DIR = os.path.join(REPO, "benchmarks", "results")
+OUT_PATH = os.path.join(OUT_DIR, f"chip_smoke_{STAMP}.json")
+
+RESULT: dict = {"utc": STAMP, "host": os.uname().nodename}
+_lock = threading.Lock()
+
+
+def flush() -> None:
+    os.makedirs(OUT_DIR, exist_ok=True)
+    with _lock:
+        snap = dict(RESULT)
+    tmp = OUT_PATH + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(snap, f, indent=1)
+        f.write("\n")
+    os.replace(tmp, OUT_PATH)
+    print(json.dumps(snap), flush=True)
+
+
+def remaining() -> float:
+    return BUDGET - (time.perf_counter() - T_START)
+
+
+def _watchdog() -> None:
+    while True:
+        left = BUDGET - 5.0 - (time.perf_counter() - T_START)
+        if left <= 0:
+            RESULT["watchdog_timeout"] = True
+            flush()
+            os._exit(0)
+        time.sleep(min(left, 5.0))
+
+
+def fence(arr) -> None:
+    """Force device completion (tunnel futures resolve at enqueue)."""
+    import jax
+    jax.device_get(arr.reshape(-1)[:1])
+
+
+# ------------------------------------------------------------- stage 1
+def chain_smoke() -> None:
+    """Device chain scores == host oracle, bit for bit: standard,
+    is_cdna, and the compact (5,n)-operand transfer path."""
+    import bench
+
+    from mm2_gb_tpu.ops import chain as chain_ops
+    from mm2_gb_tpu.ops import chain_tpu
+
+    ax, ay, bounds, mo, index = bench.build_workload()
+    cg = float(np.float32(float(np.float32(mo.chain_gap_scale)) * 0.01
+                          * index.k))
+    max_dist = max(mo.max_gap, mo.bw)
+    # standard path over the first reads (full device packing + kernels)
+    s0, e0 = int(bounds[0]), int(bounds[min(6, len(bounds) - 1)])
+    sub_bounds = bounds[:min(7, len(bounds))] - s0
+    f, p = chain_tpu.chain_scores_device(
+        ax[s0:e0], ay[s0:e0], sub_bounds, max_dist, max_dist, mo.bw,
+        mo.max_chain_iter, cg, 0.0)
+    fo, po = chain_ops._chain_dp_scores(
+        ax[s0:e0], ay[s0:e0], max_dist, max_dist, mo.bw, 2**31 - 1,
+        mo.max_chain_iter, np.float32(cg), np.float32(0.0), False, 1)
+    RESULT["chain_std_match"] = bool(np.array_equal(fo, f)
+                                     and np.array_equal(po, p))
+    flush()
+
+    # is_cdna (splice chain scoring) — intron-like jumps
+    rng = np.random.default_rng(21)
+    n = 400
+    rpos = np.cumsum(rng.integers(1, 60, n)).astype(np.uint64)
+    qpos = np.maximum.accumulate(
+        np.maximum(np.cumsum(rng.integers(1, 12, n)), 1)).astype(np.uint64)
+    cax = rpos
+    cay = (np.uint64(15) << np.uint64(32)) | qpos
+    cb = np.array([0, n], np.int64)
+    ccg = float(np.float32(float(np.float32(0.8)) * 0.01 * 15))
+    fd, pd = chain_tpu.dispatch_scores(cax, cay, cb, 5000, 5000, 500,
+                                       5000, ccg, 0.0,
+                                       is_cdna=True).collect()
+    fo2, po2 = chain_ops._chain_dp_scores(cax, cay, 5000, 5000, 500,
+                                          2**31 - 1, 5000, np.float32(ccg),
+                                          np.float32(0.0), True, 1)
+    RESULT["chain_cdna_match"] = bool(np.array_equal(fo2, fd)
+                                      and np.array_equal(po2, pd))
+    flush()
+
+
+# ------------------------------------------------------------- stage 2
+def ksw2_smoke() -> None:
+    """extd2 / extension / exts2 REAL device kernels vs the host oracle
+    (the default suite only exercises these in interpret mode)."""
+    from mm2_gb_tpu.ops import ksw2
+    from mm2_gb_tpu.ops import ksw2_splice as S
+    from mm2_gb_tpu.ops.ksw2_tpu import (FillCall, ext_batch_device,
+                                         extd2_batch_device,
+                                         exts2_batch_device)
+
+    MAT = ksw2.gen_simple_mat(5, 2, 4, 1)
+    APPROX = ksw2.KSW_EZ_APPROX_MAX
+
+    def rand_pair(rng, qlen, tlen, div=0.1):
+        base = rng.integers(0, 4, max(qlen, tlen)).astype(np.uint8)
+        t = base[:tlen].copy()
+        q = base[:qlen].copy()
+        n_mut = int(qlen * div)
+        if n_mut:
+            pos = rng.integers(0, qlen, n_mut)
+            q[pos] = rng.integers(0, 4, n_mut).astype(np.uint8)
+        return q, t
+
+    # -- extd2 gap fills (mixed sizes spanning several size classes)
+    rng = np.random.default_rng(11)
+    calls = []
+    for qlen, tlen in [(60, 63), (300, 290), (700, 710), (129, 1025),
+                       (1500, 1490), (3000, 3010)]:
+        q, t = rand_pair(rng, qlen, tlen, div=0.15)
+        calls.append(FillCall(q, t, 751, False))
+    t0 = time.perf_counter()
+    got = extd2_batch_device(calls, MAT, 4, 2, 24, 1, APPROX,
+                             interpret=False)
+    dt = time.perf_counter() - t0
+    ok = True
+    cells = 0
+    for c, g in zip(calls, got):
+        want = ksw2.extd2(c.qseq, c.tseq, MAT, 4, 2, 24, 1, c.w, -1, 0,
+                          APPROX)
+        ok &= (g.score == want.score
+               and np.array_equal(g.cigar, want.cigar))
+        cells += len(c.qseq) * len(c.tseq)
+    RESULT["extd2_match"] = bool(ok)
+    RESULT["extd2_first_call_s"] = round(dt, 2)  # includes compile
+    flush()
+    # fenced steady-state timing (band cells actually relaxed)
+    reps = 4
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        got = extd2_batch_device(calls, MAT, 4, 2, 24, 1, APPROX,
+                                 interpret=False)
+    dt = (time.perf_counter() - t0) / reps
+    RESULT["extd2_gcells_s"] = round(cells / dt / 1e9, 3)
+    flush()
+
+    # -- extension (EXTZ_ONLY) kernels
+    EXTO = ksw2.KSW_EZ_EXTZ_ONLY
+    rng = np.random.default_rng(41)
+    ecalls = []
+    for qlen, tlen in [(80, 90), (300, 280), (511, 700)]:
+        q, t = rand_pair(rng, qlen, tlen)
+        ecalls.append(FillCall(q, t, 500, False, 400))
+    egot = ext_batch_device(ecalls, MAT, 4, 2, 24, 1, EXTO, -1,
+                            interpret=False)
+    eok = True
+    for c, g in zip(ecalls, egot):
+        want = ksw2.extd2(c.qseq, c.tseq, MAT, 4, 2, 24, 1, c.w, c.zdrop,
+                          -1, EXTO)
+        eok &= ((g.score, g.max, g.max_t, g.max_q, g.mqe, g.mqe_t,
+                 g.zdropped, g.reach_end)
+                == (want.score, want.max, want.max_t, want.max_q,
+                    want.mqe, want.mqe_t, want.zdropped, want.reach_end)
+                and np.array_equal(g.cigar, want.cigar))
+    RESULT["ext_match"] = bool(eok)
+    flush()
+
+    # -- exts2 splice fills
+    mat = ksw2.gen_simple_mat(5, 1, 2, 1)
+    q_, e_, q2_, noncan, jb = 2, 1, 32, 9, 9
+    flag = ksw2.KSW_EZ_APPROX_MAX | ksw2.KSW_EZ_SPLICE_FOR
+    rng = np.random.default_rng(50)
+    scalls, oracles, juncs = [], [], []
+    for seed in range(3):
+        r = np.random.default_rng(50 + seed)
+        qs = r.integers(0, 4, size=int(r.integers(80, 300))).astype(
+            np.uint8)
+        cut = int(r.integers(20, len(qs) - 20))
+        intr = r.integers(0, 4, size=int(r.integers(60, 400))).astype(
+            np.uint8)
+        intr[0], intr[1], intr[-2], intr[-1] = 2, 3, 0, 2
+        ts = np.concatenate([qs[:cut], intr, qs[cut:]]).astype(np.uint8)
+        junc = (r.integers(0, 4, size=len(ts)).astype(np.uint8)
+                if seed % 2 else None)
+        scalls.append(FillCall(qs, ts, -1, False, -1))
+        juncs.append(junc)
+        oracles.append(S.exts2(qs, ts, mat, q_, e_, q2_, noncan, -1, jb,
+                               flag, junc))
+    sgot = exts2_batch_device(scalls, mat, q_, e_, q2_, noncan, jb, flag,
+                              juncs, interpret=False)
+    sok = all(o.score == d.score
+              and np.array_equal(np.asarray(o.cigar, np.uint32),
+                                 np.asarray(d.cigar, np.uint32))
+              for o, d in zip(oracles, sgot))
+    RESULT["exts2_match"] = bool(sok)
+    flush()
+
+
+# ------------------------------------------------------------- stage 3
+def kernel_perf() -> None:
+    """Chain kernel Gpairs/s — delegates to bench.py's stage so the
+    methodology (device-resident inputs, fenced readback) stays single-
+    sourced."""
+    import bench
+    ax, ay, bounds, mo, index = bench.build_workload()
+    cg = float(np.float32(float(np.float32(mo.chain_gap_scale)) * 0.01
+                          * index.k))
+    rng = bench.cpu_stage(ax, ay, bounds, mo, cg)
+    bench.kernel_stage(ax, ay, bounds, mo, cg, rng)
+    for k in ("value", "vs_baseline", "cpu_pairs_per_s", "device_smoke"):
+        if k in bench.RESULT:
+            RESULT[f"kernel_{k}" if k == "value" else k] = bench.RESULT[k]
+    RESULT["kernel_gpairs_s"] = RESULT.pop("kernel_value", 0.0)
+    flush()
+
+
+# ------------------------------------------------------------- stage 4
+def e2e_stage() -> None:
+    """CLI vs the reference binary on the bench flowcell: byte gate +
+    wall, equal threads, two device configs."""
+    from mm2_gb_tpu.utils.simulate import random_reference, simulate_readset
+
+    if not os.path.exists(REF_BIN):
+        RESULT["e2e_skipped"] = "reference binary unavailable"
+        return
+    d = "/tmp/mm2tpu_bench_e2e"
+    os.makedirs(d, exist_ok=True)
+    ref_fa, reads_fa = os.path.join(d, "ref.fa"), os.path.join(d, "reads.fa")
+    n_reads = 600
+    if not (os.path.exists(ref_fa) and os.path.exists(reads_fa)):
+        ref = random_reference(4_000_000, seed=1)
+        reads = simulate_readset(ref, n_reads, 10_000, 100_000, seed=3)
+        with open(ref_fa, "w") as f:
+            f.write(">chr1\n")
+            for i in range(0, len(ref), 80):
+                f.write(ref[i:i + 80] + "\n")
+        with open(reads_fa, "w") as f:
+            for name, seq in reads:
+                f.write(f">{name}\n{seq}\n")
+
+    threads = os.environ.get("MM2TPU_BENCH_THREADS", "1")
+    for tag, extra in (("tpuchain", ["--tpu-chain"]),
+                       ("tpualign", ["--tpu-chain", "--tpu-align", "-c"])):
+        if remaining() < 120:
+            RESULT[f"e2e_{tag}_skipped"] = "budget"
+            flush()
+            continue
+        flags = ["--max-chain-skip=2147483647",
+                 *(["-c"] if "-c" in extra else [])]
+        t0 = time.perf_counter()
+        g = subprocess.run([REF_BIN, "-t", threads, *flags, ref_fa,
+                            reads_fa], capture_output=True, text=True)
+        ref_wall = time.perf_counter() - t0
+        cmd = [sys.executable, "-m", "mm2_gb_tpu",
+               "--max-chain-skip=2147483647", *extra, "-t", threads,
+               "-v", "3", ref_fa, reads_fa]
+        t0 = time.perf_counter()
+        try:
+            o = subprocess.run(cmd, capture_output=True, text=True,
+                               timeout=max(remaining() - 20.0, 30.0))
+        except subprocess.TimeoutExpired:
+            RESULT[f"e2e_{tag}_timeout"] = True
+            flush()
+            continue
+        wall = time.perf_counter() - t0
+        if o.returncode != 0:
+            RESULT[f"e2e_{tag}_error"] = o.stderr[-400:]
+        else:
+            RESULT[f"e2e_{tag}_wall_s"] = round(wall, 2)
+            RESULT[f"e2e_{tag}_ref_wall_s"] = round(ref_wall, 2)
+            RESULT[f"e2e_{tag}_vs_ref"] = round(ref_wall / wall, 4)
+            RESULT[f"e2e_{tag}_byte_match"] = o.stdout == g.stdout
+            RESULT[f"e2e_{tag}_threads"] = int(threads)
+            import re
+            m = re.search(r"device-wait (\d+\.\d+)s", o.stderr)
+            if m:
+                RESULT[f"e2e_{tag}_device_wait_s"] = float(m.group(1))
+        flush()
+
+
+def main() -> int:
+    threading.Thread(target=_watchdog, daemon=True).start()
+    os.chdir(REPO)
+
+    from mm2_gb_tpu.utils.tunnel import probe_device
+    alive = probe_device(min(150.0, max(remaining() - 60.0, 30.0)))
+    RESULT["device_alive"] = alive
+    flush()
+    if not alive:
+        return 0
+
+    for name, fn in (("chain_smoke", chain_smoke),
+                     ("ksw2_smoke", ksw2_smoke),
+                     ("kernel_perf", kernel_perf),
+                     ("e2e", e2e_stage)):
+        if remaining() < 60:
+            RESULT[f"{name}_skipped"] = "budget"
+            flush()
+            break
+        try:
+            fn()
+        except Exception as e:  # evidence loop: record, keep going
+            RESULT[f"{name}_error"] = f"{type(e).__name__}: {e}"[:400]
+            flush()
+    RESULT["total_s"] = round(time.perf_counter() - T_START, 1)
+    flush()
+    return 0
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 2 and sys.argv[1] == "--budget":
+        BUDGET = float(sys.argv[2])
+    sys.exit(main())
