@@ -811,9 +811,102 @@ def update_dp_max(qlen: int, regs: list[Region], frac: float, a: int,
 
 # ------------------------------------------------------------------ align1
 
+def _native_align1_ok(index, opt: MapOptions) -> bool:
+    """The C++ driver covers the plain host path: no splice/qstrand, no
+    debug dumps, no TPU fill collect/cache redirection."""
+    from mm2_gb_tpu.utils import native
+    return (native.available() and _fill_collect is None
+            and _fill_cache is None
+            and not opt.dbg_print_aln_seq
+            and not (opt.flag & (MM_F_SPLICE | MM_F_QSTRAND)))
+
+
+def _align1_native(index, opt: MapOptions, qlen: int, qseq0, r: Region,
+                   n_a: int, ax, ay):
+    """Drive one region through mmt_align1 (csrc/alignkit.cpp).
+
+    Returns (handled, r2).  handled=False means the C++ side declined
+    (semantic guard) and the Python oracle must run instead.  Z-drop
+    splits are applied here with split_reg's exact float32 staging
+    (mm_split_reg, hit.c:106-123) using the region's entry snapshot,
+    because in the C flow the split happens mid-loop, before the tail
+    coordinate assignment."""
+    import copy
+
+    from mm2_gb_tpu.utils import native
+    if r.cnt == 0:
+        return True, None
+    fwd, rc = qseq0
+    mat = ksw2.gen_simple_mat(5, opt.a, opt.b, opt.sc_ambi)
+    bw = int(opt.bw * 1.5 + 1.0)
+    bw_long = max(int(opt.bw_long * 1.5 + 1.0), bw)
+    try_inv = not (opt.flag & (MM_F_SPLICE | MM_F_SR | MM_F_FOR_ONLY
+                               | MM_F_REV_ONLY))
+    params = np.array([
+        opt.a, opt.b, opt.q, opt.e, opt.q2, opt.e2, opt.zdrop,
+        opt.zdrop_inv, opt.end_bonus, opt.max_gap, opt.min_cnt,
+        opt.min_ksw_len, opt.min_chain_score, opt.min_dp_max, bw, bw_long,
+        opt.bw, opt.max_sw_mat,
+        1 if opt.flag & MM_F_SR else 0,
+        1 if opt.flag & MM_F_NO_END_FLT else 0,
+        1 if opt.flag & MM_F_EQX else 0,
+        1 if try_inv else 0,
+        index.k,
+        1 if index.flag & MM_I_HPC else 0,
+        0 if opt.flag & MM_F_SR else 1,           # log_gap
+        r.as_, r.cnt, r.mlen,
+        1 if r.split_inv else 0,
+        r.rs, r.re, r.qs, r.qe, qlen], np.int64)
+    lens64 = (index.lens if index.lens.dtype == np.int64
+              else index.lens.astype(np.int64))
+    res = native.align1(ax, ay, n_a, index.seq_codes, index.offsets,
+                        lens64, fwd, rc, mat, params)
+    if res is None:
+        return False, None
+    out, cig = res
+    snap = copy.copy(r)  # entry state: basis for the split region
+    r.rs, r.re = int(out[6]), int(out[7])
+    r.qs, r.qe = int(out[8]), int(out[9])
+    if out[0]:
+        p = AlnExtra(cigar=cig.tolist())
+        p.dp_score = int(out[1])
+        p.dp_max = int(out[2])
+        p.n_ambi = int(out[3])
+        r.p = p
+        r.blen, r.mlen = int(out[4]), int(out[5])
+    r2 = None
+    n = int(out[10])
+    if 0 < n < snap.cnt:  # split_reg semantics on the entry snapshot
+        r2 = copy.copy(snap)
+        r2.id = -1
+        r2.sam_pri = False
+        r2.p = None
+        r2.split_inv = False
+        r2.cnt = snap.cnt - n
+        ratio = np.float32(np.float32(r2.cnt) / np.float32(snap.cnt))
+        r2.score = int(float(np.float32(np.float32(snap.score) * ratio))
+                       + 0.499)
+        r2.as_ = snap.as_ + n
+        if snap.parent == snap.id:
+            r2.parent = MM_PARENT_TMP_PRI
+        hitmod._set_coor(r2, qlen, ax, ay, False)
+        r.cnt = snap.cnt - r2.cnt
+        r.score = snap.score - r2.score
+        r.split = snap.split | 1
+        r2.split = snap.split | 2
+        if int(out[11]) == 2:
+            r2.split_inv = True
+    return True, r2
+
+
 def _align1(index, opt: MapOptions, qlen: int, qseq0, r: Region,
             n_a: int, ax, ay, splice_flag: int) -> Region | None:
     """Align one region; returns the Z-drop split remainder (align.c:573-826)."""
+    if _native_align1_ok(index, opt):
+        handled, r2 = _align1_native(index, opt, qlen, qseq0, r, n_a,
+                                     ax, ay)
+        if handled:
+            return r2
     is_sr = bool(opt.flag & MM_F_SR)
     is_splice = bool(opt.flag & MM_F_SPLICE)
     rid = (int(ax[r.as_]) << 1 & 0xFFFFFFFFFFFFFFFF) >> 33

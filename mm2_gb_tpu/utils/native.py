@@ -146,6 +146,14 @@ def _load():
         i32p, i32p, i32p, ctypes.c_int64,
         i32p, i32p, i32p, i32p, i64p, i32p, i64p,
     ]
+    lib.mmt_align1.restype = ctypes.c_int64
+    lib.mmt_align1.argtypes = [
+        u64p, u64p, ctypes.c_int64,                      # ax, ay, n_a
+        ctypes.POINTER(ctypes.c_uint8), u64p, i64p,      # seq, offsets, lens
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int8), i64p, i64p,       # mat, params, out
+        ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64,
+    ]
     _LIB = lib
     return _LIB
 
@@ -449,3 +457,36 @@ def pack_meta(rows: np.ndarray, rng_src: np.ndarray, H: int, W: int,
     lib.mmt_tile_starts(rmax.ctypes.data_as(p32), H, W, tile, n_tiles,
                         start.ctypes.data_as(p32))
     return start
+
+
+def align1(ax, ay, n_a, seq_codes, offsets, lens, fwd, rc, mat, params):
+    """Native per-region alignment driver (mmt_align1, alignkit.cpp —
+    mm_align1 semantics, align.c:573-826).  Mutates ay (seed flags) in
+    place.  Returns (out int64[12], cigar uint32[n]) or None when the
+    C++ side requests the Python fallback."""
+    import ctypes as _c
+    lib = _load()
+    u8p = _c.POINTER(_c.c_uint8)
+    i64p = _c.POINTER(_c.c_int64)
+    out = np.zeros(12, np.int64)
+    cap = int(params[33]) // 2 + 256   # qlen//2 + slack; retried if short
+    for _ in range(3):
+        cig = np.empty(cap, np.uint32)
+        n = lib.mmt_align1(
+            ax.ctypes.data_as(_c.POINTER(_c.c_uint64)),
+            ay.ctypes.data_as(_c.POINTER(_c.c_uint64)), n_a,
+            seq_codes.ctypes.data_as(u8p),
+            offsets.ctypes.data_as(_c.POINTER(_c.c_uint64)),
+            lens.ctypes.data_as(i64p),
+            fwd.ctypes.data_as(u8p), rc.ctypes.data_as(u8p),
+            mat.ctypes.data_as(_c.POINTER(_c.c_int8)),
+            params.ctypes.data_as(i64p),
+            out.ctypes.data_as(i64p),
+            cig.ctypes.data_as(_c.POINTER(_c.c_uint32)), cap)
+        if n == -2:
+            return None
+        if n == -1:
+            cap = int(out[0]) + 16
+            continue
+        return out, cig[:n]
+    raise RuntimeError("mmt_align1: cigar capacity retry failed")
