@@ -492,12 +492,28 @@ def main(argv: list[str] | None = None) -> int:
     if args.tpu_chain or args.tpu_align:
         from mm2_gb_tpu.utils.tpucfg import enable_compile_cache
         enable_compile_cache()
+        # replay recent chain executables on a daemon thread: index build
+        # and seeding overlap the tunnel's per-process compile/load
+        # latency instead of serializing behind the first dispatch
+        from mm2_gb_tpu.ops.chain_tpu import warm_start
+        warm_start(args.verbose)
     try:
-        return _run(args, argv, io, mo)
+        rc = _run(args, argv, io, mo)
     except FileNotFoundError as e:  # main.c:414 open-failure message
         sys.stderr.write(f"[ERROR] failed to open file '{e.filename}': "
                          "No such file or directory\n")
-        return 1
+        rc = 1
+    if args.tpu_chain or args.tpu_align:
+        # a warm-up thread still mid-PJRT-call would SIGABRT when the
+        # runtime tears down under it (stalled tunnel); skip the racy
+        # teardown entirely in that case
+        from mm2_gb_tpu.ops.chain_tpu import warm_shutdown
+        if not warm_shutdown(1.0):
+            import os
+            sys.stdout.flush()
+            sys.stderr.flush()
+            os._exit(rc)
+    return rc
 
 
 def _run(args, argv, io, mo) -> int:
@@ -601,7 +617,10 @@ def _run(args, argv, io, mo) -> int:
                              "sequences.\n")  # main.c:406-408
             return 1
     else:
+        from mm2_gb_tpu.utils.timeline import mark
+        mark("index build start")
         index = MinimizerIndex.from_fasta(args.target, io)
+        mark("index built")
     if args.dump_index:
         index.save(args.dump_index)
         if not args.query:
@@ -689,7 +708,10 @@ def _run_tpu_or_host(args, index, mo, rg_id, is_sam, out,
         from mm2_gb_tpu.models.pipeline import (TpuMetrics,
                                                 map_file_tpu_records)
         from mm2_gb_tpu.utils.tpucfg import derive_caps
+        from mm2_gb_tpu.utils.timeline import mark
+        mark("derive_caps start")
         derive_caps(args.verbose)  # plmem.cu:473-540 analog (HBM model)
+        mark("derive_caps done (backend up)")
         tmet = TpuMetrics()
         n_dev = args.tpu_devices
         if n_dev != 1:
@@ -712,6 +734,7 @@ def _run_tpu_or_host(args, index, mo, rg_id, is_sam, out,
                         index, mo, [q], tmet, n_threads=args.threads):
                     res_regs_out(out, index, mo, sr.rec, regs, sr.rep_len,
                                  is_sam, rg_id, 0, 1, [regs])
+        mark("mapping done")
         tmet.report(args.verbose)
         return 0
     from mm2_gb_tpu.models.stream import Metrics, map_file_stream

@@ -565,6 +565,9 @@ def dispatch_scores(ax: np.ndarray, ay: np.ndarray,
             ntiles, start_pad, packed, H=H_alloc, W=W, span=span,
             max_dist_x=max_dist_x, max_dist_y=max_dist_y, bw=bw,
             cg=cg, cs=cs, is_cdna=is_cdna)
+        if not _interpret():
+            _record_shape((tiles_alloc, n_pad, W, span, max_dist_x,
+                           max_dist_y, bw, cg, cs, bool(is_cdna)))
         pend.parts.append((dev_fp, src, n_real, W, pairs))
         if metrics is not None:
             metrics.t_dispatch += time.perf_counter() - t0
@@ -589,6 +592,142 @@ def dispatch_scores(ax: np.ndarray, ay: np.ndarray,
             pend.f[s:e] = fs
             pend.p[s:e] = np.where(ps >= 0, ps + s, -1)
     return pend
+
+
+# --------------------------------------------------------------------------
+# executable warm-up
+# --------------------------------------------------------------------------
+#
+# Over a tunneled device every per-process first call of a compiled shape
+# pays an executable compile-or-load round trip (0.5 s quiet, minutes under
+# tenant load) — the per-process analog of the reference's one-time CUDA
+# module load.  Launch signatures are tiny and recur across invocations
+# (every compiled dim is already power-of-two quantized), so we persist
+# them next to the XLA compilation cache and, at pipeline start, replay
+# the most recent ones with zero-filled operands on a daemon thread while
+# the host builds the index and seeds the first batches.  ntiles=0 makes
+# the kernel a no-op: the call costs one compile/load + one zeros upload,
+# all off the critical path.
+
+_WARM_MAX = 8          # most-recent signatures replayed per process
+_warm_seen: set = set()
+_warm_lock = None      # created lazily (threading import kept off hot path)
+_warm_thread = None
+_warm_stop = False
+
+
+def _shapes_path() -> str:
+    import os
+    loc = os.environ.get("MM2TPU_JAX_CACHE", "")
+    if loc == "0":
+        return ""
+    base = loc or os.path.join(os.path.expanduser("~"), ".cache",
+                               "mm2_gb_tpu", "jaxcache")
+    return base + ".shapes.json"
+
+
+def _record_shape(sig: tuple) -> None:
+    """Persist a launch signature (atomic rewrite, newest-last)."""
+    global _warm_lock
+    import json
+    import os
+    import threading
+    import time
+    if _warm_lock is None:
+        _warm_lock = threading.Lock()
+    with _warm_lock:
+        if sig in _warm_seen:
+            return
+        _warm_seen.add(sig)
+        path = _shapes_path()
+        if not path:
+            return
+        try:
+            entries = {}
+            if os.path.exists(path):
+                with open(path) as f:
+                    entries = {tuple(e["sig"]): e["ts"]
+                               for e in json.load(f)}
+            entries[sig] = time.time()
+            keep = sorted(entries.items(), key=lambda kv: kv[1])[-64:]
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            tmp = path + f".tmp{os.getpid()}"
+            with open(tmp, "w") as f:
+                json.dump([{"sig": list(s), "ts": t} for s, t in keep], f)
+            os.replace(tmp, path)
+        except (OSError, ValueError, TypeError, KeyError):
+            pass
+
+
+def _warm_one(sig: tuple) -> None:
+    (tiles_alloc, n_pad, W, span, max_dist_x, max_dist_y, bw,
+     cg, cs, is_cdna) = sig
+    ntiles = np.zeros(1, np.int32)
+    start = np.full(tiles_alloc, W + TILE - 1, np.int32)
+    packed = np.zeros((4, n_pad), np.int32)
+    out = chain_compact_tpu(ntiles, start, packed,
+                            H=W + tiles_alloc * TILE, W=W, span=span,
+                            max_dist_x=max_dist_x, max_dist_y=max_dist_y,
+                            bw=bw, cg=cg, cs=cs, is_cdna=bool(is_cdna))
+    jax.device_get(out[:, :1])  # fence: executable fully loaded
+
+
+def warm_start(verbose: int = 1) -> None:
+    """Compile/load recently-used chain executables on a daemon thread.
+
+    No-op on CPU backends (interpret mode compiles per call anyway) and
+    when no signatures have been recorded yet.  Call as early as
+    possible on the TPU path — index build and seeding then overlap the
+    tunnel's compile/load latency instead of serializing behind it."""
+    global _warm_thread, _warm_stop
+    import json
+    import os
+    import sys
+    import threading
+    path = _shapes_path()
+    if not path or not os.path.exists(path):
+        return
+
+    def run():
+        n = 0
+        try:
+            if _interpret():
+                return
+            with open(path) as f:
+                entries = json.load(f)
+            sigs = [tuple(e["sig"]) for e in entries][-_WARM_MAX:]
+            for sig in reversed(sigs):  # newest first
+                if _warm_stop:
+                    break
+                _warm_one(sig)
+                n += 1
+            if verbose >= 3:
+                sys.stderr.write(f"[M::tpu] warmed {n}/{len(sigs)} chain "
+                                 "executables\n")
+        except Exception as e:  # warm-up must never break mapping
+            if verbose >= 3:
+                sys.stderr.write(f"[W::tpu] warm-up skipped: {e}\n")
+
+    _warm_stop = False
+    _warm_thread = threading.Thread(target=run, daemon=True,
+                                    name="mm2tpu-warm")
+    _warm_thread.start()
+
+
+def warm_shutdown(timeout: float = 1.0) -> bool:
+    """Stop the warm-up thread before interpreter exit.
+
+    A daemon thread mid-PJRT-call aborts the process when the runtime
+    tears down under it (SIGABRT on a stalled tunnel).  Returns True
+    when the thread is gone (or never ran); on False the caller should
+    flush its streams and hard-exit (os._exit) to skip the racy
+    teardown."""
+    global _warm_stop
+    if _warm_thread is None or not _warm_thread.is_alive():
+        return True
+    _warm_stop = True
+    _warm_thread.join(timeout)
+    return not _warm_thread.is_alive()
 
 
 def chain_scores_device(ax: np.ndarray, ay: np.ndarray,
