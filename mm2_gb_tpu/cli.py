@@ -492,11 +492,17 @@ def main(argv: list[str] | None = None) -> int:
     if args.tpu_chain or args.tpu_align:
         from mm2_gb_tpu.utils.tpucfg import enable_compile_cache
         enable_compile_cache()
-        # replay recent chain executables on a daemon thread: index build
-        # and seeding overlap the tunnel's per-process compile/load
-        # latency instead of serializing behind the first dispatch
-        from mm2_gb_tpu.ops.chain_tpu import warm_start
-        warm_start(args.verbose)
+        # backend handshake + replay of recent chain executables on a
+        # daemon thread: index build and seeding overlap the tunnel's
+        # per-process init and compile/load latency instead of
+        # serializing behind the first dispatch.  Multi-host ranks must
+        # not touch the backend before jax.distributed.initialize —
+        # they warm after init_distributed instead.
+        if args.tpu_nproc <= 1:
+            from mm2_gb_tpu.ops.chain_tpu import warm_start
+            from mm2_gb_tpu.utils.tpucfg import derive_caps
+            warm_start(args.verbose,
+                       pre=lambda: derive_caps(args.verbose))
     try:
         rc = _run(args, argv, io, mo)
     except FileNotFoundError as e:  # main.c:414 open-failure message
@@ -707,11 +713,13 @@ def _run_tpu_or_host(args, index, mo, rg_id, is_sam, out,
     if mo.flag & O.MM_F_TPU_CHAIN:
         from mm2_gb_tpu.models.pipeline import (TpuMetrics,
                                                 map_file_tpu_records)
-        from mm2_gb_tpu.utils.tpucfg import derive_caps
         from mm2_gb_tpu.utils.timeline import mark
-        mark("derive_caps start")
-        derive_caps(args.verbose)  # plmem.cu:473-540 analog (HBM model)
-        mark("derive_caps done (backend up)")
+        # derive_caps (plmem.cu:473-540 analog) already runs on the
+        # warm-up thread (main(), warm_start pre=) so the backend
+        # handshake overlaps index build + seeding; caps are read live
+        # per batch-cut decision, so a late arrival only affects where
+        # the first batches split, never the output bytes
+        mark("mapping start")
         tmet = TpuMetrics()
         n_dev = args.tpu_devices
         if n_dev != 1:
@@ -767,6 +775,10 @@ def _run_tpu_multihost(args, index, mo, rg_id, is_sam,
     if args.tpu_coord:
         from mm2_gb_tpu.parallel.mesh import init_distributed
         init_distributed(args.tpu_coord, nproc, rank)
+    # backend is safe to touch from here on (post-init_distributed)
+    from mm2_gb_tpu.ops.chain_tpu import warm_start
+    from mm2_gb_tpu.utils.tpucfg import derive_caps
+    warm_start(args.verbose, pre=lambda: derive_caps(args.verbose))
     tmet = TpuMetrics()
     shard_path = f"{args.output}.shard{rank}"
     n_rec = 0

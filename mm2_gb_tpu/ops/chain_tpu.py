@@ -672,26 +672,33 @@ def _warm_one(sig: tuple) -> None:
     jax.device_get(out[:, :1])  # fence: executable fully loaded
 
 
-def warm_start(verbose: int = 1) -> None:
+def warm_start(verbose: int = 1, pre=None) -> None:
     """Compile/load recently-used chain executables on a daemon thread.
 
-    No-op on CPU backends (interpret mode compiles per call anyway) and
-    when no signatures have been recorded yet.  Call as early as
-    possible on the TPU path — index build and seeding then overlap the
-    tunnel's compile/load latency instead of serializing behind it."""
+    No-op on CPU backends (interpret mode compiles per call anyway).
+    Call as early as possible on the TPU path — index build and seeding
+    then overlap the tunnel's per-process backend handshake and
+    compile/load latency instead of serializing behind the first
+    dispatch.  `pre` (e.g. tpucfg.derive_caps) runs first on the same
+    thread: it is what forces the backend handshake."""
     global _warm_thread, _warm_stop
     import json
     import os
     import sys
     import threading
     path = _shapes_path()
-    if not path or not os.path.exists(path):
+    have_shapes = bool(path) and os.path.exists(path)
+    if pre is None and not have_shapes:
         return
 
     def run():
         n = 0
         try:
             if _interpret():
+                return
+            if pre is not None:
+                pre()
+            if not have_shapes:
                 return
             with open(path) as f:
                 entries = json.load(f)
