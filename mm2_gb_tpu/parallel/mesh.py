@@ -204,7 +204,9 @@ def dispatch_batch_multichip(index, opt, seeded, mesh, metrics=None):
 def finish_batch_multichip(index, opt, state, metrics=None, pool=None):
     """Collect every shard's scores and run the host finish path in
     global read order; returns [(SeededRead, regions)]."""
-    from mm2_gb_tpu.models.pipeline import finish_slices
+    from mm2_gb_tpu.models.pipeline import (_prefill_device,
+                                            _use_device_align,
+                                            finish_slices)
 
     seeded, bounds, pends = state
     n = int(bounds[-1])
@@ -220,6 +222,8 @@ def finish_batch_multichip(index, opt, state, metrics=None, pool=None):
         fp = f[s:e]
         pp = np.where(p[s:e] >= 0, p[s:e] - s, -1)
         slices.append((sr, fp, pp))
+    if _use_device_align(opt):  # same --tpu-align batching as single-chip
+        _prefill_device(index, opt, slices)
     return finish_slices(index, opt, slices, pool)
 
 
