@@ -170,11 +170,18 @@ class TpuMetrics:
     # per-window-class readback stats: W -> [wait_s, pairs, n_collects]
     # (the per-kernel runtime/Mpairs table analog, plchain.cu:258-281)
     cls_stats: dict = None
+    # per-window-class VPU work: W -> [walked_slots, useful_pairs].
+    # walked_slots counts every (dst, src) relaxation slot the kernel's
+    # window trips evaluate (masked or not) — useful/walked is the slot
+    # efficiency the roofline model needs (benchmarks/ROOFLINE.md); the
+    # size-class-tuning analog of plchain.h:20-22's cutoffs
+    cls_work: dict = None
 
     def __post_init__(self):
         import time
         self.wall0 = time.perf_counter()
         self.cls_stats = {}
+        self.cls_work = {}
 
     def report(self, verbose: int = 3) -> None:
         if verbose < 3:
@@ -199,9 +206,12 @@ class TpuMetrics:
         for W in sorted(self.cls_stats):
             wait, pairs, nc = self.cls_stats[W]
             rate = pairs / wait / 1e6 if wait > 0 else 0.0
+            slots, useful = self.cls_work.get(W, (0, 0))
+            se = 100.0 * useful / slots if slots else 0.0
             w(f"[M::tpu]   class W={W}: {nc} collects, "
               f"{pairs} pairs, wait {wait:.3f}s ({rate:.1f} Mpairs/s "
-              "incl. queue+link)\n")
+              f"incl. queue+link), slots {slots} "
+              f"(slot efficiency {se:.1f}%)\n")
 
 
 def _acc_batches(index: MinimizerIndex, opt: MapOptions, paths: list[str],

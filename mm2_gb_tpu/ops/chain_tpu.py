@@ -48,8 +48,14 @@ INT32_MIN = -(2**31)
 
 LANES = 128
 # successor-window capacity classes; a segment runs in the narrowest
-# class whose W covers its max successor range (size-classed dispatch)
-WINDOW_CLASSES = (512, 768, 5120)
+# class whose W covers its max successor range (size-classed dispatch).
+# The per-tile dynamic window start makes the WALKED trip adapt to the
+# ranges actually present, so small classes buy no compute — measured on
+# the 600-read bench flowcell, a separate 512 class walked 0.51G slots
+# at 7% usefulness and its removal cut total VPU work 18%
+# (benchmarks/ROOFLINE.md); classes exist for VMEM footprint + window
+# DMA width only.
+WINDOW_CLASSES = (768, 5120)
 MAX_ITER_DEFAULT = 5000
 
 
@@ -557,6 +563,16 @@ def dispatch_scores(ax: np.ndarray, ay: np.ndarray,
             metrics.cells_used += n_real
             metrics.cells_alloc += tiles_real * TILE * LANES
             metrics.n_dispatch += 1
+            # VPU slot work, mirroring the kernel's trips: per live tile
+            # phase 1 walks (W//8 - start//8) 8-row source blocks, phase
+            # 2 the tile's own TILE rows, each relaxing a (TILE, LANES)
+            # dst tile (see _chain_kernel)
+            live = start < W + TILE - 1
+            p1_rows = np.maximum((W // 8 - start[live] // 8) * 8, 0)
+            slots = int((p1_rows + TILE).sum(dtype=np.int64)) * TILE * LANES
+            st = metrics.cls_work.setdefault(W, [0, 0])
+            st[0] += slots
+            st[1] += pairs
         t0 = time.perf_counter()
         if device is not None:
             ntiles, start_pad, packed = jax.device_put(
@@ -702,7 +718,8 @@ def warm_start(verbose: int = 1, pre=None) -> None:
                 return
             with open(path) as f:
                 entries = json.load(f)
-            sigs = [tuple(e["sig"]) for e in entries][-_WARM_MAX:]
+            sigs = [tuple(e["sig"]) for e in entries
+                    if e["sig"][2] in WINDOW_CLASSES][-_WARM_MAX:]
             for sig in reversed(sigs):  # newest first
                 if _warm_stop:
                     break

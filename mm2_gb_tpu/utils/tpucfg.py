@@ -19,7 +19,7 @@ from dataclasses import dataclass, field
 class TpuConfig:
     # successor-window capacity classes (size-classed dispatch; the
     # short/mid/long cutoff analog of gpu_config.json's seg cutoffs)
-    window_classes: tuple = (512, 768, 5120)
+    window_classes: tuple = (768, 5120)
     lanes: int = 128            # VPU lane width (fixed by hardware)
     tile: int = 128             # dst tile rows per kernel step
     # macro-batch caps (max_total_n / max_read analogs, plmem.cu:473-540)
@@ -78,6 +78,21 @@ def load_tpu_config(path: str | None) -> TpuConfig:
 BYTES_PER_ANCHOR = 2 * (48 + 80)
 HBM_FRACTION = 0.5          # leave headroom for XLA scratch + compiles
 AVG_ANCHORS_PER_READ = 1000  # reference's max_read = max_total_n / 1000
+# Tunneled PJRT backends report memory_stats() = None; fall back to the
+# known per-chip HBM of the device kind (cloud.google.com/tpu/docs specs)
+HBM_BY_KIND = {
+    "TPU v4": 32 << 30,
+    "TPU v5 lite": 16 << 30,
+    "TPU v5": 96 << 30,       # v5p
+    "TPU v6 lite": 32 << 30,  # Trillium
+}
+# Ceiling on the auto-derived anchor cap: beyond this the double-buffered
+# pipeline loses its seed/finish overlap (one giant batch serializes) and
+# pow-of-two shape quantization gets coarse; measured on the 600-read
+# bench flowcell, 1M-anchor batches walk 3.21G window slots vs 2.12G for
+# a single 3M batch (batch fragmentation), so the sweet spot is "a few
+# batches per flowcell", not "all of HBM"
+MAX_AUTO_ANCHORS = 2_000_000
 
 
 def derive_caps(verbose: int = 1) -> None:
@@ -96,11 +111,14 @@ def derive_caps(verbose: int = 1) -> None:
             return
         stats = dev.memory_stats() or {}
         hbm = int(stats.get("bytes_limit", 0))
+        if hbm <= 0:
+            hbm = HBM_BY_KIND.get(dev.device_kind, 0)
     except Exception:
         return
     if hbm <= 0:
         return
-    anchors = int(hbm * HBM_FRACTION / BYTES_PER_ANCHOR)
+    anchors = min(int(hbm * HBM_FRACTION / BYTES_PER_ANCHOR),
+                  MAX_AUTO_ANCHORS)
     if anchors <= cfg.max_anchors_batch:
         return
     cfg.max_anchors_batch = anchors

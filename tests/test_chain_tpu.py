@@ -471,11 +471,26 @@ def test_auto_capacity_model(monkeypatch):
         tpucfg._current = tpucfg.TpuConfig()
         monkeypatch.setitem(__import__("sys").modules, "jax", FakeJax)
         tpucfg.derive_caps(0)
-        want = int(16 * 2**30 * tpucfg.HBM_FRACTION
-                   / tpucfg.BYTES_PER_ANCHOR)
+        want = min(int(16 * 2**30 * tpucfg.HBM_FRACTION
+                       / tpucfg.BYTES_PER_ANCHOR),
+                   tpucfg.MAX_AUTO_ANCHORS)  # pipeline-overlap ceiling
         assert tpucfg._current.max_anchors_batch == want
         assert tpucfg._current.max_reads_batch == max(
             200_000, want // tpucfg.AVG_ANCHORS_PER_READ)
+
+        # tunneled backends report memory_stats() = None: the known
+        # per-kind HBM table must engage instead of silently no-opping
+        class TunnelDev:
+            platform = "tpu"
+            device_kind = "TPU v5 lite"
+
+            def memory_stats(self):
+                return None
+
+        FakeJax.devices = staticmethod(lambda: [TunnelDev()])
+        tpucfg._current = tpucfg.TpuConfig()
+        tpucfg.derive_caps(0)
+        assert tpucfg._current.max_anchors_batch == want
 
         # explicit JSON caps win
         tpucfg._current = tpucfg.TpuConfig(max_anchors_batch=123,
