@@ -396,7 +396,9 @@ def chain_compact_tpu(ntiles, start, packed, *, H, W,
     f, p = _chain_packed_core(ntiles, start, X, Y, R, W=W, span=span,
                               max_dist_x=max_dist_x, max_dist_y=max_dist_y,
                               bw=bw, cg=cg, cs=cs, is_cdna=is_cdna)
-    return jnp.stack([f[rows, cols], p[rows, cols].astype(jnp.int32)])
+    # p stays int16 on the wire (predecessor distance < W+128 <= 5248):
+    # the downlink ships 6 B/anchor instead of 8 on a ~17-40 MB/s tunnel
+    return f[rows, cols], p[rows, cols]
 
 
 # --------------------------------------------------------------------------
@@ -405,6 +407,21 @@ def chain_compact_tpu(ntiles, start, packed, *, H, W,
 
 def _round_up(v: int, m: int) -> int:
     return (v + m - 1) // m * m
+
+
+def _quant_size(n: int, floor: int = 2048) -> int:
+    """Quantize a compiled operand length to quarter-power-of-two steps
+    ({2^k, 1.25*2^k, 1.5*2^k, 1.75*2^k}), min `floor`.
+
+    Pure powers of two waste up to 50% of the host-link bytes as padding
+    (a 1.05M-anchor batch would ship as 2M); quarter steps cap the waste
+    at 25% (avg ~12%) for at most 4 cached executables per octave —
+    shapes persist in the XLA compile cache, so the extra compiles are a
+    one-time cost per host."""
+    if n <= floor:
+        return floor
+    k = (n - 1).bit_length() - 3        # step = quarter of the octave base
+    return _round_up(n, 1 << k)
 
 
 class PendingScores:
@@ -439,7 +456,7 @@ class PendingScores:
                 t0 = time.perf_counter()
                 # device_get, NOT np.asarray: the latter falls into a
                 # pathological element-wise path on tunneled TPU platforms
-                fp = jax.device_get(dev_fp)
+                fd, pd = jax.device_get(dev_fp)
                 dt = time.perf_counter() - t0
                 if self.metrics is not None:
                     st = self.metrics.cls_stats.setdefault(
@@ -447,8 +464,8 @@ class PendingScores:
                     st[0] += dt
                     st[1] += pairs
                     st[2] += 1
-                self.f[src] = fp[0, :n_real]
-                prel = fp[1, :n_real].astype(np.int64)
+                self.f[src] = fd[:n_real]
+                prel = pd[:n_real].astype(np.int64)
                 self.p[src] = np.where(prel > 0, src - prel, -1)
             self.parts = []
             self.collected = True
@@ -535,7 +552,7 @@ def dispatch_scores(ax: np.ndarray, ay: np.ndarray,
             tiles_real = max(_round_up(max(height, 1), TILE) // TILE, 1)
             H = W + tiles_real * TILE
             n_real = int(lens.sum())
-            n_pad = max(1 << (n_real - 1).bit_length(), 2048)
+            n_pad = _quant_size(n_real)
             packed, src, rmax, pairs = native.pack_class_fused(
                 bounds, sel, lane_of, off_of, x32, y32, rng,
                 W, H, n_real, n_pad)
@@ -545,7 +562,7 @@ def dispatch_scores(ax: np.ndarray, ay: np.ndarray,
             ntiles, start, H, src, rows, cols = pack_class_meta(
                 sel, seg_lens, seg_of, row_of, rng, W)
             n_real = int(src.shape[0])
-            n_pad = max(1 << (n_real - 1).bit_length(), 2048)
+            n_pad = _quant_size(n_real)
             tiles_real = int(ntiles[0])
             packed = np.zeros((4, n_pad), np.int32)
             packed[0, :n_real] = x32[src]
@@ -639,7 +656,10 @@ def _shapes_path() -> str:
         return ""
     base = loc or os.path.join(os.path.expanduser("~"), ".cache",
                                "mm2_gb_tpu", "jaxcache")
-    return base + ".shapes.json"
+    # v2: chain_compact_tpu output became an (f i32, p i16) tuple and
+    # n_pad moved to quarter-pow2 quantization — old sigs would warm
+    # executables no dispatch can hit
+    return base + ".shapes.v2.json"
 
 
 def _record_shape(sig: tuple) -> None:
@@ -678,9 +698,14 @@ def _record_shape(sig: tuple) -> None:
 def _warm_one(sig: tuple) -> None:
     (tiles_alloc, n_pad, W, span, max_dist_x, max_dist_y, bw,
      cg, cs, is_cdna) = sig
-    ntiles = np.zeros(1, np.int32)
-    start = np.full(tiles_alloc, W + TILE - 1, np.int32)
-    packed = np.zeros((4, n_pad), np.int32)
+    # Dummy operands are created ON DEVICE (jnp fills lower to an XLA
+    # broadcast): a host np.zeros here would ship 16*n_pad bytes of
+    # zeros up a ~30 MB/s tunnel per warmed shape — 32 MB for a 2M
+    # class, queued AHEAD of the first real dispatch.  The warm's only
+    # link traffic must be the executable load itself.
+    ntiles = jnp.zeros(1, jnp.int32)
+    start = jnp.full((tiles_alloc,), W + TILE - 1, jnp.int32)
+    packed = jnp.zeros((4, n_pad), jnp.int32)
     out = chain_compact_tpu(ntiles, start, packed,
                             H=W + tiles_alloc * TILE, W=W, span=span,
                             max_dist_x=max_dist_x, max_dist_y=max_dist_y,

@@ -314,6 +314,9 @@ def e2e_stage() -> None:
             m = re.search(r"device-wait (\d+\.\d+)s", o.stderr)
             if m:
                 RESULT[f"e2e_{tag}_device_wait_s"] = float(m.group(1))
+            m = re.search(r"\[M::tpu\] time: (.*)", o.stderr)
+            if m:
+                RESULT[f"e2e_{tag}_stage_times"] = m.group(1)
         flush()
 
 
