@@ -477,4 +477,52 @@ void mmt_pack_class(const int64_t* cuts, const int64_t* sel, int64_t n_sel,
     *pairs_out = pairs;
 }
 
+// Fused anchor collection for the DEFAULT seeding path (no ava-mode
+// skip_seed, no strand restriction, no qstrand): expands each kept
+// seed's index occurrences into the (ax, ay) anchor encoding
+// (collect_seed_hits, map.c:295-331) and applies the reference's
+// unstable MSD radix permutation in one pass.  The numpy route stays
+// for the flagged modes (ops/seed.py::collect_seed_hits).
+int64_t mmt_collect_anchors(const uint64_t* occ_pos,
+                            const int64_t* start, const int64_t* cnt,
+                            const uint32_t* q_pos, const int32_t* q_span,
+                            const int32_t* seg_id, const uint8_t* tandem,
+                            int64_t n_seeds, int64_t qlen, int64_t n_hits,
+                            uint64_t* ax_out, uint64_t* ay_out) {
+    if (n_hits <= 0) return 0;
+    std::vector<uint64_t> ax((size_t)n_hits), ay((size_t)n_hits);
+    int64_t m = 0;
+    for (int64_t s = 0; s < n_seeds; ++s) {
+        const uint64_t qp = q_pos[s];
+        const uint64_t span = (uint64_t)q_span[s];
+        const uint64_t ybase = (span << 32)
+            | ((uint64_t)(uint32_t)seg_id[s] << 48)
+            | (tandem[s] ? (1ULL << 42) : 0ULL);
+        const uint64_t y_fwd = ybase | (qp >> 1);
+        const uint64_t y_rev = ybase
+            | ((uint64_t)qlen - ((qp >> 1) + 1 - span) - 1);
+        const uint64_t* occ = occ_pos + start[s];
+        const int64_t c = cnt[s];
+        for (int64_t j = 0; j < c; ++j, ++m) {
+            const uint64_t r = occ[j];
+            const uint64_t rpos = (r & 0xFFFFFFFFULL) >> 1;
+            const uint64_t rid_hi = r & 0xFFFFFFFF00000000ULL;
+            if ((r & 1) == (qp & 1)) {
+                ax[m] = rid_hi | rpos;
+                ay[m] = y_fwd;
+            } else {
+                ax[m] = (1ULL << 63) | rid_hi | rpos;
+                ay[m] = y_rev;
+            }
+        }
+    }
+    std::vector<int64_t> perm((size_t)m);
+    mmt_radix_perm64(ax.data(), m, perm.data());
+    for (int64_t i = 0; i < m; ++i) {
+        ax_out[i] = ax[(size_t)perm[i]];
+        ay_out[i] = ay[(size_t)perm[i]];
+    }
+    return m;
+}
+
 }  // extern "C"

@@ -155,6 +155,18 @@ def collect_seed_hits(index: MinimizerIndex, opt: MapOptions, max_occ: int,
         return (np.empty(0, np.uint64), np.empty(0, np.uint64),
                 m.rep_len, m.mini_pos)
 
+    # default path (no ava skip_seed, no strand restriction, no qstrand):
+    # one native pass expands, encodes and radix-permutes the anchors
+    special = ((qname is not None
+                and (opt.flag & (MM_F_NO_DIAG | MM_F_NO_DUAL)))
+               or (opt.flag & (MM_F_FOR_ONLY | MM_F_REV_ONLY
+                               | MM_F_QSTRAND)))
+    if native.available() and not special:
+        ax, ay = native.collect_anchors(
+            index.occ_pos, m.start, m.n, m.q_pos, m.q_span, m.seg_id,
+            m.is_tandem, qlen)
+        return ax, ay, m.rep_len, m.mini_pos
+
     # expand seeds × occurrences
     counts = m.n
     seed_of_hit = np.repeat(np.arange(n_seeds, dtype=np.int64), counts)

@@ -146,6 +146,13 @@ def _load():
         i32p, i32p, i32p, ctypes.c_int64,
         i32p, i32p, i32p, i32p, i64p, i32p, i64p,
     ]
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    lib.mmt_collect_anchors.restype = ctypes.c_int64
+    lib.mmt_collect_anchors.argtypes = [
+        u64p, i64p, i64p, u32p, i32p, i32p, u8p,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, u64p, u64p,
+    ]
     lib.mmt_align1.restype = ctypes.c_int64
     lib.mmt_align1.argtypes = [
         u64p, u64p, ctypes.c_int64,                      # ax, ay, n_a
@@ -457,6 +464,36 @@ def pack_meta(rows: np.ndarray, rng_src: np.ndarray, H: int, W: int,
     lib.mmt_tile_starts(rmax.ctypes.data_as(p32), H, W, tile, n_tiles,
                         start.ctypes.data_as(p32))
     return start
+
+
+def collect_anchors(occ_pos: np.ndarray, start: np.ndarray, cnt: np.ndarray,
+                    q_pos: np.ndarray, q_span: np.ndarray,
+                    seg_id: np.ndarray, tandem: np.ndarray,
+                    qlen: int) -> tuple[np.ndarray, np.ndarray]:
+    """Fused default-path anchor expansion + encode + radix permutation
+    (mmt_collect_anchors; collect_seed_hits semantics, map.c:295-331)."""
+    lib = _load()
+    n_hits = int(cnt.sum())
+    ax = np.empty(n_hits, np.uint64)
+    ay = np.empty(n_hits, np.uint64)
+    if n_hits == 0:
+        return ax, ay
+    u64 = ctypes.POINTER(ctypes.c_uint64)
+    i64 = ctypes.POINTER(ctypes.c_int64)
+    i32 = ctypes.POINTER(ctypes.c_int32)
+    lib.mmt_collect_anchors(
+        occ_pos.ctypes.data_as(u64),
+        np.ascontiguousarray(start, np.int64).ctypes.data_as(i64),
+        np.ascontiguousarray(cnt, np.int64).ctypes.data_as(i64),
+        np.ascontiguousarray(q_pos, np.uint32).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_uint32)),
+        np.ascontiguousarray(q_span, np.int32).ctypes.data_as(i32),
+        np.ascontiguousarray(seg_id, np.int32).ctypes.data_as(i32),
+        np.ascontiguousarray(tandem, np.uint8).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_uint8)),
+        q_pos.shape[0], qlen, n_hits,
+        ax.ctypes.data_as(u64), ay.ctypes.data_as(u64))
+    return ax, ay
 
 
 def align1(ax, ay, n_a, seq_codes, offsets, lens, fwd, rc, mat, params):
