@@ -173,8 +173,12 @@ def _align_pair(opt: MapOptions, qseq: np.ndarray, tseq: np.ndarray,
     _EXT_FLAGS = (ksw2.KSW_EZ_EXTZ_ONLY,
                   ksw2.KSW_EZ_EXTZ_ONLY | ksw2.KSW_EZ_RIGHT
                   | ksw2.KSW_EZ_REV_CIGAR)
+    # junc does not gate the non-splice kinds: extd2/extz2 ignore the
+    # junction flags entirely, and bed_junc returns an (all-zero) array
+    # even when no BED is loaded — requiring `junc is None` here silently
+    # disabled every device fill on the genomic path
     dev_kind = None
-    if junc is None and qlen > 0 and tlen > 0 \
+    if qlen > 0 and tlen > 0 \
             and not (opt.q == opt.q2 and opt.e == opt.e2):
         if flag == ksw2.KSW_EZ_APPROX_MAX:
             dev_kind = "fill"
