@@ -60,6 +60,13 @@ ROWS_PER_STEP = 32
 PAIRS_PER_GROUP = 8
 KSW_NEG_INF_I32 = -0x40000000
 SIZE_CLASSES = (512, 1024, 2048, 4096)
+# real-device ladder adds small classes: most gap fills are tens to a
+# few hundred bp, and a 90 bp fill in the 512 class walks 1024 padded
+# rows x 512 lanes — 16x the work and bytes of the 64 class.  The
+# interpret ladder keeps the historical classes so the shipped test
+# cache and the slow kernel battery stay valid (small classes are
+# hardware-smoked via tools/chip_smoke.py instead).
+DEVICE_SIZE_CLASSES = (64, 128, 256) + SIZE_CLASSES
 
 
 def _size_classes(interpret) -> tuple:
@@ -78,10 +85,11 @@ def _size_classes(interpret) -> tuple:
     if interpret == "oracle":
         return ()
     if not interpret:
-        return SIZE_CLASSES
+        return DEVICE_SIZE_CLASSES
     import os
     cap = int(os.environ.get("MM2TPU_INTERPRET_MAX_CLASS", "1024"))
-    return tuple(s for s in SIZE_CLASSES if s <= cap) or SIZE_CLASSES[:1]
+    return (tuple(s for s in DEVICE_SIZE_CLASSES if s <= cap)
+            or DEVICE_SIZE_CLASSES[:1])
 SCORE_LANES = 128
 
 
@@ -108,6 +116,8 @@ class FillPlan:
     tband: np.ndarray | None = None     # (G, RB, 8, W) uint8: tseq band
     qblk: np.ndarray | None = None      # (G, RB, 8, W) uint8: stq at row0
     dropped: np.ndarray | None = None   # (B,) bool: band collapsed
+    qpad: np.ndarray | None = None      # (G, 8, nb+1) uint8 (light plan)
+    tpad: np.ndarray | None = None      # (G, 8, nb+1) uint8 (light plan)
 
 
 def _row_params(qlen: int, tlen: int, w: int):
@@ -134,9 +144,12 @@ from mm2_gb_tpu.ops.chain_tpu import _interpret  # noqa: E402  (single
 
 
 def band_width(w: int, nb: int) -> int:
-    """Band-compressed state width: window span + rebase margins."""
+    """Band-compressed state width: window span + rebase margins.
+    Floor 256 also for the sub-256 classes: W must cover the class's
+    window extent plus the 48-lane rebase margin (the planner drops any
+    call whose wall exceeds W)."""
     want = (min(w, nb) + 160 + 127) // 128 * 128
-    return min(nb, max(256, want))
+    return min(max(nb, 256), max(256, want))
 
 
 def _blk_base(st0_blk0: np.ndarray) -> np.ndarray:
@@ -203,6 +216,111 @@ def plan_fill_batch(calls: list[FillCall], nb: int, w_band: int) -> FillPlan:
     plan.qblk = qblk
     plan.dropped = dropped
     return plan
+
+
+def plan_fill_light(calls: list[FillCall], nb: int, w_band: int,
+                    g_pad: int | None = None) -> FillPlan:
+    """Host side of the device-prep fill path: meta + COMPACT padded
+    sequences only.  The (rows x band) expansion that plan_fill_batch
+    does on the host (tband/qblk/qbytes) is instead computed on device
+    by prep_fill_operands, so the link ships O(qlen+tlen) bytes per call
+    instead of O(r_pad*W) — the 512 class expands a 100 bp gap fill to
+    512 KB, ~500x its sequence bytes.  `g_pad` pads the group count to a
+    fixed micro-batch so every chunk reuses one compiled executable."""
+    P = PAIRS_PER_GROUP
+    G = (len(calls) + P - 1) // P
+    if g_pad is not None:
+        assert G <= g_pad
+        G = g_pad
+    plan = FillPlan(nb=nb, r_pad=2 * nb, n_groups=G, w_band=w_band,
+                    calls=calls)
+    meta = np.zeros((G, 8, P), np.int32)
+    meta[:, 4, :] = -1
+    qpad = np.zeros((G, P, nb + 1), np.uint8)
+    tpad = np.zeros((G, P, nb + 1), np.uint8)
+    dropped = np.zeros(len(calls), bool)
+    for bi, c in enumerate(calls):
+        g, pp = divmod(bi, P)
+        qlen, tlen = len(c.qseq), len(c.tseq)
+        w = c.w if c.w >= 0 else max(qlen, tlen)
+        _rows, st, en, st0, en0, drop, r_true = _row_params(qlen, tlen, w)
+        if not drop:
+            nblk = (r_true + ROWS_PER_STEP - 1) // ROWS_PER_STEP
+            r0s = np.arange(nblk, dtype=np.int64) * ROWS_PER_STEP
+            bases = _blk_base(st0[np.minimum(r0s, r_true - 1)])
+            blk_of = _rows // ROWS_PER_STEP
+            if (int((en - bases[blk_of]).max()) >= w_band
+                    or int(np.diff(bases).max(initial=0)) > 48
+                    or int(np.diff(bases).min(initial=0)) < 0):
+                drop = True
+        dropped[bi] = drop
+        if drop:
+            continue
+        meta[g, :4, pp] = (qlen, tlen, w, r_true)
+        meta[g, 4, pp] = c.zdrop
+        qpad[g, pp, :qlen] = c.qseq
+        tpad[g, pp, :tlen] = c.tseq
+    plan.meta = meta
+    plan.qpad = qpad
+    plan.tpad = tpad
+    plan.dropped = dropped
+    return plan
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "wb", "r_pad")) if _HAS_JAX else lambda f: f
+def prep_fill_operands(meta, qpad, tpad, *, wb, r_pad):
+    """Device-side band expansion: reproduce plan_fill_batch's
+    tband/qblk/qbytes bit-for-bit from the compact padded sequences.
+
+    All three arrays are (reversed-)contiguous gathers of qpad/tpad at
+    offsets that are pure int functions of (qlen, tlen, w, blk), so the
+    expansion is three vectorized gathers on device; only the compact
+    bytes cross the host link.  Cross-checked against plan_fill_batch in
+    tests/test_ksw2_tpu.py."""
+    P = PAIRS_PER_GROUP
+    rb = r_pad // ROWS_PER_STEP
+    G = meta.shape[0]
+    qlen = meta[:, 0, :].astype(jnp.int32)          # (G, P)
+    tlen = meta[:, 1, :].astype(jnp.int32)
+    w = meta[:, 2, :].astype(jnp.int32)
+    n_rows = meta[:, 3, :].astype(jnp.int32)
+    blk = jnp.arange(rb, dtype=jnp.int32)
+    r0 = (blk * ROWS_PER_STEP)[None, None, :]       # (1, 1, rb)
+    qlen_ = qlen[:, :, None]
+    tlen_ = tlen[:, :, None]
+    w_ = w[:, :, None]
+    n_rows_ = n_rows[:, :, None]
+    r0p = jnp.minimum(r0, n_rows_ - 1)
+    st0 = jnp.maximum(jnp.maximum(0, r0p - qlen_ + 1),
+                      (r0p - w_ + 1) >> 1)
+    base = jnp.maximum(st0 // 16 * 16 - 16, 0)      # (G, P, rb)
+    valid = (r0 < n_rows_) & (qlen_ > 0)            # (G, P, rb)
+    qp_max = qpad.shape[2] - 1
+
+    j = jnp.arange(wb, dtype=jnp.int32)
+    # tband[g, blk, pp, j] = tpad[min(base + j, tlen)]
+    idx_t = jnp.minimum(base[:, :, :, None] + j, tlen_[:, :, :, None])
+    tband = jnp.where(
+        valid[:, :, :, None],
+        jnp.take_along_axis(tpad[:, :, None, :], idx_t, axis=3), 0)
+    # qblk[g, blk, pp, j] = qseq[r0 - base - j] where 0 <= qi < qlen
+    qi = r0[:, :, :, None] - base[:, :, :, None] - j
+    qblk = jnp.where(
+        valid[:, :, :, None] & (qi >= 0) & (qi < qlen_[:, :, :, None]),
+        jnp.take_along_axis(qpad[:, :, None, :],
+                            jnp.clip(qi, 0, qp_max), axis=3), 0)
+    # qbytes[g, blk, pp, s] = qseq[r0 + s - base] where 0 <= ri < qlen
+    s = jnp.arange(ROWS_PER_STEP, dtype=jnp.int32)
+    ri = r0[:, :, :, None] + s - base[:, :, :, None]
+    qbytes = jnp.where(
+        valid[:, :, :, None] & (ri >= 0) & (ri < qlen_[:, :, :, None]),
+        jnp.take_along_axis(qpad[:, :, None, :],
+                            jnp.clip(ri, 0, qp_max), axis=3), 0)
+    # host layout is (G, rb, P, ...)
+    return (qbytes.transpose(0, 2, 1, 3).astype(jnp.int32),
+            tband.transpose(0, 2, 1, 3),
+            qblk.transpose(0, 2, 1, 3))
 
 
 # ------------------------------------------------------------------- kernel
@@ -584,6 +702,42 @@ def plan_splice_bands(plan: FillPlan, donors: list, acceptors: list
     return dband, aband
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "wb", "r_pad")) if _HAS_JAX else lambda f: f
+def prep_splice_bands(meta, dpad, apad, *, wb, r_pad):
+    """Device-side analog of plan_splice_bands: gather the per-block
+    donor/acceptor scores from compact per-call arrays.  Host semantics:
+    band[g, blk, pp, j] = arr[min(base + j, nbytes - 1)] with
+    nbytes = (tlen + 15)//16*16 (the oracle's padded site-array size),
+    zero outside valid blocks."""
+    P = PAIRS_PER_GROUP
+    rb = r_pad // ROWS_PER_STEP
+    qlen = meta[:, 0, :].astype(jnp.int32)
+    tlen = meta[:, 1, :].astype(jnp.int32)
+    w = meta[:, 2, :].astype(jnp.int32)
+    n_rows = meta[:, 3, :].astype(jnp.int32)
+    blk = jnp.arange(rb, dtype=jnp.int32)
+    r0 = (blk * ROWS_PER_STEP)[None, None, :]
+    qlen_, tlen_, w_, n_rows_ = (a[:, :, None]
+                                 for a in (qlen, tlen, w, n_rows))
+    r0p = jnp.minimum(r0, n_rows_ - 1)
+    st0 = jnp.maximum(jnp.maximum(0, r0p - qlen_ + 1),
+                      (r0p - w_ + 1) >> 1)
+    base = jnp.maximum(st0 // 16 * 16 - 16, 0)
+    valid = (r0 < n_rows_) & (qlen_ > 0)
+    hi = ((tlen_ + 15) // 16 * 16 - 1)[:, :, :, None]
+    j = jnp.arange(wb, dtype=jnp.int32)
+    idx = jnp.clip(jnp.minimum(base[:, :, :, None] + j, hi),
+                   0, dpad.shape[2] - 1)
+    dband = jnp.where(valid[:, :, :, None],
+                      jnp.take_along_axis(dpad[:, :, None, :], idx,
+                                          axis=3), 0)
+    aband = jnp.where(valid[:, :, :, None],
+                      jnp.take_along_axis(apad[:, :, None, :], idx,
+                                          axis=3), 0)
+    return dband.transpose(0, 2, 1, 3), aband.transpose(0, 2, 1, 3)
+
+
 def _rle_cigar_splice(op_row: np.ndarray, rev_cigar: bool,
                       min_intron: int) -> np.ndarray:
     """RLE for splice op streams: op 3 runs are introns (N); tail
@@ -660,41 +814,12 @@ def exts2_batch_device(calls: list[FillCall], mat: np.ndarray, q: int,
             by_class.setdefault((cls, wbnd), []).append(idx)
 
     P = PAIRS_PER_GROUP
-    for (cls, wbnd), idxs in sorted(by_class.items()):
-        batch = []
-        for i in idxs:
-            c = calls[i]
-            # unbanded DP (exts2 has no band): a huge w disables the
-            # band terms in every window formula
-            batch.append(FillCall(c.qseq, c.tseq,
-                                  len(c.qseq) + len(c.tseq),
-                                  c.right, c.zdrop))
-        plan = plan_fill_batch(batch, cls, wbnd)
-        donors, acceptors = [], []
-        for bi, i in enumerate(idxs):
-            c = calls[i]
-            tlen = len(c.tseq)
-            nbytes = (tlen + 15) // 16 * 16
-            don, acc = S._splice_sites(
-                np.asarray(c.tseq, np.uint8), tlen, nbytes, noncan,
-                junc_bonus, flag, juncs[i])
-            donors.append(don)
-            acceptors.append(acc)
-        dband, aband = plan_splice_bands(plan, donors, acceptors)
-        p_dev, score_dev = exts2_fwd_tpu(
-            jnp.asarray(plan.meta), jnp.asarray(plan.qbytes),
-            jnp.asarray(plan.tband), jnp.asarray(plan.qblk),
-            jnp.asarray(dband), jnp.asarray(aband),
-            wb=wbnd, r_pad=plan.r_pad, q=q, e=e, q2=q2,
-            mat0=mat0, mat1=mat1, sc_n=sc_n, right=right,
-            long_thres=long_thres, long_diff=long_diff,
-            interpret=interpret)
-        score_host = np.asarray(jax.device_get(score_dev))[:, :, 2]
-        ops_dev = backtrack_device(p_dev, jnp.asarray(plan.meta),
-                                   wb=wbnd, r_pad=plan.r_pad,
-                                   kmax=plan.r_pad + 32, intron_ops=True)
+
+    def drain(entry) -> None:
+        chunk, plan, score_dev, ops_dev = entry
+        score_host = np.asarray(jax.device_get(score_dev))   # (G, P)
         ops_host = np.asarray(jax.device_get(ops_dev))
-        for bi, idx in enumerate(idxs):
+        for bi, idx in enumerate(chunk):
             if plan.dropped[bi]:
                 out[idx] = host(idx)
                 continue
@@ -704,6 +829,58 @@ def exts2_batch_device(calls: list[FillCall], mat: np.ndarray, q: int,
             ez.cigar = _rle_cigar_splice(ops_host[g * P + pp], rev,
                                          long_thres)
             out[idx] = ez
+
+    for (cls, wbnd), idxs in sorted(by_class.items()):
+        g_mb = _fill_chunk_groups(cls, wbnd, interpret)
+        pending: list = []
+        for off in range(0, len(idxs), g_mb * P):
+            chunk = idxs[off:off + g_mb * P]
+            batch = []
+            for i in chunk:
+                c = calls[i]
+                # unbanded DP (exts2 has no band): a huge w disables the
+                # band terms in every window formula
+                batch.append(FillCall(c.qseq, c.tseq,
+                                      len(c.qseq) + len(c.tseq),
+                                      c.right, c.zdrop))
+            plan = plan_fill_light(batch, cls, wbnd, g_pad=_chunk_g_pad(len(chunk), g_mb))
+            # compact donor/acceptor site arrays; band gather on device
+            dpad = np.zeros((g_mb, P, cls + 16), np.int8)
+            apad = np.zeros((g_mb, P, cls + 16), np.int8)
+            for bi, i in enumerate(chunk):
+                if plan.dropped[bi]:
+                    continue
+                c = calls[i]
+                tl = len(c.tseq)
+                nbytes = (tl + 15) // 16 * 16
+                don, acc = S._splice_sites(
+                    np.asarray(c.tseq, np.uint8), tl, nbytes, noncan,
+                    junc_bonus, flag, juncs[i])
+                g, pp = divmod(bi, P)
+                dpad[g, pp, :nbytes] = don[:nbytes]
+                apad[g, pp, :nbytes] = acc[:nbytes]
+            meta_d = jnp.asarray(plan.meta)
+            qb, tb, qk = prep_fill_operands(
+                meta_d, jnp.asarray(plan.qpad), jnp.asarray(plan.tpad),
+                wb=wbnd, r_pad=plan.r_pad)
+            dband, aband = prep_splice_bands(
+                meta_d, jnp.asarray(dpad), jnp.asarray(apad),
+                wb=wbnd, r_pad=plan.r_pad)
+            p_dev, score_dev = exts2_fwd_tpu(
+                meta_d, qb, tb, qk, dband, aband,
+                wb=wbnd, r_pad=plan.r_pad, q=q, e=e, q2=q2,
+                mat0=mat0, mat1=mat1, sc_n=sc_n, right=right,
+                long_thres=long_thres, long_diff=long_diff,
+                interpret=interpret)
+            ops_dev = backtrack_device(p_dev, meta_d,
+                                       wb=wbnd, r_pad=plan.r_pad,
+                                       kmax=plan.r_pad + 32,
+                                       intron_ops=True)
+            pending.append((chunk, plan, score_dev[:, :, 2], ops_dev))
+            if len(pending) > 1:     # bound in-flight HBM to 2 chunks
+                drain(pending.pop(0))
+        while pending:
+            drain(pending.pop(0))
     return out  # type: ignore[return-value]
 
 
@@ -1100,29 +1277,18 @@ def extd2_batch_device(calls: list[FillCall], mat: np.ndarray, q: int, e: int,
             by_class.setdefault((cls, band_width(wv, cls)), []).append(idx)
 
     P = PAIRS_PER_GROUP
-    for (cls, wbnd), idxs in sorted(by_class.items()):
-        batch = [calls[i] for i in idxs]
-        plan = plan_fill_batch(batch, cls, wbnd)
-        p_dev, score_dev = extd2_fwd_tpu(
-            jnp.asarray(plan.meta), jnp.asarray(plan.qbytes),
-            jnp.asarray(plan.tband), jnp.asarray(plan.qblk),
-            wb=wbnd, r_pad=plan.r_pad, q=qq, e=ee, q2=qq2, e2=ee2,
-            mat0=mat0, mat1=mat1, sc_n=sc_n, right=right,
-            long_thres=long_thres, long_diff=long_diff,
-            interpret=interpret)
-        score_host = np.asarray(jax.device_get(score_dev))[:, :, 2]
-        rev = bool(flag & ksw2.KSW_EZ_REV_CIGAR)
+    rev = bool(flag & ksw2.KSW_EZ_REV_CIGAR)
+
+    def drain(entry) -> None:
+        chunk, plan, score_dev, bt_dev = entry
+        score_host = np.asarray(jax.device_get(score_dev))   # (G, P)
         if backtrack == "device":
-            # only unit-op streams cross the link
-            ops_dev = backtrack_device(p_dev, jnp.asarray(plan.meta),
-                                       wb=wbnd, r_pad=plan.r_pad,
-                                       kmax=plan.r_pad + 32)
-            ops_host = np.asarray(jax.device_get(ops_dev))
+            ops_host = np.asarray(jax.device_get(bt_dev))
         else:
             rbn = plan.r_pad // ROWS_PER_STEP
-            p_host = np.asarray(jax.device_get(p_dev)).reshape(
-                plan.n_groups, rbn, ROWS_PER_STEP, P, wbnd)
-        for bi, idx in enumerate(idxs):
+            p_host = np.asarray(jax.device_get(bt_dev)).reshape(
+                plan.n_groups, rbn, ROWS_PER_STEP, P, plan.w_band)
+        for bi, idx in enumerate(chunk):
             c = calls[idx]
             if plan.dropped[bi]:
                 out[idx] = ksw2.extd2(c.qseq, c.tseq, mat, q, e, q2, e2,
@@ -1135,10 +1301,76 @@ def extd2_batch_device(calls: list[FillCall], mat: np.ndarray, q: int, e: int,
                 ez.cigar = _rle_cigar(ops_host[g * P + pp], rev)
                 out[idx] = ez
             else:
-                rows = p_host[g, :, :, pp, :].reshape(plan.r_pad, wbnd)
+                rows = p_host[g, :, :, pp, :].reshape(plan.r_pad,
+                                                      plan.w_band)
                 out[idx] = _assemble_ez(c, rows, int(score_host[g, pp]),
                                         flag)
+
+    for (cls, wbnd), idxs in sorted(by_class.items()):
+        # fixed-size micro-chunks: the direction matrix is r_pad*8*wbnd
+        # bytes per group (a flowcell's fills would exceed HBM as one
+        # launch), and a fixed G means one compiled executable per class
+        # instead of one per batch size
+        g_mb = _fill_chunk_groups(cls, wbnd, interpret)
+        pending: list = []
+        for off in range(0, len(idxs), g_mb * P):
+            chunk = idxs[off:off + g_mb * P]
+            plan = plan_fill_light([calls[i] for i in chunk], cls, wbnd,
+                                   g_pad=_chunk_g_pad(len(chunk), g_mb))
+            meta_d = jnp.asarray(plan.meta)
+            qb, tb, qk = prep_fill_operands(
+                meta_d, jnp.asarray(plan.qpad), jnp.asarray(plan.tpad),
+                wb=wbnd, r_pad=plan.r_pad)
+            p_dev, score_dev = extd2_fwd_tpu(
+                meta_d, qb, tb, qk,
+                wb=wbnd, r_pad=plan.r_pad, q=qq, e=ee, q2=qq2, e2=ee2,
+                mat0=mat0, mat1=mat1, sc_n=sc_n, right=right,
+                long_thres=long_thres, long_diff=long_diff,
+                interpret=interpret)
+            if backtrack == "device":
+                # only unit-op streams cross the link
+                bt_dev = backtrack_device(p_dev, meta_d, wb=wbnd,
+                                          r_pad=plan.r_pad,
+                                          kmax=plan.r_pad + 32)
+            else:
+                bt_dev = p_dev
+            pending.append((chunk, plan, score_dev[:, :, 2], bt_dev))
+            if len(pending) > 1:     # bound in-flight HBM to 2 chunks
+                drain(pending.pop(0))
+        while pending:
+            drain(pending.pop(0))
     return out  # type: ignore[return-value]
+
+
+def _chunk_g_pad(n_calls: int, g_mb: int) -> int:
+    """Group padding for one chunk: quarter-pow2 steps (floor 8) up to
+    the micro-batch size, so small workloads don't launch a full-size
+    chunk (MT-scale: 56 fills would otherwise run as a 1024-group grid)
+    while the shape set stays small and cache-friendly."""
+    g = (n_calls + PAIRS_PER_GROUP - 1) // PAIRS_PER_GROUP
+    if g >= g_mb:
+        return g_mb
+    if g <= 8:
+        return 8
+    k = max((g - 1).bit_length() - 3, 0)
+    q = -(-g // (1 << k)) * (1 << k)
+    return min(q, g_mb)
+
+
+def _fill_chunk_groups(nb: int, wbnd: int, interpret=False) -> int:
+    """Groups per fill micro-chunk: bounds the in-flight direction
+    matrix (2*nb rows x 8 pairs x wbnd bytes per group) to
+    MM2TPU_FILL_CHUNK_MB (default 512), power-of-two for executable
+    reuse, capped at 1024.  Interpret mode pins the chunk to one group:
+    interpret compile time scales with the traced shape and the logic
+    tests need minutes-not-hours compiles."""
+    if interpret is True:
+        return 1
+    import os
+    budget = int(os.environ.get("MM2TPU_FILL_CHUNK_MB", "512")) << 20
+    per_group = 2 * nb * PAIRS_PER_GROUP * wbnd
+    g = max(1, min(budget // per_group, 1024))
+    return 1 << (g.bit_length() - 1)
 
 
 # ------------------------------------------------------- device backtrack
@@ -1294,51 +1526,57 @@ def ext_batch_device(calls: list[FillCall], mat: np.ndarray, q: int, e: int,
 
     P = PAIRS_PER_GROUP
     for (cls, wbnd), idxs in sorted(by_class.items()):
-        batch = [calls[i] for i in idxs]
-        plan = plan_fill_batch(batch, cls, wbnd)
-        p_dev, acc_dev = extd2_fwd_tpu(
-            jnp.asarray(plan.meta), jnp.asarray(plan.qbytes),
-            jnp.asarray(plan.tband), jnp.asarray(plan.qblk),
-            wb=wbnd, r_pad=plan.r_pad, q=qq, e=ee, q2=qq2, e2=ee2,
-            mat0=mat0, mat1=mat1, sc_n=sc_n, right=right,
-            long_thres=long_thres, long_diff=long_diff, track_h=True,
-            interpret=interpret)
-        acc = np.asarray(jax.device_get(acc_dev))   # (G, P, 128)
-        # decide per-pair backtrack starts on the host (ksw2 epilogue)
-        starts = np.full((plan.n_groups * P, 2), -1, np.int32)
-        info = []
-        for bi, idx in enumerate(idxs):
-            c = calls[idx]
-            if plan.dropped[bi]:
-                info.append(None)
-                continue
-            g, pp = divmod(bi, P)
-            a = acc[g, pp]
-            ez = ksw2.Extz()
-            ez.score = int(a[2]) if not a[10] else ksw2.KSW_NEG_INF
-            ez.max, ez.max_t, ez.max_q = int(a[3]), int(a[4]), int(a[5])
-            ez.mqe, ez.mqe_t = int(a[6]), int(a[7])
-            ez.mte, ez.mte_q = int(a[8]), int(a[9])
-            ez.zdropped = bool(a[10])
-            if not ez.zdropped and ez.mqe + end_bonus > ez.max:
-                ez.reach_end = True
-                starts[bi] = (ez.mqe_t, len(c.qseq) - 1)
-            elif ez.max_t >= 0 and ez.max_q >= 0:
-                starts[bi] = (ez.max_t, ez.max_q)
-            info.append(ez)
-        ops_dev = backtrack_device(p_dev, jnp.asarray(plan.meta),
-                                   jnp.asarray(starts.reshape(
-                                       plan.n_groups * P, 2)),
-                                   wb=wbnd, r_pad=plan.r_pad,
-                                   kmax=plan.r_pad + 32)
-        ops_host = np.asarray(jax.device_get(ops_dev))
-        for bi, idx in enumerate(idxs):
-            c = calls[idx]
-            ez = info[bi]
-            if ez is None:
-                out[idx] = host(c)
-                continue
-            if starts[bi][0] >= 0:
-                ez.cigar = _rle_cigar(ops_host[bi], rev)
-            out[idx] = ez
+        g_mb = _fill_chunk_groups(cls, wbnd, interpret)
+        for off in range(0, len(idxs), g_mb * P):
+            chunk = idxs[off:off + g_mb * P]
+            plan = plan_fill_light([calls[i] for i in chunk], cls, wbnd,
+                                   g_pad=_chunk_g_pad(len(chunk), g_mb))
+            meta_d = jnp.asarray(plan.meta)
+            qb, tb, qk = prep_fill_operands(
+                meta_d, jnp.asarray(plan.qpad), jnp.asarray(plan.tpad),
+                wb=wbnd, r_pad=plan.r_pad)
+            p_dev, acc_dev = extd2_fwd_tpu(
+                meta_d, qb, tb, qk,
+                wb=wbnd, r_pad=plan.r_pad, q=qq, e=ee, q2=qq2, e2=ee2,
+                mat0=mat0, mat1=mat1, sc_n=sc_n, right=right,
+                long_thres=long_thres, long_diff=long_diff, track_h=True,
+                interpret=interpret)
+            acc = np.asarray(jax.device_get(acc_dev))   # (G, P, 128)
+            # decide per-pair backtrack starts on the host (ksw2 epilogue)
+            starts = np.full((plan.n_groups * P, 2), -1, np.int32)
+            info = []
+            for bi, idx in enumerate(chunk):
+                c = calls[idx]
+                if plan.dropped[bi]:
+                    info.append(None)
+                    continue
+                g, pp = divmod(bi, P)
+                a = acc[g, pp]
+                ez = ksw2.Extz()
+                ez.score = int(a[2]) if not a[10] else ksw2.KSW_NEG_INF
+                ez.max, ez.max_t, ez.max_q = int(a[3]), int(a[4]), int(a[5])
+                ez.mqe, ez.mqe_t = int(a[6]), int(a[7])
+                ez.mte, ez.mte_q = int(a[8]), int(a[9])
+                ez.zdropped = bool(a[10])
+                if not ez.zdropped and ez.mqe + end_bonus > ez.max:
+                    ez.reach_end = True
+                    starts[bi] = (ez.mqe_t, len(c.qseq) - 1)
+                elif ez.max_t >= 0 and ez.max_q >= 0:
+                    starts[bi] = (ez.max_t, ez.max_q)
+                info.append(ez)
+            ops_dev = backtrack_device(p_dev, meta_d,
+                                       jnp.asarray(starts.reshape(
+                                           plan.n_groups * P, 2)),
+                                       wb=wbnd, r_pad=plan.r_pad,
+                                       kmax=plan.r_pad + 32)
+            ops_host = np.asarray(jax.device_get(ops_dev))
+            for bi, idx in enumerate(chunk):
+                c = calls[idx]
+                ez = info[bi]
+                if ez is None:
+                    out[idx] = host(c)
+                    continue
+                if starts[bi][0] >= 0:
+                    ez.cigar = _rle_cigar(ops_host[bi], rev)
+                out[idx] = ez
     return out  # type: ignore[return-value]

@@ -15,7 +15,7 @@ drift apart: any change to shapes or statics goes through this module.
 
 import numpy as np
 
-# fixed inputs: sizes chosen to hit the smallest (512) size class with
+# fixed inputs: sizes chosen to hit the small (128) size class with
 # band w=32; divergence pattern exercises X/I/D ops and a zdrop miss
 _RNG = np.random.default_rng(20260818)
 QSEQ = _RNG.integers(0, 4, 90).astype(np.uint8)
