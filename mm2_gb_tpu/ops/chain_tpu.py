@@ -710,7 +710,7 @@ def _warm_one(sig: tuple) -> None:
                             H=W + tiles_alloc * TILE, W=W, span=span,
                             max_dist_x=max_dist_x, max_dist_y=max_dist_y,
                             bw=bw, cg=cg, cs=cs, is_cdna=bool(is_cdna))
-    jax.device_get(out[:, :1])  # fence: executable fully loaded
+    jax.device_get((out[0][:1], out[1][:1]))  # fence: executable loaded
 
 
 def warm_start(verbose: int = 1, pre=None) -> None:

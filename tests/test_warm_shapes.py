@@ -126,3 +126,13 @@ def test_warm_one_signature_matches_dispatch():
         assert warm == disp
     finally:
         CT.chain_compact_tpu = orig
+
+
+def test_warm_one_executes_real_call():
+    """_warm_one must run the REAL chain_compact_tpu end to end: the spy
+    test above replaces it, so a drift in the return contract (e.g. the
+    stacked (2, n) array becoming an (f, p) tuple) would otherwise only
+    surface as a silently-skipped warm-up in production logs."""
+    from mm2_gb_tpu.ops import chain_tpu as CT
+    CT._warm_one((4, 2048, 768, 15, 5000, 5000, 500,
+                  0.12000000476837158, 0.0, False))
