@@ -315,6 +315,9 @@ def finish_slices(index: MinimizerIndex, opt: MapOptions, slices,
                 for sr, fp, pp in slices]
     finally:
         align_ops.set_fill_cache(None)
+        from mm2_gb_tpu.utils import native
+        if native.available():
+            native.fill_mode(0)   # drop any native fill table/session
 
 
 def _finish_batch(index: MinimizerIndex, opt: MapOptions, batch,
@@ -335,7 +338,8 @@ def _finish_batch(index: MinimizerIndex, opt: MapOptions, batch,
         pp = np.where(p[s:e] >= 0, p[s:e] - s, -1)
         slices.append((sr, fp, pp))
     if _use_device_align(opt):
-        _prefill_device(index, opt, slices)
+        if not _prefill_native(index, opt, slices):
+            _prefill_device(index, opt, slices)
     out = finish_slices(index, opt, slices, pool)
     metrics.t_finish += time.perf_counter() - t0
     return out
@@ -358,6 +362,61 @@ def _use_device_align(opt: MapOptions) -> bool:
     if opt.flag & MM_F_SPLICE:  # exts2 device fills (q2 is intron open)
         return opt.q2 > opt.q + opt.e
     return not (opt.q == opt.q2 and opt.e == opt.e2)
+
+
+def _prefill_native(index: MinimizerIndex, opt: MapOptions,
+                    slices: list) -> bool:
+    """Native-session variant of _prefill_device for the plain genomic
+    path: the C++ align1 driver itself records every APPROX_MAX gap fill
+    (collect mode) and answers the real pass from a C-side result table
+    (csrc/alignkit.cpp FillSession) — both passes run at C speed instead
+    of dropping to the Python oracle, which costs ~70 s per pass on a
+    flowcell.  Returns False when this path doesn't apply (splice,
+    qstrand, sr, debug dumps, no native kit) — the Python session
+    (_prefill_device) handles those."""
+    import numpy as np
+
+    from mm2_gb_tpu.ops import ksw2, ksw2_tpu
+    from mm2_gb_tpu.utils import native
+    if (not native.available() or (opt.flag & MM_F_SPLICE)
+            or (opt.flag & MM_F_QSTRAND) or (opt.flag & MM_F_SR)
+            or opt.dbg_print_aln_seq
+            or (opt.q == opt.q2 and opt.e == opt.e2)):
+        return False
+    native.fill_mode(1)
+    try:
+        for sr, fp, pp in slices:
+            finish_read(index, opt, sr, fp, pp)
+        meta, qblob, tblob = native.fill_fetch()
+    except Exception:
+        native.fill_mode(0)
+        raise
+    n = meta.shape[0]
+    if n == 0:
+        native.fill_mode(2)
+        return True
+    qoff = np.zeros(n + 1, np.int64)
+    toff = np.zeros(n + 1, np.int64)
+    np.cumsum(meta[:, 0], out=qoff[1:])
+    np.cumsum(meta[:, 1], out=toff[1:])
+    calls = [ksw2_tpu.FillCall(qblob[qoff[i]:qoff[i + 1]],
+                               tblob[toff[i]:toff[i + 1]],
+                               int(meta[i, 2]), False, int(meta[i, 3]))
+             for i in range(n)]
+    mat = ksw2.gen_simple_mat(5, opt.a, opt.b, opt.sc_ambi)
+    ezs = ksw2_tpu.extd2_batch_device(calls, mat, opt.q, opt.e, opt.q2,
+                                      opt.e2, ksw2.KSW_EZ_APPROX_MAX)
+    scores = np.fromiter((ez.score for ez in ezs), np.int32, n)
+    lens = np.fromiter((len(ez.cigar) for ez in ezs), np.int64, n)
+    cig_off = np.zeros(n + 1, np.int64)
+    np.cumsum(lens, out=cig_off[1:])
+    cig_blob = (np.concatenate([ez.cigar for ez in ezs])
+                if cig_off[-1] else np.empty(0, np.uint32))
+    # duplicate keys dedup C-side (first entry wins; results identical)
+    native.fill_table_bulk(meta, qoff, qblob, toff, tblob,
+                           scores, cig_off, cig_blob)
+    native.fill_mode(2)
+    return True
 
 
 def _prefill_device(index: MinimizerIndex, opt: MapOptions,

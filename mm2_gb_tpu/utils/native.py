@@ -148,6 +148,17 @@ def _load():
     ]
     u8p = ctypes.POINTER(ctypes.c_uint8)
     u32p = ctypes.POINTER(ctypes.c_uint32)
+    lib.mmt_fill_mode.restype = None
+    lib.mmt_fill_mode.argtypes = [ctypes.c_int32]
+    lib.mmt_fill_counts.restype = None
+    lib.mmt_fill_counts.argtypes = [i64p, i64p, i64p]
+    lib.mmt_fill_fetch.restype = None
+    lib.mmt_fill_fetch.argtypes = [i64p, u8p, u8p]
+    lib.mmt_fill_table_bulk.restype = None
+    lib.mmt_fill_table_bulk.argtypes = [
+        ctypes.c_int64, i64p, i64p, u8p, i64p, u8p,
+        i32p, i64p, u32p,
+    ]
     lib.mmt_collect_anchors.restype = ctypes.c_int64
     lib.mmt_collect_anchors.argtypes = [
         u64p, i64p, i64p, u32p, i32p, i32p, u8p,
@@ -464,6 +475,54 @@ def pack_meta(rows: np.ndarray, rng_src: np.ndarray, H: int, W: int,
     lib.mmt_tile_starts(rmax.ctypes.data_as(p32), H, W, tile, n_tiles,
                         start.ctypes.data_as(p32))
     return start
+
+
+def fill_mode(mode: int) -> None:
+    """Set the native align1 fill-session mode: 0 off (clears the
+    table), 1 collect, 2 table (see csrc/alignkit.cpp FillSession)."""
+    _load().mmt_fill_mode(mode)
+
+
+def fill_fetch() -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Drain the collected fills: (meta (n,4) int64 [ql,tl,w,zdrop],
+    qblob uint8, tblob uint8; sequences concatenated in meta order)."""
+    lib = _load()
+    n = ctypes.c_int64()
+    qb = ctypes.c_int64()
+    tb = ctypes.c_int64()
+    lib.mmt_fill_counts(ctypes.byref(n), ctypes.byref(qb), ctypes.byref(tb))
+    meta = np.empty((n.value, 4), np.int64)
+    qblob = np.empty(qb.value, np.uint8)
+    tblob = np.empty(tb.value, np.uint8)
+    if n.value:
+        i64 = ctypes.POINTER(ctypes.c_int64)
+        u8 = ctypes.POINTER(ctypes.c_uint8)
+        lib.mmt_fill_fetch(meta.ctypes.data_as(i64),
+                           qblob.ctypes.data_as(u8),
+                           tblob.ctypes.data_as(u8))
+    return meta, qblob, tblob
+
+
+def fill_table_bulk(meta: np.ndarray, qoff: np.ndarray, qblob: np.ndarray,
+                    toff: np.ndarray, tblob: np.ndarray,
+                    scores: np.ndarray, cig_off: np.ndarray,
+                    cig_blob: np.ndarray) -> None:
+    """Load device fill results into the native lookup table."""
+    lib = _load()
+    i64 = ctypes.POINTER(ctypes.c_int64)
+    u8 = ctypes.POINTER(ctypes.c_uint8)
+    lib.mmt_fill_table_bulk(
+        meta.shape[0],
+        np.ascontiguousarray(meta, np.int64).ctypes.data_as(i64),
+        np.ascontiguousarray(qoff, np.int64).ctypes.data_as(i64),
+        np.ascontiguousarray(qblob, np.uint8).ctypes.data_as(u8),
+        np.ascontiguousarray(toff, np.int64).ctypes.data_as(i64),
+        np.ascontiguousarray(tblob, np.uint8).ctypes.data_as(u8),
+        np.ascontiguousarray(scores, np.int32).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_int32)),
+        np.ascontiguousarray(cig_off, np.int64).ctypes.data_as(i64),
+        np.ascontiguousarray(cig_blob, np.uint32).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_uint32)))
 
 
 def collect_anchors(occ_pos: np.ndarray, start: np.ndarray, cnt: np.ndarray,
