@@ -57,3 +57,32 @@ def simulate_readset(ref: str, n_reads: int, min_len: int, max_len: int,
                             **noise)
         out.append((f"read{i}_{st}_{ln}{'-' if rev else '+'}", seq))
     return out
+
+
+def materialize_flowcell(n_reads: int, base_dir: str = "/tmp"
+                         ) -> tuple[str, str]:
+    """Write (and cache on disk) the standard bench flowcell: a 4 Mbp
+    random reference and `n_reads` 10-100 kb ONT-like reads.  Both
+    bench.py and tools/chip_smoke.py draw from here so their byte gates
+    compare identical inputs; the directory is keyed on n_reads so
+    different sizes never clobber each other."""
+    import os
+    d = os.path.join(base_dir, f"mm2tpu_bench_fc{n_reads}")
+    os.makedirs(d, exist_ok=True)
+    ref_fa = os.path.join(d, "ref.fa")
+    reads_fa = os.path.join(d, "reads.fa")
+    if not (os.path.exists(ref_fa) and os.path.exists(reads_fa)):
+        ref = random_reference(4_000_000, seed=1)
+        reads = simulate_readset(ref, n_reads, 10_000, 100_000, seed=3)
+        tmp = ref_fa + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(">chr1\n")
+            for i in range(0, len(ref), 80):
+                f.write(ref[i:i + 80] + "\n")
+        os.replace(tmp, ref_fa)
+        tmp = reads_fa + ".tmp"
+        with open(tmp, "w") as f:
+            for name, seq in reads:
+                f.write(f">{name}\n{seq}\n")
+        os.replace(tmp, reads_fa)
+    return ref_fa, reads_fa

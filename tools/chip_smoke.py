@@ -257,25 +257,14 @@ def kernel_perf() -> None:
 def e2e_stage() -> None:
     """CLI vs the reference binary on the bench flowcell: byte gate +
     wall, equal threads, two device configs."""
-    from mm2_gb_tpu.utils.simulate import random_reference, simulate_readset
+    from mm2_gb_tpu.utils.simulate import materialize_flowcell
 
     if not os.path.exists(REF_BIN):
         RESULT["e2e_skipped"] = "reference binary unavailable"
         return
-    d = "/tmp/mm2tpu_bench_e2e"
-    os.makedirs(d, exist_ok=True)
-    ref_fa, reads_fa = os.path.join(d, "ref.fa"), os.path.join(d, "reads.fa")
-    n_reads = 600
-    if not (os.path.exists(ref_fa) and os.path.exists(reads_fa)):
-        ref = random_reference(4_000_000, seed=1)
-        reads = simulate_readset(ref, n_reads, 10_000, 100_000, seed=3)
-        with open(ref_fa, "w") as f:
-            f.write(">chr1\n")
-            for i in range(0, len(ref), 80):
-                f.write(ref[i:i + 80] + "\n")
-        with open(reads_fa, "w") as f:
-            for name, seq in reads:
-                f.write(f">{name}\n{seq}\n")
+    n_reads = int(os.environ.get("MM2TPU_BENCH_READS", "1200"))
+    ref_fa, reads_fa = materialize_flowcell(n_reads)
+    RESULT["e2e_n_reads"] = n_reads
 
     threads = os.environ.get("MM2TPU_BENCH_THREADS", "1")
     for tag, extra in (("tpuchain", ["--tpu-chain"]),
