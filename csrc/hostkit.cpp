@@ -20,6 +20,7 @@
 #include <cstring>
 #include <cmath>
 #include <algorithm>
+#include <unordered_map>
 #include <vector>
 
 namespace {
@@ -475,6 +476,22 @@ void mmt_pack_class(const int64_t* cuts, const int64_t* sel, int64_t n_sel,
         }
     }
     *pairs_out = pairs;
+}
+
+// Query-side occurrence filter (mm_seed_mz_flt, seed.c:5-28): drop
+// minimizers whose within-read hash count exceeds both q_occ_max and
+// n * q_occ_frac.  Order-preserving keep mask; replaces a per-read
+// np.unique(return_inverse+counts) sort.
+void mmt_seed_mz_flt(const uint64_t* keys, int64_t n, int64_t q_occ_max,
+                     double q_occ_frac, uint8_t* keep) {
+    std::unordered_map<uint64_t, int64_t> cnt;
+    cnt.reserve((size_t)n * 2);
+    for (int64_t i = 0; i < n; ++i) ++cnt[keys[i]];
+    const double thr = (double)n * q_occ_frac;
+    for (int64_t i = 0; i < n; ++i) {
+        const int64_t c = cnt[keys[i]];
+        keep[i] = !(c > q_occ_max && (double)c > thr);
+    }
 }
 
 // Fused anchor collection for the DEFAULT seeding path (no ava-mode

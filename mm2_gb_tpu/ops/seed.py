@@ -42,6 +42,9 @@ def seed_mz_flt(mv: np.ndarray, q_occ_max: int, q_occ_frac: float) -> np.ndarray
     n = mv.shape[0]
     if n <= q_occ_max or q_occ_frac <= 0.0 or q_occ_max <= 0:
         return mv
+    if native.available():
+        return mv[native.seed_mz_flt_mask(mv[:, 0], q_occ_max,
+                                          q_occ_frac)]
     _, inverse, counts = np.unique(mv[:, 0], return_inverse=True,
                                    return_counts=True)
     c = counts[inverse]

@@ -148,6 +148,10 @@ def _load():
     ]
     u8p = ctypes.POINTER(ctypes.c_uint8)
     u32p = ctypes.POINTER(ctypes.c_uint32)
+    lib.mmt_seed_mz_flt.restype = None
+    lib.mmt_seed_mz_flt.argtypes = [
+        u64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_double, u8p,
+    ]
     lib.mmt_fill_mode.restype = None
     lib.mmt_fill_mode.argtypes = [ctypes.c_int32]
     lib.mmt_fill_counts.restype = None
@@ -475,6 +479,20 @@ def pack_meta(rows: np.ndarray, rng_src: np.ndarray, H: int, W: int,
     lib.mmt_tile_starts(rmax.ctypes.data_as(p32), H, W, tile, n_tiles,
                         start.ctypes.data_as(p32))
     return start
+
+
+def seed_mz_flt_mask(keys: np.ndarray, q_occ_max: int,
+                     q_occ_frac: float) -> np.ndarray:
+    """Order-preserving keep mask for the query occurrence filter."""
+    lib = _load()
+    n = keys.shape[0]
+    keep = np.empty(n, np.uint8)
+    lib.mmt_seed_mz_flt(
+        np.ascontiguousarray(keys, np.uint64).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_uint64)),
+        n, q_occ_max, q_occ_frac,
+        keep.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return keep.view(bool)
 
 
 def fill_mode(mode: int) -> None:
