@@ -744,11 +744,16 @@ def warm_start(verbose: int = 1, pre=None) -> None:
             with open(path) as f:
                 entries = json.load(f)
             sigs = [tuple(e["sig"]) for e in entries
-                    if e["sig"][2] in WINDOW_CLASSES][-_WARM_MAX:]
+                    if (isinstance(e["sig"][0], str)       # ksw2 fill sig
+                        or e["sig"][2] in WINDOW_CLASSES)][-_WARM_MAX:]
             for sig in reversed(sigs):  # newest first
                 if _warm_stop:
                     break
-                _warm_one(sig)
+                if isinstance(sig[0], str):
+                    from mm2_gb_tpu.ops import ksw2_tpu
+                    ksw2_tpu._warm_fill(sig)
+                else:
+                    _warm_one(sig)
                 n += 1
             if verbose >= 3:
                 sys.stderr.write(f"[M::tpu] warmed {n}/{len(sigs)} chain "

@@ -876,6 +876,10 @@ def exts2_batch_device(calls: list[FillCall], mat: np.ndarray, q: int,
                                        wb=wbnd, r_pad=plan.r_pad,
                                        kmax=plan.r_pad + 32,
                                        intron_ops=True)
+            if interpret is False:
+                _record_fill_sig("exts", cls, wbnd, plan.n_groups,
+                                 (q, e, q2, mat0, mat1, sc_n, right,
+                                  long_thres, long_diff))
             pending.append((chunk, plan, score_dev[:, :, 2], ops_dev))
             if len(pending) > 1:     # bound in-flight HBM to 2 chunks
                 drain(pending.pop(0))
@@ -1334,6 +1338,10 @@ def extd2_batch_device(calls: list[FillCall], mat: np.ndarray, q: int, e: int,
                                           kmax=plan.r_pad + 32)
             else:
                 bt_dev = p_dev
+            if interpret is False:
+                _record_fill_sig("fill", cls, wbnd, plan.n_groups,
+                                 (qq, ee, qq2, ee2, mat0, mat1, sc_n,
+                                  right, long_thres, long_diff))
             pending.append((chunk, plan, score_dev[:, :, 2], bt_dev))
             if len(pending) > 1:     # bound in-flight HBM to 2 chunks
                 drain(pending.pop(0))
@@ -1468,6 +1476,62 @@ def backtrack_device(p, meta, starts=None, *, wb, r_pad, kmax,
     return ops
 
 
+
+def _record_fill_sig(kind: str, cls: int, wbnd: int, g_pad: int,
+                     statics: tuple) -> None:
+    """Persist a fill-executable launch signature next to the chain
+    shapes; chain_tpu.warm_start replays it via _warm_fill so the first
+    fill chunk of a fresh process doesn't pay the executable load on the
+    critical path."""
+    from mm2_gb_tpu.ops import chain_tpu
+    chain_tpu._record_shape((kind, int(cls), int(wbnd), int(g_pad))
+                            + tuple(statics))
+
+
+def _warm_fill(sig: tuple) -> None:
+    """Replay a recorded fill signature with zero device operands (jnp
+    fills: no host bytes cross the link) — compiles/loads prep + forward
+    + backtrack executables for that shape."""
+    kind = sig[0]
+    cls, wbnd, g_pad = int(sig[1]), int(sig[2]), int(sig[3])
+    P = PAIRS_PER_GROUP
+    r_pad = 2 * cls
+    meta = jnp.zeros((g_pad, 8, P), jnp.int32)
+    qpad = jnp.zeros((g_pad, P, cls + 1), jnp.uint8)
+    tpad = jnp.zeros((g_pad, P, cls + 1), jnp.uint8)
+    qb, tb, qk = prep_fill_operands(meta, qpad, tpad, wb=wbnd, r_pad=r_pad)
+    if kind == "exts":
+        (q, e, q2, mat0, mat1, sc_n, right, long_thres, long_diff) = sig[4:]
+        zpad = jnp.zeros((g_pad, P, cls + 16), jnp.int8)
+        dband, aband = prep_splice_bands(meta, zpad, zpad, wb=wbnd,
+                                         r_pad=r_pad)
+        p_dev, _score = exts2_fwd_tpu(
+            meta, qb, tb, qk, dband, aband, wb=wbnd, r_pad=r_pad,
+            q=int(q), e=int(e), q2=int(q2), mat0=int(mat0),
+            mat1=int(mat1), sc_n=int(sc_n), right=bool(right),
+            long_thres=int(long_thres), long_diff=int(long_diff),
+            interpret=False)
+        ops = backtrack_device(p_dev, meta, wb=wbnd, r_pad=r_pad,
+                               kmax=r_pad + 32, intron_ops=True)
+    else:
+        (q, e, q2, e2, mat0, mat1, sc_n, right,
+         long_thres, long_diff) = sig[4:]
+        p_dev, _score = extd2_fwd_tpu(
+            meta, qb, tb, qk, wb=wbnd, r_pad=r_pad, q=int(q), e=int(e),
+            q2=int(q2), e2=int(e2), mat0=int(mat0), mat1=int(mat1),
+            sc_n=int(sc_n), right=bool(right), long_thres=int(long_thres),
+            long_diff=int(long_diff), track_h=(kind == "ext"),
+            interpret=False)
+        if kind == "ext":
+            starts = jnp.full((g_pad * P, 2), -1, jnp.int32)
+            ops = backtrack_device(p_dev, meta, starts, wb=wbnd,
+                                   r_pad=r_pad, kmax=r_pad + 32)
+        else:
+            ops = backtrack_device(p_dev, meta, wb=wbnd, r_pad=r_pad,
+                                   kmax=r_pad + 32)
+    jax.device_get(ops[:1, :1])   # fence: executables fully loaded
+
+
 def _rle_cigar(op_row: np.ndarray, rev_cigar: bool) -> np.ndarray:
     """Run-length encode a unit-op stream (emitted back-to-front)."""
     ops = op_row[op_row != 255]
@@ -1564,6 +1628,10 @@ def ext_batch_device(calls: list[FillCall], mat: np.ndarray, q: int, e: int,
                 elif ez.max_t >= 0 and ez.max_q >= 0:
                     starts[bi] = (ez.max_t, ez.max_q)
                 info.append(ez)
+            if interpret is False:
+                _record_fill_sig("ext", cls, wbnd, plan.n_groups,
+                                 (qq, ee, qq2, ee2, mat0, mat1, sc_n,
+                                  right, long_thres, long_diff))
             ops_dev = backtrack_device(p_dev, meta_d,
                                        jnp.asarray(starts.reshape(
                                            plan.n_groups * P, 2)),

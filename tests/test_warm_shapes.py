@@ -136,3 +136,22 @@ def test_warm_one_executes_real_call():
     from mm2_gb_tpu.ops import chain_tpu as CT
     CT._warm_one((4, 2048, 768, 15, 5000, 5000, 500,
                   0.12000000476837158, 0.0, False))
+
+
+def test_fill_sig_roundtrip(tmp_path, monkeypatch):
+    """Fill signatures persist next to the chain shapes and pass
+    warm_start's entry filter (string-kinded sigs route to ksw2 warm)."""
+    import json
+
+    from mm2_gb_tpu.ops import chain_tpu as CT
+    from mm2_gb_tpu.ops import ksw2_tpu as KT
+    monkeypatch.setenv("MM2TPU_JAX_CACHE", str(tmp_path / "jx"))
+    monkeypatch.setattr(CT, "_warm_seen", set())
+    KT._record_fill_sig("fill", 64, 256, 8,
+                        (4, 2, 24, 1, 2, -4, 1, False, 19, -19))
+    path = CT._shapes_path()
+    entries = json.load(open(path))
+    sigs = [tuple(e["sig"]) for e in entries
+            if (isinstance(e["sig"][0], str)
+                or e["sig"][2] in CT.WINDOW_CLASSES)]
+    assert sigs and sigs[-1][0] == "fill" and sigs[-1][1] == 64
