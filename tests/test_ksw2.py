@@ -74,10 +74,11 @@ def test_size_classes_modes(monkeypatch):
     from mm2_gb_tpu.ops import ksw2_tpu as KT
 
     assert KT._size_classes("oracle") == ()
-    assert KT._size_classes(False) == KT.SIZE_CLASSES
+    assert KT._size_classes(False) == KT.DEVICE_SIZE_CLASSES
+    assert KT.DEVICE_SIZE_CLASSES[-len(KT.SIZE_CLASSES):] == KT.SIZE_CLASSES
     monkeypatch.delenv("MM2TPU_INTERPRET_MAX_CLASS", raising=False)
-    assert KT._size_classes(True) == (512, 1024)
+    assert KT._size_classes(True) == (64, 128, 256, 512, 1024)
     monkeypatch.setenv("MM2TPU_INTERPRET_MAX_CLASS", "4096")
-    assert KT._size_classes(True) == KT.SIZE_CLASSES
+    assert KT._size_classes(True) == KT.DEVICE_SIZE_CLASSES
     monkeypatch.setenv("MM2TPU_INTERPRET_MAX_CLASS", "1")
-    assert KT._size_classes(True) == (512,)
+    assert KT._size_classes(True) == (64,)
