@@ -233,27 +233,46 @@ def _chain_kernel(ntiles_ref, start_ref,      # scalar prefetch
             yt = yw[W:W + TILE, :]
             acc_f[:, :] = jnp.full((TILE, LANES), span_i, jnp.int32)
             acc_p[:, :] = jnp.zeros((TILE, LANES), jnp.int32)
+            r8 = jax.lax.broadcasted_iota(jnp.int32, (8, TILE, LANES), 0)
 
             def fold8(cur_f, cur_p, xb, yb, rb, fb, s0, skip_block_rows):
-                """Relax 8 source rows (values) onto the dst tile, ascending,
-                with the oracle's last-wins >= tie-break."""
-                for r in range(8):
-                    xs = xb[r, :][None, :]
-                    ys = yb[r, :][None, :]
-                    rs = rb[r, :][None, :]
-                    fs = fb[r, :][None, :]
-                    tot, valid = _pair_score(xt, yt, span_i, xs, ys, span_i,
-                                             fs, max_dist_x, max_dist_y, bw,
-                                             cg, cs, is_cdna)
-                    d_off = rows_i + (W - s0 - r)
-                    ok = (valid & (d_off >= 1) & (d_off <= rs)
-                          & (tot != span_i) & (tot >= cur_f))
-                    if skip_block_rows:
-                        # intra: block rows already resolved; touching them
-                        # again would break the last-wins tie order
-                        ok &= d_off > (7 - r)
-                    cur_f = jnp.where(ok, tot, cur_f)
-                    cur_p = jnp.where(ok, d_off, cur_p)
+                """Relax 8 source rows onto the dst tile as ONE (8, TILE,
+                LANES) block + reduction (round-4 roofline §5.2: the old
+                serialized 8-sub-step fold bottlenecked on per-row sublane
+                extract/broadcast between full-tile ops).
+
+                Tie order: the oracle's ascending last-wins >= fold picks,
+                per destination, the LARGEST source index achieving the
+                block maximum (each step overwrites on tot >= cur_f, so the
+                final winner is the last r attaining the running max).
+                That is order-free: reduce tot over the block with max,
+                then take the largest r at the max — bit-identical
+                selection without the 8-step dependency chain."""
+                xs = xb[:, None, :]
+                ys = yb[:, None, :]
+                rs = rb[:, None, :]
+                fs = fb[:, None, :]
+                tot, valid = _pair_score(xt[None], yt[None], span_i, xs, ys,
+                                         span_i, fs, max_dist_x, max_dist_y,
+                                         bw, cg, cs, is_cdna)
+                base = rows_i + (W - s0)           # d_off of r=0, 2D
+                d_off = base[None] - r8
+                okr = (valid & (d_off >= 1) & (d_off <= rs)
+                       & (tot != span_i))
+                if skip_block_rows:
+                    # intra: block rows already resolved; touching them
+                    # again would break the last-wins tie order
+                    okr &= d_off > (jnp.int32(7) - r8)
+                totm = jnp.where(okr, tot, jnp.int32(INT32_MIN))
+                blk = jnp.max(totm, axis=0)
+                # masked rows hold INT32_MIN != blk whenever a winner
+                # exists; a winnerless column has blk = INT32_MIN < cur_f
+                # (scores stay >= span >= 1), so `ok` gates it out
+                rwin = jnp.max(jnp.where(totm == blk[None], r8,
+                                         jnp.int32(-1)), axis=0)
+                ok = blk >= cur_f
+                cur_f = jnp.where(ok, blk, cur_f)
+                cur_p = jnp.where(ok, base - rwin, cur_p)
                 return cur_f, cur_p
 
             # phase 1: source blocks strictly before the tile; their f is

@@ -843,10 +843,17 @@ def exts2_batch_device(calls: list[FillCall], mat: np.ndarray, q: int,
                 batch.append(FillCall(c.qseq, c.tseq,
                                       len(c.qseq) + len(c.tseq),
                                       c.right, c.zdrop))
-            plan = plan_fill_light(batch, cls, wbnd, g_pad=_chunk_g_pad(len(chunk), g_mb))
-            # compact donor/acceptor site arrays; band gather on device
-            dpad = np.zeros((g_mb, P, cls + 16), np.int8)
-            apad = np.zeros((g_mb, P, cls + 16), np.int8)
+            plan = plan_fill_light(batch, cls, wbnd,
+                                   g_pad=_chunk_g_pad(len(chunk), g_mb))
+            # compact donor/acceptor site arrays; band gather on device.
+            # Group count MUST be the plan's padded G (g_pad), not g_mb:
+            # a final partial chunk pads to fewer groups than the
+            # micro-batch and prep_splice_bands broadcasts meta-derived
+            # masks against these arrays (real-chip smoke 20260819_0904
+            # caught the mismatch; interpret mode pins g_mb=1 and never
+            # sees it)
+            dpad = np.zeros((plan.n_groups, P, cls + 16), np.int8)
+            apad = np.zeros((plan.n_groups, P, cls + 16), np.int8)
             for bi, i in enumerate(chunk):
                 if plan.dropped[bi]:
                     continue
