@@ -51,13 +51,28 @@ def run_scaling(n_devices: int, n_reads: int) -> dict:
 
     from mm2_gb_tpu.parallel.mesh import (dispatch_batch_multichip,
                                           finish_batch_multichip)
+    from mm2_gb_tpu.utils.paf import write_paf
 
-    results = {}
+    def paf_digest(finished) -> str:
+        import hashlib
+        h = hashlib.sha256()
+        for sr, regs in finished:
+            for r in regs:
+                h.update(write_paf(r, sr.rec.name, sr.rec.length, index,
+                                   mo.flag, sr.rep_len).encode())
+        return h.hexdigest()
+
+    results: dict = {"config": {"n_reads": n_reads, "n_anchors": int(
+        ax.shape[0]), "pairs": pairs, "backend": None}, "points": {}}
+    f1 = p1 = None
+    paf1 = None
     d = 1
     while d <= n_devices:
         mesh = make_mesh(d)
         f, p = chain_batch_multichip(mesh, ax, ay, bounds, md, md, mo.bw,
                                      mo.max_chain_iter, cg, 0.0)  # compile
+        if d == 1:
+            f1, p1 = f, p
         t0 = time.perf_counter()
         reps = 3
         for _ in range(reps):
@@ -65,20 +80,40 @@ def run_scaling(n_devices: int, n_reads: int) -> dict:
                                   mo.max_chain_iter, cg, 0.0)
         dt = (time.perf_counter() - t0) / reps
         # e2e mapped reads/s: full dispatch->finish (backtrack + post)
-        finish_batch_multichip(index, mo, dispatch_batch_multichip(
+        fin = finish_batch_multichip(index, mo, dispatch_batch_multichip(
             index, mo, seeded, mesh), None)  # compile
+        if d == 1:
+            paf1 = paf_digest(fin)
         t0 = time.perf_counter()
         for _ in range(reps):
-            finish_batch_multichip(index, mo, dispatch_batch_multichip(
+            fin = finish_batch_multichip(index, mo, dispatch_batch_multichip(
                 index, mo, seeded, mesh), None)
         dt_e2e = (time.perf_counter() - t0) / reps
-        results[d] = {"pairs_per_s": pairs / dt,
-                      "chain_reads_per_s": len(seeded) / dt,
-                      "e2e_reads_per_s": len(seeded) / dt_e2e}
+        # determinism gate: every device count must produce the same
+        # chain scores/predecessors AND the same PAF as the single-
+        # device run (the multi-chip analog of the byte contract)
+        det = bool(np.array_equal(f1, f) and np.array_equal(p1, p)
+                   and paf_digest(fin) == paf1)
+        # load balance: on a real pod the wall is the max shard, so
+        # speedup is bounded by total/(d*max_shard_pairs) — report it
+        # alongside the (host-bound on a 1-core virtual mesh) rates
+        from mm2_gb_tpu.parallel.mesh import _shard_reads
+        sb = _shard_reads(bounds, d)
+        shard_pairs = np.add.reduceat(
+            rng.astype(np.int64), bounds[sb[:-1]].astype(np.int64)
+        ) if d > 1 else np.array([pairs])
+        balance = pairs / (d * max(int(shard_pairs.max()), 1))
+        results["points"][d] = {"pairs_per_s": pairs / dt,
+                                "chain_reads_per_s": len(seeded) / dt,
+                                "e2e_reads_per_s": len(seeded) / dt_e2e,
+                                "load_balance": round(balance, 4),
+                                "deterministic_vs_d1": det}
         print(f"devices={d}: {pairs / dt / 1e9:.2f} Gpairs/s chain, "
-              f"{len(seeded) / dt_e2e:.0f} mapped reads/s e2e",
-              file=sys.stderr)
+              f"{len(seeded) / dt_e2e:.0f} mapped reads/s e2e, "
+              f"deterministic={det}", file=sys.stderr)
+        assert det, f"nondeterministic output at {d} devices"
         d *= 2
+    results["config"]["backend"] = jax.default_backend()
     return results
 
 
@@ -103,6 +138,14 @@ def main() -> int:
     n = args.devices or len(jax.devices())
     out = run_scaling(n, args.reads)
     print(json.dumps(out))
+    stamp = time.strftime("%Y%m%d_%H%M%S", time.gmtime())
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "results", f"scaling_{stamp}.json")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=1)
+        fh.write("\n")
+    print(f"wrote {path}", file=sys.stderr)
     return 0
 
 

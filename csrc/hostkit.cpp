@@ -444,32 +444,30 @@ void mmt_lpt_pack(const int64_t* lens, int64_t n, int64_t lanes,
     *height_out = hmax;
 }
 
-// Fused per-class operand pack (chain_tpu.dispatch_scores): one pass
-// emits the (4, n_pad) compact operand rows for every anchor of the
-// selected segments, the src scatter-back map, the per-layout-row range
-// max (tile-start input) and the relaxation-pair count.  Replaces ~15
-// large NumPy passes (repeat/nonzero/fancy-gathers) per class.
-void mmt_pack_class(const int64_t* cuts, const int64_t* sel, int64_t n_sel,
-                    const int64_t* lane_of, const int64_t* off_of,
-                    const int32_t* x32, const int32_t* y32,
-                    const int32_t* rng, int64_t W,
-                    int32_t* packed0, int32_t* packed1, int32_t* packed2,
-                    int32_t* packed3, int64_t* src_out, int32_t* rmax,
-                    int64_t* pairs_out) {
+// Fused per-class operand pack for the 10 B/anchor flat uplink
+// (chain_tpu.dispatch_scores): x/y stay int32, rng narrows to int16
+// (in-class ranges are <= the window class <= 5120), and the scatter
+// coordinate row is DROPPED — the device derives rows/cols from the
+// per-segment metadata the Python side appends to the same flat buffer.
+void mmt_pack_class_flat(const int64_t* cuts, const int64_t* sel,
+                         int64_t n_sel, const int64_t* off_of,
+                         const int32_t* x32, const int32_t* y32,
+                         const int32_t* rng, int64_t W,
+                         int32_t* fx, int32_t* fy, int16_t* fr,
+                         int64_t* src_out, int32_t* rmax,
+                         int64_t* pairs_out) {
     int64_t m = 0;
     int64_t pairs = 0;
     for (int64_t k = 0; k < n_sel; ++k) {
         const int64_t si = sel[k];
         const int64_t g0 = cuts[si], g1 = cuts[si + 1];
-        const int64_t lane = lane_of[k];
         const int64_t row0 = W + off_of[k];
         for (int64_t g = g0; g < g1; ++g, ++m) {
             const int64_t row = row0 + (g - g0);
             const int32_t r = rng[g];
-            packed0[m] = x32[g];
-            packed1[m] = y32[g];
-            packed2[m] = r;
-            packed3[m] = (int32_t)((row << 7) | lane);
+            fx[m] = x32[g];
+            fy[m] = y32[g];
+            fr[m] = (int16_t)r;
             src_out[m] = g;
             if (r > rmax[row]) rmax[row] = r;
             pairs += r;

@@ -393,31 +393,66 @@ chain_packed_tpu = functools.partial(jax.jit, static_argnames=(
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "H", "W", "span", "max_dist_x", "max_dist_y", "bw", "cg", "cs",
-    "is_cdna"))
-def chain_compact_tpu(ntiles, start, packed, *, H, W,
+    "H", "W", "n_pad", "s_pad", "span", "max_dist_x", "max_dist_y", "bw",
+    "cg", "cs", "is_cdna"))
+def chain_compact_tpu(nmeta, start, flat, *, H, W, n_pad, s_pad,
                       span, max_dist_x, max_dist_y, bw, cg, cs,
                       is_cdna=False):
-    """Compact-transfer variant: ships ONE stacked (4, n) int32 operand
-    [x32; y32; rng; row*128+col], scatters into the padded [H, 128] layout
-    ON DEVICE, runs the kernel, and gathers a stacked (2, n) [f; p] back
-    — the padded zeros (incl. the W window pad) never cross the host
-    link, and each launch pays one transfer instead of seven (the
-    per-call overhead dominates thin links).  plmem's pinned SoA-reorg
-    H2D analog (plmem.cu:154-236), re-thought for XLA: the reorg is a
-    device-side scatter, not a host memcpy."""
-    x32, y32, rng = packed[0], packed[1], packed[2]
-    rows, cols = packed[3] >> 7, packed[3] & 127  # coord = row*128 + col
+    """Compact-transfer variant: ships ONE flat int32 operand laid out
+    as [x32 (n_pad) | y32 (n_pad) | rng int16 packed 2/word (n_pad/2) |
+    astart (s_pad) | prow (s_pad) | col (s_pad)] — 10 B per anchor plus
+    12 B per segment, down from 16 B/anchor (roofline §5.3): in-class
+    ranges fit int16 (<= the window class <= 5120) and the padded-layout
+    scatter coordinates are DERIVED ON DEVICE from per-segment metadata
+    (anchors of a segment are contiguous in pack order), so they never
+    cross the host link.  `nmeta` is [dynamic tile trip, n_real].  The
+    scatter into the padded [H, 128] layout and the result gather also
+    run on device.  plmem's pinned SoA-reorg H2D analog
+    (plmem.cu:154-236), re-thought for XLA: the reorg is a device-side
+    scatter, not a host memcpy."""
+    rw = n_pad // 2
+    x32 = flat[:n_pad]
+    y32 = flat[n_pad:2 * n_pad]
+    words = flat[2 * n_pad:2 * n_pad + rw]
+    # little-endian int16 pairs per int32 word (host writes a .view)
+    rng = jnp.stack([words & 0xFFFF, (words >> 16) & 0xFFFF],
+                    axis=1).reshape(n_pad)
+    o = 2 * n_pad + rw
+    astart = flat[o:o + s_pad]           # first packed-anchor idx per seg
+    prow = flat[o + s_pad:o + 2 * s_pad]          # padded start row
+    col = flat[o + 2 * s_pad:o + 3 * s_pad]       # lane
+    idx = jnp.arange(n_pad, dtype=jnp.int32)
+    sid = jnp.searchsorted(astart, idx, side="right") - 1
+    live = idx < nmeta[1]  # pad anchors (and pad segs) park at (0, 0)
+    rows = jnp.where(live, prow[sid] + (idx - astart[sid]), 0)
+    cols = jnp.where(live, col[sid], 0)
     z = jnp.zeros((H, LANES), jnp.int32)
     X = z.at[rows, cols].set(x32)
     Y = z.at[rows, cols].set(y32)
     R = z.at[rows, cols].set(rng)
-    f, p = _chain_packed_core(ntiles, start, X, Y, R, W=W, span=span,
+    f, p = _chain_packed_core(nmeta[:1], start, X, Y, R, W=W, span=span,
                               max_dist_x=max_dist_x, max_dist_y=max_dist_y,
                               bw=bw, cg=cg, cs=cs, is_cdna=is_cdna)
     # p stays int16 on the wire (predecessor distance < W+128 <= 5248):
     # the downlink ships 6 B/anchor instead of 8 on a ~17-40 MB/s tunnel
     return f[rows, cols], p[rows, cols]
+
+
+def _flat_len(n_pad: int, s_pad: int) -> int:
+    return 2 * n_pad + n_pad // 2 + 3 * s_pad
+
+
+def _seg_meta_into(flat: np.ndarray, o: int, s_pad: int,
+                   lens: np.ndarray, off_of: np.ndarray,
+                   lane_of: np.ndarray, W: int, n_real: int) -> None:
+    """Fill the [astart | prow | col] tail of the flat uplink buffer.
+    Pad segments get astart = n_real so the device's searchsorted sends
+    every pad anchor to a pad segment (then masked to (0, 0))."""
+    s_real = lens.shape[0]
+    flat[o:o + s_real] = np.concatenate(([0], np.cumsum(lens[:-1])))
+    flat[o + s_real:o + s_pad] = n_real
+    flat[o + s_pad:o + s_pad + s_real] = W + off_of
+    flat[o + 2 * s_pad:o + 2 * s_pad + s_real] = lane_of
 
 
 # --------------------------------------------------------------------------
@@ -563,33 +598,37 @@ def dispatch_scores(ax: np.ndarray, ay: np.ndarray,
         # varying size reuse cached executables (XLA recompiles per
         # shape; ntiles stays the dynamic trip count, so padded tiles
         # are allocated but never executed)
+        lens = seg_lens[sel]
+        s_pad = _quant_size(lens.shape[0], floor=256)
         if use_native:
-            # fused one-pass pack (mmt_pack_class): operand rows, src
-            # map, per-row range max and pair count in a single sweep
-            lens = seg_lens[sel]
+            # fused one-pass pack (mmt_pack_class_flat): flat operand,
+            # src map, per-row range max and pair count in a single sweep
             lane_of, off_of, height = native.lpt_pack(lens, LANES)
             tiles_real = max(_round_up(max(height, 1), TILE) // TILE, 1)
             H = W + tiles_real * TILE
             n_real = int(lens.sum())
             n_pad = _quant_size(n_real)
-            packed, src, rmax, pairs = native.pack_class_fused(
-                bounds, sel, lane_of, off_of, x32, y32, rng,
-                W, H, n_real, n_pad)
+            flat = np.zeros(_flat_len(n_pad, s_pad), np.int32)
+            src, rmax, pairs = native.pack_class_flat(
+                bounds, sel, off_of, x32, y32, rng, W, H, n_real, n_pad,
+                flat)
             start = native.tile_starts(rmax, H, W, TILE, tiles_real)
-            ntiles = np.array([tiles_real], np.int32)
         else:
-            ntiles, start, H, src, rows, cols = pack_class_meta(
+            (ntiles_a, start, H, src, rows, cols,
+             lane_of, off_of) = pack_class_meta(
                 sel, seg_lens, seg_of, row_of, rng, W)
             n_real = int(src.shape[0])
             n_pad = _quant_size(n_real)
-            tiles_real = int(ntiles[0])
-            packed = np.zeros((4, n_pad), np.int32)
-            packed[0, :n_real] = x32[src]
-            packed[1, :n_real] = y32[src]
-            packed[2, :n_real] = rng[src]
-            # coord = row*128 + col; pad coords hit (0,0) in the W pad
-            packed[3, :n_real] = (rows << 7) | cols
+            tiles_real = int(ntiles_a[0])
+            flat = np.zeros(_flat_len(n_pad, s_pad), np.int32)
+            flat[:n_real] = x32[src]
+            flat[n_pad:n_pad + n_real] = y32[src]
+            flat[2 * n_pad:2 * n_pad + n_pad // 2].view(
+                np.int16)[:n_real] = rng[src].astype(np.int16)
             pairs = int(rng[src].astype(np.int64).sum())
+        _seg_meta_into(flat, 2 * n_pad + n_pad // 2, s_pad, lens,
+                       off_of, lane_of, W, n_real)
+        nmeta = np.array([tiles_real, n_real], np.int32)
         tiles_alloc = 1 << (tiles_real - 1).bit_length()
         H_alloc = W + tiles_alloc * TILE
         start_pad = np.full(tiles_alloc, W + TILE - 1, np.int32)
@@ -611,14 +650,15 @@ def dispatch_scores(ax: np.ndarray, ay: np.ndarray,
             st[1] += pairs
         t0 = time.perf_counter()
         if device is not None:
-            ntiles, start_pad, packed = jax.device_put(
-                (ntiles, start_pad, packed), device)
+            nmeta, start_pad, flat = jax.device_put(
+                (nmeta, start_pad, flat), device)
         dev_fp = chain_compact_tpu(
-            ntiles, start_pad, packed, H=H_alloc, W=W, span=span,
+            nmeta, start_pad, flat, H=H_alloc, W=W, n_pad=n_pad,
+            s_pad=s_pad, span=span,
             max_dist_x=max_dist_x, max_dist_y=max_dist_y, bw=bw,
             cg=cg, cs=cs, is_cdna=is_cdna)
         if not _interpret():
-            _record_shape((tiles_alloc, n_pad, W, span, max_dist_x,
+            _record_shape((tiles_alloc, n_pad, s_pad, W, span, max_dist_x,
                            max_dist_y, bw, cg, cs, bool(is_cdna)))
         pend.parts.append((dev_fp, src, n_real, W, pairs))
         if metrics is not None:
@@ -675,10 +715,10 @@ def _shapes_path() -> str:
         return ""
     base = loc or os.path.join(os.path.expanduser("~"), ".cache",
                                "mm2_gb_tpu", "jaxcache")
-    # v2: chain_compact_tpu output became an (f i32, p i16) tuple and
-    # n_pad moved to quarter-pow2 quantization — old sigs would warm
-    # executables no dispatch can hit
-    return base + ".shapes.v2.json"
+    # v3: the uplink became the flat [x|y|rng16|segmeta] buffer (sig
+    # gained s_pad) — older sigs would warm executables no dispatch can
+    # hit
+    return base + ".shapes.v3.json"
 
 
 def _record_shape(sig: tuple) -> None:
@@ -715,18 +755,19 @@ def _record_shape(sig: tuple) -> None:
 
 
 def _warm_one(sig: tuple) -> None:
-    (tiles_alloc, n_pad, W, span, max_dist_x, max_dist_y, bw,
+    (tiles_alloc, n_pad, s_pad, W, span, max_dist_x, max_dist_y, bw,
      cg, cs, is_cdna) = sig
     # Dummy operands are created ON DEVICE (jnp fills lower to an XLA
-    # broadcast): a host np.zeros here would ship 16*n_pad bytes of
-    # zeros up a ~30 MB/s tunnel per warmed shape — 32 MB for a 2M
+    # broadcast): a host np.zeros here would ship 10*n_pad bytes of
+    # zeros up a ~30 MB/s tunnel per warmed shape — 20 MB for a 2M
     # class, queued AHEAD of the first real dispatch.  The warm's only
     # link traffic must be the executable load itself.
-    ntiles = jnp.zeros(1, jnp.int32)
+    nmeta = jnp.zeros(2, jnp.int32)
     start = jnp.full((tiles_alloc,), W + TILE - 1, jnp.int32)
-    packed = jnp.zeros((4, n_pad), jnp.int32)
-    out = chain_compact_tpu(ntiles, start, packed,
-                            H=W + tiles_alloc * TILE, W=W, span=span,
+    flat = jnp.zeros(_flat_len(n_pad, s_pad), jnp.int32)
+    out = chain_compact_tpu(nmeta, start, flat,
+                            H=W + tiles_alloc * TILE, W=W, n_pad=n_pad,
+                            s_pad=s_pad, span=span,
                             max_dist_x=max_dist_x, max_dist_y=max_dist_y,
                             bw=bw, cg=cg, cs=cs, is_cdna=bool(is_cdna))
     jax.device_get((out[0][:1], out[1][:1]))  # fence: executable loaded
@@ -764,7 +805,7 @@ def warm_start(verbose: int = 1, pre=None) -> None:
                 entries = json.load(f)
             sigs = [tuple(e["sig"]) for e in entries
                     if (isinstance(e["sig"][0], str)       # ksw2 fill sig
-                        or e["sig"][2] in WINDOW_CLASSES)][-_WARM_MAX:]
+                        or e["sig"][3] in WINDOW_CLASSES)][-_WARM_MAX:]
             for sig in reversed(sigs):  # newest first
                 if _warm_stop:
                     break
@@ -874,7 +915,7 @@ def pack_class_meta(sel, seg_lens, seg_of, row_of, rng, W):
             can = np.nonzero(w >= t0 + W)[0]
             start[i] = int(can[0]) if can.shape[0] else W + TILE - 1
     ntiles = np.array([n_tiles], np.int32)
-    return ntiles, start, H, src, rows, cols
+    return ntiles, start, H, src, rows, cols, lane_sel, off_sel
 
 
 def pack_class(sel, seg_lens, seg_of, row_of, rng, x32, y32, W):
@@ -882,7 +923,7 @@ def pack_class(sel, seg_lens, seg_of, row_of, rng, x32, y32, W):
     [W + tiles*128, 128] layout.  Returns (ntiles, start, X, Y, R) kernel
     inputs plus (src, rows, cols) for scattering results back."""
     ntiles, start, H, src, rows, cols = pack_class_meta(
-        sel, seg_lens, seg_of, row_of, rng, W)
+        sel, seg_lens, seg_of, row_of, rng, W)[:6]
     shape = (H, LANES)
     X = np.zeros(shape, np.int32)
     Y = np.zeros(shape, np.int32)

@@ -74,7 +74,6 @@ def chain_batch_multichip(mesh: Mesh, ax: np.ndarray, ay: np.ndarray,
     from mm2_gb_tpu.ops import chain_tpu as CT
 
     n_dev = int(np.prod(mesh.devices.shape))
-    n_reads = read_bounds.shape[0] - 1
     n = ax.shape[0]
     f_out = np.zeros(n, np.int32)
     p_out = np.full(n, -1, np.int64)
@@ -87,10 +86,9 @@ def chain_batch_multichip(mesh: Mesh, ax: np.ndarray, ay: np.ndarray,
     span = int((int(ay[0]) >> 32) & 0xFF)
     W = CT.WINDOW_CLASSES[0]
 
-    # contiguous read shards balanced by anchor count
-    targets = np.searchsorted(read_bounds[1:-1],
-                              (np.arange(1, n_dev) * n) // n_dev) + 1
-    shard_bounds = np.concatenate(([0], targets, [n_reads]))
+    # contiguous read shards balanced by anchor count (_shard_reads is
+    # defined below; module-level def order doesn't matter at call time)
+    shard_bounds = _shard_reads(read_bounds, n_dev)
 
     packs = []
     for d in range(n_dev):

@@ -140,11 +140,12 @@ def _load():
         u64p, i64p, i64p, ctypes.c_int64, i64p, ctypes.c_int64,
         ctypes.c_int, u64p, ctypes.c_int64, i64p, i64p,
     ]
-    lib.mmt_pack_class.restype = None
-    lib.mmt_pack_class.argtypes = [
-        i64p, i64p, ctypes.c_int64, i64p, i64p,
+    i16p = ctypes.POINTER(ctypes.c_int16)
+    lib.mmt_pack_class_flat.restype = None
+    lib.mmt_pack_class_flat.argtypes = [
+        i64p, i64p, ctypes.c_int64, i64p,
         i32p, i32p, i32p, ctypes.c_int64,
-        i32p, i32p, i32p, i32p, i64p, i32p, i64p,
+        i32p, i32p, i16p, i64p, i32p, i64p,
     ]
     u8p = ctypes.POINTER(ctypes.c_uint8)
     u32p = ctypes.POINTER(ctypes.c_uint32)
@@ -400,34 +401,36 @@ def tile_starts(rmax: np.ndarray, H: int, W: int, tile: int,
     return start
 
 
-def pack_class_fused(cuts: np.ndarray, sel: np.ndarray,
-                     lane_of: np.ndarray, off_of: np.ndarray,
-                     x32: np.ndarray, y32: np.ndarray, rng: np.ndarray,
-                     W: int, H: int, n_real: int, n_pad: int
-                     ) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
-    """One-pass per-class operand pack (chain_tpu.dispatch_scores fast
-    path): returns (packed (4, n_pad) int32, src, rmax, pairs)."""
+def pack_class_flat(cuts: np.ndarray, sel: np.ndarray, off_of: np.ndarray,
+                    x32: np.ndarray, y32: np.ndarray, rng: np.ndarray,
+                    W: int, H: int, n_real: int, n_pad: int,
+                    flat: np.ndarray) -> tuple[np.ndarray, np.ndarray, int]:
+    """One-pass per-class pack into the flat 10 B/anchor uplink layout
+    [x32 | y32 | rng16 | seg-meta] (chain_tpu.dispatch_scores fast path).
+    Writes x/y/rng in place into `flat` (int32, zeroed, len >= 2.5*n_pad);
+    returns (src, rmax, pairs)."""
     lib = _load()
+    p16 = ctypes.POINTER(ctypes.c_int16)
     p32 = ctypes.POINTER(ctypes.c_int32)
     p64 = ctypes.POINTER(ctypes.c_int64)
     cuts = np.ascontiguousarray(cuts, dtype=np.int64)
     sel = np.ascontiguousarray(sel, dtype=np.int64)
-    lane_of = np.ascontiguousarray(lane_of, dtype=np.int64)
     off_of = np.ascontiguousarray(off_of, dtype=np.int64)
-    packed = np.zeros((4, n_pad), np.int32)
     src = np.empty(n_real, np.int64)
     rmax = np.zeros(H, np.int32)
     pairs = ctypes.c_int64(0)
-    lib.mmt_pack_class(
+    fx = flat[:n_pad]
+    fy = flat[n_pad:2 * n_pad]
+    fr = flat[2 * n_pad:2 * n_pad + n_pad // 2]
+    lib.mmt_pack_class_flat(
         cuts.ctypes.data_as(p64), sel.ctypes.data_as(p64), sel.shape[0],
-        lane_of.ctypes.data_as(p64), off_of.ctypes.data_as(p64),
+        off_of.ctypes.data_as(p64),
         x32.ctypes.data_as(p32), y32.ctypes.data_as(p32),
         rng.ctypes.data_as(p32), W,
-        packed[0].ctypes.data_as(p32), packed[1].ctypes.data_as(p32),
-        packed[2].ctypes.data_as(p32), packed[3].ctypes.data_as(p32),
-        src.ctypes.data_as(p64), rmax.ctypes.data_as(p32),
-        ctypes.byref(pairs))
-    return packed, src, rmax, int(pairs.value)
+        fx.ctypes.data_as(p32), fy.ctypes.data_as(p32),
+        fr.ctypes.data_as(p16), src.ctypes.data_as(p64),
+        rmax.ctypes.data_as(p32), ctypes.byref(pairs))
+    return src, rmax, int(pairs.value)
 
 
 def idx_lookup(uniq: np.ndarray, start: np.ndarray, cnt: np.ndarray,

@@ -525,29 +525,45 @@ def test_fused_pack_matches_numpy_path():
     W = 512
     sel = np.arange(seg_lens.shape[0])
 
-    ntiles, start, H, src, rows, cols = chain_tpu.pack_class_meta(
+    (ntiles, start, H, src, rows, cols, lane_np,
+     off_np) = chain_tpu.pack_class_meta(
         sel, seg_lens, seg_of, row_of, rng, W)
     n_real = int(src.shape[0])
     n_pad = max(1 << (n_real - 1).bit_length(), 2048)
-    packed_np = np.zeros((4, n_pad), np.int32)
-    packed_np[0, :n_real] = x32[src]
-    packed_np[1, :n_real] = y32[src]
-    packed_np[2, :n_real] = rng[src]
-    packed_np[3, :n_real] = (rows << 7) | cols
+    s_pad = chain_tpu._quant_size(sel.shape[0], floor=256)
+    flat_np = np.zeros(chain_tpu._flat_len(n_pad, s_pad), np.int32)
+    flat_np[:n_real] = x32[src]
+    flat_np[n_pad:n_pad + n_real] = y32[src]
+    flat_np[2 * n_pad:2 * n_pad + n_pad // 2].view(
+        np.int16)[:n_real] = rng[src].astype(np.int16)
+    chain_tpu._seg_meta_into(flat_np, 2 * n_pad + n_pad // 2, s_pad,
+                             seg_lens[sel], off_np, lane_np, W, n_real)
 
     lens = seg_lens[sel]
     lane_of, off_of, height = native.lpt_pack(lens, LANES)
     tiles = max(-(-max(height, 1) // TILE), 1)
     Hf = W + tiles * TILE
-    packed_f, src_f, rmax, pairs = native.pack_class_fused(
-        cuts, sel, lane_of, off_of, x32, y32, rng, W, Hf, n_real, n_pad)
+    flat_f = np.zeros(chain_tpu._flat_len(n_pad, s_pad), np.int32)
+    src_f, rmax, pairs = native.pack_class_flat(
+        cuts, sel, off_of, x32, y32, rng, W, Hf, n_real, n_pad, flat_f)
+    chain_tpu._seg_meta_into(flat_f, 2 * n_pad + n_pad // 2, s_pad,
+                             lens, off_of, lane_of, W, n_real)
     start_f = native.tile_starts(rmax, Hf, W, TILE, tiles)
 
     assert Hf == H and tiles == int(ntiles[0])
-    assert np.array_equal(packed_f, packed_np)
+    assert np.array_equal(flat_f, flat_np)
     assert np.array_equal(src_f, src)
     assert np.array_equal(start_f, start)
     assert pairs == int(rng[src].astype(np.int64).sum())
+    # the device coordinate derivation reproduces the host rows/cols
+    o = 2 * n_pad + n_pad // 2
+    astart = flat_f[o:o + s_pad].astype(np.int64)
+    prow = flat_f[o + s_pad:o + 2 * s_pad]
+    lcol = flat_f[o + 2 * s_pad:o + 3 * s_pad]
+    idx = np.arange(n_real)
+    sid = np.searchsorted(astart, idx, side="right") - 1
+    assert np.array_equal(prow[sid] + (idx - astart[sid]), rows)
+    assert np.array_equal(lcol[sid], cols)
 
 
 def test_mergeshards_trailing_loss_and_total_disagreement(tmp_path):

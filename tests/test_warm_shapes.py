@@ -32,7 +32,7 @@ def _with_tmp_shapes(tmp_path, fn):
 
 def test_record_shape_roundtrip(tmp_path):
     def run():
-        sig = (8, 2048, 768, 15, 5000, 5000, 500, 0.12, 0.0, False)
+        sig = (8, 2048, 256, 768, 15, 5000, 5000, 500, 0.12, 0.0, False)
         CT._record_shape(sig)
         CT._record_shape(sig)  # dedup: second write is a no-op
         path = CT._shapes_path()
@@ -41,7 +41,7 @@ def test_record_shape_roundtrip(tmp_path):
         assert [tuple(e["sig"]) for e in entries] == [sig]
         # newest-last ordering and the 64-entry cap
         for i in range(70):
-            CT._record_shape((i, 2048, 768, 15, 5000, 5000, 500, 0.1,
+            CT._record_shape((i, 2048, 256, 768, 15, 5000, 5000, 500, 0.1,
                               0.0, False))
         with open(path) as f:
             entries = json.load(f)
@@ -55,8 +55,8 @@ def test_record_shape_disabled(tmp_path):
     try:
         CT._warm_seen.clear()
         assert CT._shapes_path() == ""
-        CT._record_shape((1, 2048, 768, 15, 5000, 5000, 500, 0.1, 0.0,
-                          False))
+        CT._record_shape((1, 2048, 256, 768, 15, 5000, 5000, 500, 0.1,
+                          0.0, False))
     finally:
         del os.environ["MM2TPU_JAX_CACHE"]
         CT._warm_seen.clear()
@@ -66,8 +66,8 @@ def test_warm_start_cpu_noop(tmp_path):
     """On a CPU backend the daemon thread must exit without compiling
     anything (interpret-mode compiles are minutes per shape)."""
     def run():
-        CT._record_shape((4, 2048, 768, 15, 5000, 5000, 500, 0.12, 0.0,
-                          False))
+        CT._record_shape((4, 2048, 256, 768, 15, 5000, 5000, 500, 0.12,
+                          0.0, False))
         calls = []
         orig = CT._warm_one
         CT._warm_one = lambda sig: calls.append(sig)
@@ -97,10 +97,11 @@ def test_warm_one_signature_matches_dispatch():
     seen = []
     orig = CT.chain_compact_tpu
 
-    def spy(ntiles, start, packed, **kw):
-        seen.append(((ntiles.shape, ntiles.dtype), (start.shape, start.dtype),
-                     (packed.shape, packed.dtype), tuple(sorted(kw.items()))))
-        return np.zeros((2, packed.shape[1]), np.int32)
+    def spy(nmeta, start, flat, **kw):
+        seen.append(((nmeta.shape, nmeta.dtype), (start.shape, start.dtype),
+                     (flat.shape, flat.dtype), tuple(sorted(kw.items()))))
+        return (np.zeros(kw["n_pad"], np.int32),
+                np.zeros(kw["n_pad"], np.int16))
 
     CT.chain_compact_tpu = spy
     try:
@@ -116,11 +117,11 @@ def test_warm_one_signature_matches_dispatch():
                            0.12, 0.0)
         assert len(seen) == 1
         disp = seen.pop()
-        (tiles_alloc, n_pad) = (disp[1][0][0], disp[2][0][1])
+        tiles_alloc = disp[1][0][0]
         kw = dict(disp[3])
-        CT._warm_one((tiles_alloc, n_pad, kw["W"], kw["span"],
-                      kw["max_dist_x"], kw["max_dist_y"], kw["bw"],
-                      kw["cg"], kw["cs"], kw["is_cdna"]))
+        CT._warm_one((tiles_alloc, kw["n_pad"], kw["s_pad"], kw["W"],
+                      kw["span"], kw["max_dist_x"], kw["max_dist_y"],
+                      kw["bw"], kw["cg"], kw["cs"], kw["is_cdna"]))
         assert len(seen) == 1
         warm = seen.pop()
         assert warm == disp
@@ -134,7 +135,7 @@ def test_warm_one_executes_real_call():
     stacked (2, n) array becoming an (f, p) tuple) would otherwise only
     surface as a silently-skipped warm-up in production logs."""
     from mm2_gb_tpu.ops import chain_tpu as CT
-    CT._warm_one((4, 2048, 768, 15, 5000, 5000, 500,
+    CT._warm_one((4, 2048, 256, 768, 15, 5000, 5000, 500,
                   0.12000000476837158, 0.0, False))
 
 
