@@ -167,6 +167,9 @@ class TpuMetrics:
     #                          a sharded run) — multi-host completeness
     cells_used: int = 0      # anchors placed in packed layouts
     cells_alloc: int = 0     # packed layout capacity (excl. window pad)
+    # flowcell-scale device-fill accounting (--tpu-align): delta of
+    # ksw2_tpu.FILL_STATS across the prefill passes
+    fill_stats: dict = None
     # per-window-class readback stats: W -> [wait_s, pairs, n_collects]
     # (the per-kernel runtime/Mpairs table analog, plchain.cu:258-281)
     cls_stats: dict = None
@@ -182,6 +185,7 @@ class TpuMetrics:
         self.wall0 = time.perf_counter()
         self.cls_stats = {}
         self.cls_work = {}
+        self.fill_stats = {}
 
     def report(self, verbose: int = 3) -> None:
         if verbose < 3:
@@ -212,6 +216,18 @@ class TpuMetrics:
               f"{pairs} pairs, wait {wait:.3f}s ({rate:.1f} Mpairs/s "
               f"incl. queue+link), slots {slots} "
               f"(slot efficiency {se:.1f}%)\n")
+        fs = self.fill_stats
+        if fs and fs.get("chunks"):
+            rate = (fs["useful_cells"] / fs["wait_s"] / 1e9
+                    if fs["wait_s"] > 0 else 0.0)
+            wrate = (fs["walked_cells"] / fs["wait_s"] / 1e9
+                     if fs["wait_s"] > 0 else 0.0)
+            w(f"[M::tpu] fills: {fs['calls']} device calls "
+              f"({fs['host_calls']} host-fallback), {fs['chunks']} chunks, "
+              f"device-wait {fs['wait_s']:.3f}s, "
+              f"fill_gcells_s {rate:.3f} useful "
+              f"({wrate:.3f} walked, {fs['useful_cells']} / "
+              f"{fs['walked_cells']} cells)\n")
 
 
 def _acc_batches(index: MinimizerIndex, opt: MapOptions, paths: list[str],
@@ -338,8 +354,13 @@ def _finish_batch(index: MinimizerIndex, opt: MapOptions, batch,
         pp = np.where(p[s:e] >= 0, p[s:e] - s, -1)
         slices.append((sr, fp, pp))
     if _use_device_align(opt):
+        from mm2_gb_tpu.ops import ksw2_tpu
+        before = ksw2_tpu.fill_stats_snapshot()
         if not _prefill_native(index, opt, slices):
             _prefill_device(index, opt, slices)
+        for k, v in ksw2_tpu.fill_stats_snapshot().items():
+            metrics.fill_stats[k] = metrics.fill_stats.get(k, 0) \
+                + v - before[k]
     out = finish_slices(index, opt, slices, pool)
     metrics.t_finish += time.perf_counter() - t0
     return out

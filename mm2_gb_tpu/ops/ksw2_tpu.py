@@ -92,6 +92,21 @@ def _size_classes(interpret) -> tuple:
             or DEVICE_SIZE_CLASSES[:1])
 SCORE_LANES = 128
 
+# flowcell-scale fill accounting (planalyze analog for the fill path):
+# batch functions accumulate here; the pipeline snapshots deltas into
+# TpuMetrics and -v 3 prints fill_gcells_s (useful cells / device wait).
+FILL_STATS = {"wait_s": 0.0, "walked_cells": 0, "useful_cells": 0,
+              "chunks": 0, "calls": 0, "host_calls": 0}
+
+
+def fill_stats_snapshot() -> dict:
+    return dict(FILL_STATS)
+
+
+def _fill_acc(**kw) -> None:
+    for k, v in kw.items():
+        FILL_STATS[k] += v
+
 
 # --------------------------------------------------------------------- plan
 @dataclass
@@ -816,12 +831,16 @@ def exts2_batch_device(calls: list[FillCall], mat: np.ndarray, q: int,
     P = PAIRS_PER_GROUP
 
     def drain(entry) -> None:
+        import time
         chunk, plan, score_dev, ops_dev = entry
+        t0 = time.perf_counter()
         score_host = np.asarray(jax.device_get(score_dev))   # (G, P)
         ops_host = np.asarray(jax.device_get(ops_dev))
+        _fill_acc(wait_s=time.perf_counter() - t0)
         for bi, idx in enumerate(chunk):
             if plan.dropped[bi]:
                 out[idx] = host(idx)
+                _fill_acc(host_calls=1)
                 continue
             g, pp = divmod(bi, P)
             ez = ksw2.Extz()
@@ -887,6 +906,10 @@ def exts2_batch_device(calls: list[FillCall], mat: np.ndarray, q: int,
                 _record_fill_sig("exts", cls, wbnd, plan.n_groups,
                                  (q, e, q2, mat0, mat1, sc_n, right,
                                   long_thres, long_diff))
+            _fill_acc(chunks=1, calls=len(chunk),
+                      walked_cells=plan.n_groups * P * plan.r_pad * wbnd,
+                      useful_cells=int(plan.meta[:, 3, :].astype(
+                          np.int64).sum()) * wbnd)
             pending.append((chunk, plan, score_dev[:, :, 2], ops_dev))
             if len(pending) > 1:     # bound in-flight HBM to 2 chunks
                 drain(pending.pop(0))
@@ -1291,7 +1314,9 @@ def extd2_batch_device(calls: list[FillCall], mat: np.ndarray, q: int, e: int,
     rev = bool(flag & ksw2.KSW_EZ_REV_CIGAR)
 
     def drain(entry) -> None:
+        import time
         chunk, plan, score_dev, bt_dev = entry
+        t0 = time.perf_counter()
         score_host = np.asarray(jax.device_get(score_dev))   # (G, P)
         if backtrack == "device":
             ops_host = np.asarray(jax.device_get(bt_dev))
@@ -1299,11 +1324,13 @@ def extd2_batch_device(calls: list[FillCall], mat: np.ndarray, q: int, e: int,
             rbn = plan.r_pad // ROWS_PER_STEP
             p_host = np.asarray(jax.device_get(bt_dev)).reshape(
                 plan.n_groups, rbn, ROWS_PER_STEP, P, plan.w_band)
+        _fill_acc(wait_s=time.perf_counter() - t0)
         for bi, idx in enumerate(chunk):
             c = calls[idx]
             if plan.dropped[bi]:
                 out[idx] = ksw2.extd2(c.qseq, c.tseq, mat, q, e, q2, e2,
                                       c.w, -1, 0, flag)
+                _fill_acc(host_calls=1)
                 continue
             g, pp = divmod(bi, P)
             if backtrack == "device":
@@ -1349,6 +1376,10 @@ def extd2_batch_device(calls: list[FillCall], mat: np.ndarray, q: int, e: int,
                 _record_fill_sig("fill", cls, wbnd, plan.n_groups,
                                  (qq, ee, qq2, ee2, mat0, mat1, sc_n,
                                   right, long_thres, long_diff))
+            _fill_acc(chunks=1, calls=len(chunk),
+                      walked_cells=plan.n_groups * P * plan.r_pad * wbnd,
+                      useful_cells=int(plan.meta[:, 3, :].astype(
+                          np.int64).sum()) * wbnd)
             pending.append((chunk, plan, score_dev[:, :, 2], bt_dev))
             if len(pending) > 1:     # bound in-flight HBM to 2 chunks
                 drain(pending.pop(0))
@@ -1612,7 +1643,14 @@ def ext_batch_device(calls: list[FillCall], mat: np.ndarray, q: int, e: int,
                 mat0=mat0, mat1=mat1, sc_n=sc_n, right=right,
                 long_thres=long_thres, long_diff=long_diff, track_h=True,
                 interpret=interpret)
+            import time
+            _fill_acc(chunks=1, calls=len(chunk),
+                      walked_cells=plan.n_groups * P * plan.r_pad * wbnd,
+                      useful_cells=int(plan.meta[:, 3, :].astype(
+                          np.int64).sum()) * wbnd)
+            t0 = time.perf_counter()
             acc = np.asarray(jax.device_get(acc_dev))   # (G, P, 128)
+            _fill_acc(wait_s=time.perf_counter() - t0)
             # decide per-pair backtrack starts on the host (ksw2 epilogue)
             starts = np.full((plan.n_groups * P, 2), -1, np.int32)
             info = []
@@ -1644,12 +1682,15 @@ def ext_batch_device(calls: list[FillCall], mat: np.ndarray, q: int, e: int,
                                            plan.n_groups * P, 2)),
                                        wb=wbnd, r_pad=plan.r_pad,
                                        kmax=plan.r_pad + 32)
+            t0 = time.perf_counter()
             ops_host = np.asarray(jax.device_get(ops_dev))
+            _fill_acc(wait_s=time.perf_counter() - t0)
             for bi, idx in enumerate(chunk):
                 c = calls[idx]
                 ez = info[bi]
                 if ez is None:
                     out[idx] = host(c)
+                    _fill_acc(host_calls=1)
                     continue
                 if starts[bi][0] >= 0:
                     ez.cigar = _rle_cigar(ops_host[bi], rev)
