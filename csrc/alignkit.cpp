@@ -150,7 +150,18 @@ void align_pair_c(const Opt &o, const uint8_t *q, int64_t ql,
             ez.max = 0;
             ez.max_q = (int32_t)(ql - 1);
             ez.max_t = (int32_t)(tl - 1);
+            // Fake must CONSUME both sequences exactly: the epilogue's
+            // cigar-extent consistency check (qoff/toff vs the region
+            // coordinates) otherwise declines the whole region with -2
+            // and the Python oracle redoes it — measured 5x the collect
+            // pass on a flowcell.  Outputs of the collect pass are
+            // discarded, so the op content is free as long as lengths
+            // add up.
             ez.cig.assign(1, (uint32_t)(std::min(ql, tl) << 4) | OP_M);
+            if (ql > tl)
+                ez.cig.push_back((uint32_t)((ql - tl) << 4) | OP_I);
+            else if (tl > ql)
+                ez.cig.push_back((uint32_t)((tl - ql) << 4) | OP_D);
             return;
         }
         auto it = g_fill.table.find(fill_key(q, ql, t, tl, w, zdrop));
@@ -745,7 +756,17 @@ extern "C" int64_t mmt_align1(
                 align_pair_c(o, qsub, ql, tsub, tl, mat, bw1, -1, o.zdrop,
                              EZ_APPROX_MAX, ez);
             }
-            int32_t zcode = mmt_test_zdrop(
+            // Collect mode (g_fill.mode == 1): the fill answer is a fake
+            // giant-M cigar, on which mm_test_zdrop fires for every
+            // divergent gap and the "lift approximate Z-drop" branch
+            // below would re-run the FULL local kernel per gap — 5x the
+            // whole collect pass, measured.  Skip the test: the zdrop
+            // decision belongs to the REAL pass (real cigars); skipping
+            // the early break only makes collect record the tail gaps
+            // too, which the real pass's split regions need anyway, and
+            // zcode re-fills run with flag 0 (non-APPROX_MAX) so they
+            // never consult the table either way.
+            int32_t zcode = g_fill.mode == 1 ? 0 : mmt_test_zdrop(
                 qsub, tsub, ez.cig.data(), (int64_t)ez.cig.size(), mat,
                 (int32_t)o.q, (int32_t)o.e, (int32_t)o.zdrop,
                 (int32_t)o.zdrop_inv, (int32_t)o.max_gap,

@@ -476,6 +476,49 @@ void mmt_pack_class_flat(const int64_t* cuts, const int64_t* sel,
     *pairs_out = pairs;
 }
 
+// Fill-plan window checks (ksw2_tpu.plan_fill_light fast path): for each
+// (qlen, tlen, w) fill, decide drop (empty band window / band-width
+// overflow / rebase-step violation) and the true row count — the exact
+// scalar form of _row_params + the per-block base validation.  C's >>
+// on a negative int64 is an arithmetic shift (floor), matching numpy.
+void mmt_fill_check(const int64_t* qlen, const int64_t* tlen,
+                    const int64_t* w, int64_t n, int64_t Wband,
+                    uint8_t* dropped, int64_t* r_true_out) {
+    for (int64_t i = 0; i < n; ++i) {
+        const int64_t ql = qlen[i], tl = tlen[i], wv = w[i];
+        int64_t rt = ql + tl - 1;
+        uint8_t drop = 0;
+        int64_t base = 0, prev_base = -1;
+        for (int64_t r = 0; r < rt; ++r) {
+            int64_t st0 = 0;
+            if (r - ql + 1 > st0) st0 = r - ql + 1;
+            const int64_t t1 = (r - wv + 1) >> 1;
+            if (t1 > st0) st0 = t1;
+            int64_t en0 = tl - 1;
+            if (r < en0) en0 = r;
+            const int64_t t2 = (r + wv) >> 1;
+            if (t2 < en0) en0 = t2;
+            if (st0 > en0) {    // first empty window truncates r_true
+                drop = 1;
+                rt = r;
+                break;
+            }
+            if ((r & 31) == 0) {
+                int64_t b = st0 / 16 * 16 - 16;
+                if (b < 0) b = 0;
+                if (prev_base >= 0 && (b - prev_base > 48 || b < prev_base))
+                    drop = 1;   // rebase step violation (defensive)
+                prev_base = b;
+                base = b;
+            }
+            const int64_t en = (en0 + 16) / 16 * 16 - 1;
+            if (en - base >= Wband) drop = 1;  // band-width overflow
+        }
+        dropped[i] = drop;
+        r_true_out[i] = rt;
+    }
+}
+
 // Query-side occurrence filter (mm_seed_mz_flt, seed.c:5-28): drop
 // minimizers whose within-read hash count exceeds both q_occ_max and
 // n * q_occ_frac.  Order-preserving keep mask; replaces a per-read

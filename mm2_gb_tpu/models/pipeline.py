@@ -404,6 +404,9 @@ def _prefill_native(index: MinimizerIndex, opt: MapOptions,
             or opt.dbg_print_aln_seq
             or (opt.q == opt.q2 and opt.e == opt.e2)):
         return False
+    import time
+
+    t0 = time.perf_counter()
     native.fill_mode(1)
     try:
         for sr, fp, pp in slices:
@@ -412,10 +415,12 @@ def _prefill_native(index: MinimizerIndex, opt: MapOptions,
     except Exception:
         native.fill_mode(0)
         raise
+    t_collect = time.perf_counter() - t0
     n = meta.shape[0]
     if n == 0:
         native.fill_mode(2)
         return True
+    t0 = time.perf_counter()
     qoff = np.zeros(n + 1, np.int64)
     toff = np.zeros(n + 1, np.int64)
     np.cumsum(meta[:, 0], out=qoff[1:])
@@ -427,6 +432,8 @@ def _prefill_native(index: MinimizerIndex, opt: MapOptions,
     mat = ksw2.gen_simple_mat(5, opt.a, opt.b, opt.sc_ambi)
     ezs = ksw2_tpu.extd2_batch_device(calls, mat, opt.q, opt.e, opt.q2,
                                       opt.e2, ksw2.KSW_EZ_APPROX_MAX)
+    t_batch = time.perf_counter() - t0
+    t0 = time.perf_counter()
     scores = np.fromiter((ez.score for ez in ezs), np.int32, n)
     lens = np.fromiter((len(ez.cigar) for ez in ezs), np.int64, n)
     cig_off = np.zeros(n + 1, np.int64)
@@ -437,6 +444,11 @@ def _prefill_native(index: MinimizerIndex, opt: MapOptions,
     native.fill_table_bulk(meta, qoff, qblob, toff, tblob,
                            scores, cig_off, cig_blob)
     native.fill_mode(2)
+    import sys
+    sys.stderr.write(
+        f"[M::tpu] prefill: {n} fills, collect {t_collect:.3f}s, "
+        f"device batch {t_batch:.3f}s, table "
+        f"{time.perf_counter() - t0:.3f}s\n")
     return True
 
 

@@ -1115,7 +1115,13 @@ def _align1(index, opt: MapOptions, qlen: int, qseq0, r: Region,
                 ez = align_pair(opt, qseq, tseq, junc, mat, bw1, -1,
                                 opt.zdrop,
                                 extra_flag | ksw2.KSW_EZ_APPROX_MAX)
-            zdrop_code = test_zdrop(opt, qseq, tseq, ez.cigar, mat)
+            # collect pass: ez is the fake giant-M cigar, on which the
+            # zdrop test fires for every divergent gap and the re-align
+            # below would run the full local kernel — defer the zdrop
+            # decision to the real pass (same rationale as the C++
+            # driver, csrc/alignkit.cpp align1_c)
+            zdrop_code = (0 if _fill_collect is not None
+                          else test_zdrop(opt, qseq, tseq, ez.cigar, mat))
             if zdrop_code != 0:  # lift approximate Z-drop (align.c:756-757)
                 ez = align_pair(
                     opt, qseq, tseq, junc, mat, bw1, -1,

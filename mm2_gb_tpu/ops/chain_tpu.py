@@ -59,6 +59,23 @@ WINDOW_CLASSES = (768, 5120)
 MAX_ITER_DEFAULT = 5000
 
 
+def _fold8_chunk() -> int:
+    """Destination rows per blocked fold8 relaxation (see _chain_kernel):
+    0 selects the serialized per-source-row fold; C in {8,16,32,64,128}
+    relaxes all 8 source rows against C-dst-row chunks as one
+    (8, C, LANES) block + reduction.  Read ONCE at import (the jitted
+    kernels cache on shapes only) — set MM2TPU_FOLD8_CHUNK before the
+    first import to override.  Default from on-chip measurement."""
+    import os
+    v = int(os.environ.get("MM2TPU_FOLD8_CHUNK", "32"))
+    if v not in (0, 8, 16, 32, 64, 128):
+        raise ValueError(f"MM2TPU_FOLD8_CHUNK={v} not in 0/8/16/32/64/128")
+    return v
+
+
+_FOLD8_CHUNK = _fold8_chunk()
+
+
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
@@ -233,29 +250,25 @@ def _chain_kernel(ntiles_ref, start_ref,      # scalar prefetch
             yt = yw[W:W + TILE, :]
             acc_f[:, :] = jnp.full((TILE, LANES), span_i, jnp.int32)
             acc_p[:, :] = jnp.zeros((TILE, LANES), jnp.int32)
-            r8 = jax.lax.broadcasted_iota(jnp.int32, (8, TILE, LANES), 0)
+            C = _FOLD8_CHUNK
+            r8 = (jax.lax.broadcasted_iota(jnp.int32, (8, C, LANES), 0)
+                  if C else None)
 
-            def fold8(cur_f, cur_p, xb, yb, rb, fb, s0, skip_block_rows):
-                """Relax 8 source rows onto the dst tile as ONE (8, TILE,
-                LANES) block + reduction (round-4 roofline §5.2: the old
-                serialized 8-sub-step fold bottlenecked on per-row sublane
-                extract/broadcast between full-tile ops).
+            def _fold8_chunk_rel(cur_f, cur_p, xtc, ytc, base, xs, ys, rs,
+                                 fs, skip_block_rows):
+                """One (8, C, LANES) block relaxation + reduction.
 
                 Tie order: the oracle's ascending last-wins >= fold picks,
                 per destination, the LARGEST source index achieving the
-                block maximum (each step overwrites on tot >= cur_f, so the
-                final winner is the last r attaining the running max).
-                That is order-free: reduce tot over the block with max,
-                then take the largest r at the max — bit-identical
+                block maximum (each step overwrites on tot >= cur_f, so
+                the final winner is the last r attaining the running
+                max).  That is order-free: reduce tot over the block with
+                max, then take the largest r at the max — bit-identical
                 selection without the 8-step dependency chain."""
-                xs = xb[:, None, :]
-                ys = yb[:, None, :]
-                rs = rb[:, None, :]
-                fs = fb[:, None, :]
-                tot, valid = _pair_score(xt[None], yt[None], span_i, xs, ys,
-                                         span_i, fs, max_dist_x, max_dist_y,
-                                         bw, cg, cs, is_cdna)
-                base = rows_i + (W - s0)           # d_off of r=0, 2D
+                tot, valid = _pair_score(
+                    xtc[None], ytc[None], span_i, xs, ys,
+                    span_i, fs, max_dist_x, max_dist_y, bw, cg, cs,
+                    is_cdna)
                 d_off = base[None] - r8
                 okr = (valid & (d_off >= 1) & (d_off <= rs)
                        & (tot != span_i))
@@ -271,9 +284,54 @@ def _chain_kernel(ntiles_ref, start_ref,      # scalar prefetch
                 rwin = jnp.max(jnp.where(totm == blk[None], r8,
                                          jnp.int32(-1)), axis=0)
                 ok = blk >= cur_f
-                cur_f = jnp.where(ok, blk, cur_f)
-                cur_p = jnp.where(ok, base - rwin, cur_p)
-                return cur_f, cur_p
+                return (jnp.where(ok, blk, cur_f),
+                        jnp.where(ok, base - rwin, cur_p))
+
+            def fold8(cur_f, cur_p, xb, yb, rb, fb, s0, skip_block_rows):
+                """Relax 8 source rows onto the dst tile, ascending, with
+                the oracle's last-wins >= tie-break.
+
+                MM2TPU_FOLD8_CHUNK selects the strategy (see
+                _fold8_chunk): 0 = the serialized per-row fold (sublane
+                extract/broadcast per source row); C > 0 = blocked
+                (8, C, LANES) relaxations + max/largest-r reductions over
+                dst chunks of C rows (roofline §5.2) — C trades reduction
+                amortization against vector-register pressure."""
+                if C == 0:
+                    for r in range(8):
+                        xs = xb[r, :][None, :]
+                        ys = yb[r, :][None, :]
+                        rs = rb[r, :][None, :]
+                        fs = fb[r, :][None, :]
+                        tot, valid = _pair_score(
+                            xt, yt, span_i, xs, ys, span_i, fs,
+                            max_dist_x, max_dist_y, bw, cg, cs, is_cdna)
+                        d_off = rows_i + (W - s0 - r)
+                        ok = (valid & (d_off >= 1) & (d_off <= rs)
+                              & (tot != span_i) & (tot >= cur_f))
+                        if skip_block_rows:
+                            ok &= d_off > (7 - r)
+                        cur_f = jnp.where(ok, tot, cur_f)
+                        cur_p = jnp.where(ok, d_off, cur_p)
+                    return cur_f, cur_p
+                xs = xb[:, None, :]
+                ys = yb[:, None, :]
+                rs = rb[:, None, :]
+                fs = fb[:, None, :]
+                base_full = rows_i + (W - s0)      # d_off of r=0, 2D
+                nf, np_ = [], []
+                for c0 in range(0, TILE, C):
+                    sl = slice(c0, c0 + C)
+                    cf, cp = _fold8_chunk_rel(
+                        cur_f[sl], cur_p[sl], xt[sl], yt[sl],
+                        base_full[sl], xs, ys, rs, fs,
+                        skip_block_rows)
+                    nf.append(cf)
+                    np_.append(cp)
+                if len(nf) == 1:
+                    return nf[0], np_[0]
+                return (jnp.concatenate(nf, axis=0),
+                        jnp.concatenate(np_, axis=0))
 
             # phase 1: source blocks strictly before the tile; their f is
             # final in the window, so the 8 sub-relaxations fold as values

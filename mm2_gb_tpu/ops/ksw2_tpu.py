@@ -253,25 +253,41 @@ def plan_fill_light(calls: list[FillCall], nb: int, w_band: int,
     meta[:, 4, :] = -1
     qpad = np.zeros((G, P, nb + 1), np.uint8)
     tpad = np.zeros((G, P, nb + 1), np.uint8)
-    dropped = np.zeros(len(calls), bool)
+    n = len(calls)
+    qlens = np.fromiter((len(c.qseq) for c in calls), np.int64, n)
+    tlens = np.fromiter((len(c.tseq) for c in calls), np.int64, n)
+    ws = np.fromiter(
+        (c.w if c.w >= 0 else max(len(c.qseq), len(c.tseq))
+         for c in calls), np.int64, n)
+    from mm2_gb_tpu.utils import native
+    if native.available():
+        # one native pass for the drop/row-count decisions (the Python
+        # per-call _row_params walk costs ~17 s per flowcell of fills)
+        dropped, r_trues = native.fill_check(qlens, tlens, ws, w_band)
+    else:
+        dropped = np.zeros(n, bool)
+        r_trues = np.zeros(n, np.int64)
+        for bi in range(n):
+            qlen, tlen, w = int(qlens[bi]), int(tlens[bi]), int(ws[bi])
+            _rows, st, en, st0, en0, drop, r_true = _row_params(
+                qlen, tlen, w)
+            if not drop:
+                nblk = (r_true + ROWS_PER_STEP - 1) // ROWS_PER_STEP
+                r0s = np.arange(nblk, dtype=np.int64) * ROWS_PER_STEP
+                bases = _blk_base(st0[np.minimum(r0s, r_true - 1)])
+                blk_of = _rows // ROWS_PER_STEP
+                if (int((en - bases[blk_of]).max()) >= w_band
+                        or int(np.diff(bases).max(initial=0)) > 48
+                        or int(np.diff(bases).min(initial=0)) < 0):
+                    drop = True
+            dropped[bi] = drop
+            r_trues[bi] = r_true
     for bi, c in enumerate(calls):
-        g, pp = divmod(bi, P)
-        qlen, tlen = len(c.qseq), len(c.tseq)
-        w = c.w if c.w >= 0 else max(qlen, tlen)
-        _rows, st, en, st0, en0, drop, r_true = _row_params(qlen, tlen, w)
-        if not drop:
-            nblk = (r_true + ROWS_PER_STEP - 1) // ROWS_PER_STEP
-            r0s = np.arange(nblk, dtype=np.int64) * ROWS_PER_STEP
-            bases = _blk_base(st0[np.minimum(r0s, r_true - 1)])
-            blk_of = _rows // ROWS_PER_STEP
-            if (int((en - bases[blk_of]).max()) >= w_band
-                    or int(np.diff(bases).max(initial=0)) > 48
-                    or int(np.diff(bases).min(initial=0)) < 0):
-                drop = True
-        dropped[bi] = drop
-        if drop:
+        if dropped[bi]:
             continue
-        meta[g, :4, pp] = (qlen, tlen, w, r_true)
+        g, pp = divmod(bi, P)
+        qlen, tlen = int(qlens[bi]), int(tlens[bi])
+        meta[g, :4, pp] = (qlen, tlen, ws[bi], r_trues[bi])
         meta[g, 4, pp] = c.zdrop
         qpad[g, pp, :qlen] = c.qseq
         tpad[g, pp, :tlen] = c.tseq

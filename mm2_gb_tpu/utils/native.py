@@ -140,6 +140,11 @@ def _load():
         u64p, i64p, i64p, ctypes.c_int64, i64p, ctypes.c_int64,
         ctypes.c_int, u64p, ctypes.c_int64, i64p, i64p,
     ]
+    lib.mmt_fill_check.restype = None
+    lib.mmt_fill_check.argtypes = [
+        i64p, i64p, i64p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8), i64p,
+    ]
     i16p = ctypes.POINTER(ctypes.c_int16)
     lib.mmt_pack_class_flat.restype = None
     lib.mmt_pack_class_flat.argtypes = [
@@ -399,6 +404,26 @@ def tile_starts(rmax: np.ndarray, H: int, W: int, tile: int,
     lib.mmt_tile_starts(rmax.ctypes.data_as(p32), H, W, tile, n_tiles,
                         start.ctypes.data_as(p32))
     return start
+
+
+def fill_check(qlen: np.ndarray, tlen: np.ndarray, w: np.ndarray,
+               w_band: int) -> tuple[np.ndarray, np.ndarray]:
+    """Vector drop/row-count decisions for fill planning (exact scalar
+    form of ksw2_tpu._row_params + block-base validation)."""
+    lib = _load()
+    p64 = ctypes.POINTER(ctypes.c_int64)
+    qlen = np.ascontiguousarray(qlen, np.int64)
+    tlen = np.ascontiguousarray(tlen, np.int64)
+    w = np.ascontiguousarray(w, np.int64)
+    n = qlen.shape[0]
+    dropped = np.empty(n, np.uint8)
+    r_true = np.empty(n, np.int64)
+    lib.mmt_fill_check(qlen.ctypes.data_as(p64), tlen.ctypes.data_as(p64),
+                       w.ctypes.data_as(p64), n, w_band,
+                       dropped.ctypes.data_as(
+                           ctypes.POINTER(ctypes.c_uint8)),
+                       r_true.ctypes.data_as(p64))
+    return dropped.astype(bool), r_true
 
 
 def pack_class_flat(cuts: np.ndarray, sel: np.ndarray, off_of: np.ndarray,

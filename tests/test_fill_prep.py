@@ -87,3 +87,36 @@ def test_prep_splice_bands_matches_host_expansion():
             jax.numpy.asarray(apad), wb=W, r_pad=2 * nb)
         assert np.array_equal(np.asarray(got_d), want_d)
         assert np.array_equal(np.asarray(got_a), want_a)
+
+
+def test_native_fill_check_matches_python():
+    """mmt_fill_check (native drop/row-count decisions) is bit-identical
+    to the _row_params + block-base validation walk."""
+    from mm2_gb_tpu.ops import ksw2_tpu as KT
+    from mm2_gb_tpu.utils import native
+    if not native.available():
+        pytest.skip("native hostkit unavailable")
+    rng = np.random.default_rng(17)
+    n = 1500
+    qlen = rng.integers(0, 900, n) + 1
+    tlen = rng.integers(0, 900, n) + 1
+    w = np.where(rng.random(n) < 0.3, qlen + tlen,
+                 rng.choice([16, 51, 200, 751, 2000], n))
+    for W in (256, 384, 512, 1280):
+        d_nat, rt_nat = native.fill_check(qlen, tlen, w, W)
+        for i in range(n):
+            (_rows, st, en, st0, en0, drop,
+             r_true) = KT._row_params(int(qlen[i]), int(tlen[i]),
+                                      int(w[i]))
+            if not drop:
+                nblk = (r_true + 31) // 32
+                r0s = np.arange(nblk, dtype=np.int64) * 32
+                bases = KT._blk_base(st0[np.minimum(r0s, r_true - 1)])
+                blk_of = _rows // 32
+                if (int((en - bases[blk_of]).max()) >= W
+                        or int(np.diff(bases).max(initial=0)) > 48
+                        or int(np.diff(bases).min(initial=0)) < 0):
+                    drop = True
+            assert bool(d_nat[i]) == bool(drop)
+            if not drop:
+                assert rt_nat[i] == r_true
