@@ -224,6 +224,8 @@ class TpuMetrics:
                      if fs["wait_s"] > 0 else 0.0)
             w(f"[M::tpu] fills: {fs['calls']} device calls "
               f"({fs['host_calls']} host-fallback), {fs['chunks']} chunks, "
+              f"plan {fs.get('plan_s', 0.0):.3f}s, "
+              f"enqueue {fs.get('enqueue_s', 0.0):.3f}s, "
               f"device-wait {fs['wait_s']:.3f}s, "
               f"fill_gcells_s {rate:.3f} useful "
               f"({wrate:.3f} walked, {fs['useful_cells']} / "

@@ -759,7 +759,10 @@ def dispatch_scores(ax: np.ndarray, ay: np.ndarray,
 # the kernel a no-op: the call costs one compile/load + one zeros upload,
 # all off the critical path.
 
-_WARM_MAX = 8          # most-recent signatures replayed per process
+_WARM_MAX = 24         # most-recent signatures replayed per process
+#                        (chain classes + the fused fill-chunk shapes;
+#                        each skipped shape costs ~1 s of BLOCKING
+#                        executable load at first dispatch instead)
 _warm_seen: set = set()
 _warm_lock = None      # created lazily (threading import kept off hot path)
 _warm_thread = None

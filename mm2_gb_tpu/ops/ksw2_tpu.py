@@ -96,7 +96,8 @@ SCORE_LANES = 128
 # batch functions accumulate here; the pipeline snapshots deltas into
 # TpuMetrics and -v 3 prints fill_gcells_s (useful cells / device wait).
 FILL_STATS = {"wait_s": 0.0, "walked_cells": 0, "useful_cells": 0,
-              "chunks": 0, "calls": 0, "host_calls": 0}
+              "chunks": 0, "calls": 0, "host_calls": 0,
+              "plan_s": 0.0, "enqueue_s": 0.0}
 
 
 def fill_stats_snapshot() -> dict:
@@ -901,23 +902,33 @@ def exts2_batch_device(calls: list[FillCall], mat: np.ndarray, q: int,
                 g, pp = divmod(bi, P)
                 dpad[g, pp, :nbytes] = don[:nbytes]
                 apad[g, pp, :nbytes] = acc[:nbytes]
-            meta_d = jnp.asarray(plan.meta)
-            qb, tb, qk = prep_fill_operands(
-                meta_d, jnp.asarray(plan.qpad), jnp.asarray(plan.tpad),
-                wb=wbnd, r_pad=plan.r_pad)
-            dband, aband = prep_splice_bands(
-                meta_d, jnp.asarray(dpad), jnp.asarray(apad),
-                wb=wbnd, r_pad=plan.r_pad)
-            p_dev, score_dev = exts2_fwd_tpu(
-                meta_d, qb, tb, qk, dband, aband,
-                wb=wbnd, r_pad=plan.r_pad, q=q, e=e, q2=q2,
-                mat0=mat0, mat1=mat1, sc_n=sc_n, right=right,
-                long_thres=long_thres, long_diff=long_diff,
-                interpret=interpret)
-            ops_dev = backtrack_device(p_dev, meta_d,
-                                       wb=wbnd, r_pad=plan.r_pad,
-                                       kmax=plan.r_pad + 32,
-                                       intron_ops=True)
+            if interpret is False:
+                # fused single-executable path (one load per shape)
+                sc2, ops_dev = exts2_chunk_tpu(
+                    plan.meta, plan.qpad, plan.tpad, dpad, apad,
+                    wb=wbnd, r_pad=plan.r_pad, q=q, e=e, q2=q2,
+                    mat0=mat0, mat1=mat1, sc_n=sc_n, right=right,
+                    long_thres=long_thres, long_diff=long_diff,
+                    kmax=plan.r_pad + 32)
+            else:
+                meta_d = jnp.asarray(plan.meta)
+                qb, tb, qk = prep_fill_operands(
+                    meta_d, jnp.asarray(plan.qpad), jnp.asarray(plan.tpad),
+                    wb=wbnd, r_pad=plan.r_pad)
+                dband, aband = prep_splice_bands(
+                    meta_d, jnp.asarray(dpad), jnp.asarray(apad),
+                    wb=wbnd, r_pad=plan.r_pad)
+                p_dev, score_dev = exts2_fwd_tpu(
+                    meta_d, qb, tb, qk, dband, aband,
+                    wb=wbnd, r_pad=plan.r_pad, q=q, e=e, q2=q2,
+                    mat0=mat0, mat1=mat1, sc_n=sc_n, right=right,
+                    long_thres=long_thres, long_diff=long_diff,
+                    interpret=interpret)
+                sc2 = score_dev[:, :, 2]
+                ops_dev = backtrack_device(p_dev, meta_d,
+                                           wb=wbnd, r_pad=plan.r_pad,
+                                           kmax=plan.r_pad + 32,
+                                           intron_ops=True)
             if interpret is False:
                 _record_fill_sig("exts", cls, wbnd, plan.n_groups,
                                  (q, e, q2, mat0, mat1, sc_n, right,
@@ -926,7 +937,7 @@ def exts2_batch_device(calls: list[FillCall], mat: np.ndarray, q: int,
                       walked_cells=plan.n_groups * P * plan.r_pad * wbnd,
                       useful_cells=int(plan.meta[:, 3, :].astype(
                           np.int64).sum()) * wbnd)
-            pending.append((chunk, plan, score_dev[:, :, 2], ops_dev))
+            pending.append((chunk, plan, sc2, ops_dev))
             if len(pending) > 1:     # bound in-flight HBM to 2 chunks
                 drain(pending.pop(0))
         while pending:
@@ -1368,26 +1379,40 @@ def extd2_batch_device(calls: list[FillCall], mat: np.ndarray, q: int, e: int,
         g_mb = _fill_chunk_groups(cls, wbnd, interpret)
         pending: list = []
         for off in range(0, len(idxs), g_mb * P):
+            import time
             chunk = idxs[off:off + g_mb * P]
+            t0 = time.perf_counter()
             plan = plan_fill_light([calls[i] for i in chunk], cls, wbnd,
                                    g_pad=_chunk_g_pad(len(chunk), g_mb))
-            meta_d = jnp.asarray(plan.meta)
-            qb, tb, qk = prep_fill_operands(
-                meta_d, jnp.asarray(plan.qpad), jnp.asarray(plan.tpad),
-                wb=wbnd, r_pad=plan.r_pad)
-            p_dev, score_dev = extd2_fwd_tpu(
-                meta_d, qb, tb, qk,
-                wb=wbnd, r_pad=plan.r_pad, q=qq, e=ee, q2=qq2, e2=ee2,
-                mat0=mat0, mat1=mat1, sc_n=sc_n, right=right,
-                long_thres=long_thres, long_diff=long_diff,
-                interpret=interpret)
-            if backtrack == "device":
-                # only unit-op streams cross the link
-                bt_dev = backtrack_device(p_dev, meta_d, wb=wbnd,
-                                          r_pad=plan.r_pad,
-                                          kmax=plan.r_pad + 32)
+            t1 = time.perf_counter()
+            if interpret is False and backtrack == "device":
+                # fused single-executable path (one load per shape)
+                sc2, bt_dev = extd2_chunk_tpu(
+                    plan.meta, plan.qpad, plan.tpad, wb=wbnd,
+                    r_pad=plan.r_pad, q=qq, e=ee, q2=qq2, e2=ee2,
+                    mat0=mat0, mat1=mat1, sc_n=sc_n, right=right,
+                    long_thres=long_thres, long_diff=long_diff,
+                    kmax=plan.r_pad + 32)
             else:
-                bt_dev = p_dev
+                meta_d = jnp.asarray(plan.meta)
+                qb, tb, qk = prep_fill_operands(
+                    meta_d, jnp.asarray(plan.qpad), jnp.asarray(plan.tpad),
+                    wb=wbnd, r_pad=plan.r_pad)
+                p_dev, score_dev = extd2_fwd_tpu(
+                    meta_d, qb, tb, qk,
+                    wb=wbnd, r_pad=plan.r_pad, q=qq, e=ee, q2=qq2, e2=ee2,
+                    mat0=mat0, mat1=mat1, sc_n=sc_n, right=right,
+                    long_thres=long_thres, long_diff=long_diff,
+                    interpret=interpret)
+                sc2 = score_dev[:, :, 2]
+                if backtrack == "device":
+                    # only unit-op streams cross the link
+                    bt_dev = backtrack_device(p_dev, meta_d, wb=wbnd,
+                                              r_pad=plan.r_pad,
+                                              kmax=plan.r_pad + 32)
+                else:
+                    bt_dev = p_dev
+            _fill_acc(plan_s=t1 - t0, enqueue_s=time.perf_counter() - t1)
             if interpret is False:
                 _record_fill_sig("fill", cls, wbnd, plan.n_groups,
                                  (qq, ee, qq2, ee2, mat0, mat1, sc_n,
@@ -1396,7 +1421,7 @@ def extd2_batch_device(calls: list[FillCall], mat: np.ndarray, q: int, e: int,
                       walked_cells=plan.n_groups * P * plan.r_pad * wbnd,
                       useful_cells=int(plan.meta[:, 3, :].astype(
                           np.int64).sum()) * wbnd)
-            pending.append((chunk, plan, score_dev[:, :, 2], bt_dev))
+            pending.append((chunk, plan, sc2, bt_dev))
             if len(pending) > 1:     # bound in-flight HBM to 2 chunks
                 drain(pending.pop(0))
         while pending:
@@ -1542,6 +1567,46 @@ def _record_fill_sig(kind: str, cls: int, wbnd: int, g_pad: int,
                             + tuple(statics))
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "wb", "r_pad", "q", "e", "q2", "e2", "mat0", "mat1", "sc_n", "right",
+    "long_thres", "long_diff", "kmax")) if _HAS_JAX else lambda f: f
+def extd2_chunk_tpu(meta, qpad, tpad, *, wb, r_pad, q, e, q2, e2, mat0,
+                    mat1, sc_n, right, long_thres, long_diff, kmax):
+    """One-executable fill chunk: band prep + forward DP + backtrack
+    fused into a single jitted program.  The unfused path pays THREE
+    per-process executable loads per shape over the tunnel (~1 s each
+    even on persistent-cache hits — measured 46 s of blocking enqueue
+    across a 300-read flowcell's 22 chunks); fusing cuts the loads 3x.
+    Compiled (real-chip) path only — interpret tests keep the unfused
+    shapes their cached artifacts were built with."""
+    qb, tb, qk = prep_fill_operands(meta, qpad, tpad, wb=wb, r_pad=r_pad)
+    p_dev, score = extd2_fwd_tpu(meta, qb, tb, qk, wb=wb, r_pad=r_pad,
+                                 q=q, e=e, q2=q2, e2=e2, mat0=mat0,
+                                 mat1=mat1, sc_n=sc_n, right=right,
+                                 long_thres=long_thres,
+                                 long_diff=long_diff, interpret=False)
+    ops = backtrack_device(p_dev, meta, wb=wb, r_pad=r_pad, kmax=kmax)
+    return score[:, :, 2], ops
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "wb", "r_pad", "q", "e", "q2", "mat0", "mat1", "sc_n", "right",
+    "long_thres", "long_diff", "kmax")) if _HAS_JAX else lambda f: f
+def exts2_chunk_tpu(meta, qpad, tpad, dpad, apad, *, wb, r_pad, q, e, q2,
+                    mat0, mat1, sc_n, right, long_thres, long_diff, kmax):
+    """Fused splice-fill chunk (see extd2_chunk_tpu)."""
+    qb, tb, qk = prep_fill_operands(meta, qpad, tpad, wb=wb, r_pad=r_pad)
+    dband, aband = prep_splice_bands(meta, dpad, apad, wb=wb, r_pad=r_pad)
+    p_dev, score = exts2_fwd_tpu(meta, qb, tb, qk, dband, aband, wb=wb,
+                                 r_pad=r_pad, q=q, e=e, q2=q2, mat0=mat0,
+                                 mat1=mat1, sc_n=sc_n, right=right,
+                                 long_thres=long_thres,
+                                 long_diff=long_diff, interpret=False)
+    ops = backtrack_device(p_dev, meta, wb=wb, r_pad=r_pad, kmax=kmax,
+                           intron_ops=True)
+    return score[:, :, 2], ops
+
+
 def _warm_fill(sig: tuple) -> None:
     """Replay a recorded fill signature with zero device operands (jnp
     fills: no host bytes cross the link) — compiles/loads prep + forward
@@ -1553,36 +1618,36 @@ def _warm_fill(sig: tuple) -> None:
     meta = jnp.zeros((g_pad, 8, P), jnp.int32)
     qpad = jnp.zeros((g_pad, P, cls + 1), jnp.uint8)
     tpad = jnp.zeros((g_pad, P, cls + 1), jnp.uint8)
-    qb, tb, qk = prep_fill_operands(meta, qpad, tpad, wb=wbnd, r_pad=r_pad)
     if kind == "exts":
         (q, e, q2, mat0, mat1, sc_n, right, long_thres, long_diff) = sig[4:]
         zpad = jnp.zeros((g_pad, P, cls + 16), jnp.int8)
-        dband, aband = prep_splice_bands(meta, zpad, zpad, wb=wbnd,
-                                         r_pad=r_pad)
-        p_dev, _score = exts2_fwd_tpu(
-            meta, qb, tb, qk, dband, aband, wb=wbnd, r_pad=r_pad,
+        _sc, ops = exts2_chunk_tpu(
+            meta, qpad, tpad, zpad, zpad, wb=wbnd, r_pad=r_pad,
             q=int(q), e=int(e), q2=int(q2), mat0=int(mat0),
             mat1=int(mat1), sc_n=int(sc_n), right=bool(right),
             long_thres=int(long_thres), long_diff=int(long_diff),
-            interpret=False)
-        ops = backtrack_device(p_dev, meta, wb=wbnd, r_pad=r_pad,
-                               kmax=r_pad + 32, intron_ops=True)
-    else:
+            kmax=r_pad + 32)
+    elif kind == "fill":
         (q, e, q2, e2, mat0, mat1, sc_n, right,
          long_thres, long_diff) = sig[4:]
+        _sc, ops = extd2_chunk_tpu(
+            meta, qpad, tpad, wb=wbnd, r_pad=r_pad, q=int(q), e=int(e),
+            q2=int(q2), e2=int(e2), mat0=int(mat0), mat1=int(mat1),
+            sc_n=int(sc_n), right=bool(right), long_thres=int(long_thres),
+            long_diff=int(long_diff), kmax=r_pad + 32)
+    else:   # "ext": host epilogue between fwd and backtrack stays split
+        (q, e, q2, e2, mat0, mat1, sc_n, right,
+         long_thres, long_diff) = sig[4:]
+        qb, tb, qk = prep_fill_operands(meta, qpad, tpad, wb=wbnd,
+                                        r_pad=r_pad)
         p_dev, _score = extd2_fwd_tpu(
             meta, qb, tb, qk, wb=wbnd, r_pad=r_pad, q=int(q), e=int(e),
             q2=int(q2), e2=int(e2), mat0=int(mat0), mat1=int(mat1),
             sc_n=int(sc_n), right=bool(right), long_thres=int(long_thres),
-            long_diff=int(long_diff), track_h=(kind == "ext"),
-            interpret=False)
-        if kind == "ext":
-            starts = jnp.full((g_pad * P, 2), -1, jnp.int32)
-            ops = backtrack_device(p_dev, meta, starts, wb=wbnd,
-                                   r_pad=r_pad, kmax=r_pad + 32)
-        else:
-            ops = backtrack_device(p_dev, meta, wb=wbnd, r_pad=r_pad,
-                                   kmax=r_pad + 32)
+            long_diff=int(long_diff), track_h=True, interpret=False)
+        starts = jnp.full((g_pad * P, 2), -1, jnp.int32)
+        ops = backtrack_device(p_dev, meta, starts, wb=wbnd,
+                               r_pad=r_pad, kmax=r_pad + 32)
     jax.device_get(ops[:1, :1])   # fence: executables fully loaded
 
 
