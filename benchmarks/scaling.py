@@ -18,6 +18,8 @@ import subprocess
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def run_scaling(n_devices: int, n_reads: int) -> dict:
     import jax
@@ -127,6 +129,10 @@ def main() -> int:
     if args.virtual:
         env = dict(os.environ)
         env["JAX_PLATFORMS"] = "cpu"
+        # the axon sitecustomize force-sets jax_platforms, so the env var
+        # alone does NOT protect the child — MM2TPU_FORCE_CPU makes the
+        # package call tunnel.force_cpu() before first backend init
+        env["MM2TPU_FORCE_CPU"] = "1"
         env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
                             f" --xla_force_host_platform_device_count="
                             f"{args.virtual}").strip()
@@ -134,8 +140,13 @@ def main() -> int:
             [sys.executable, __file__, "--devices", str(args.virtual),
              "--reads", str(args.reads)], env=env).returncode
 
+    import mm2_gb_tpu  # noqa: F401  (honors MM2TPU_FORCE_CPU)
     import jax
     n = args.devices or len(jax.devices())
+    if n > len(jax.devices()):
+        raise SystemExit(f"asked for {n} devices, backend "
+                         f"{jax.default_backend()} has "
+                         f"{len(jax.devices())}")
     out = run_scaling(n, args.reads)
     print(json.dumps(out))
     stamp = time.strftime("%Y%m%d_%H%M%S", time.gmtime())
