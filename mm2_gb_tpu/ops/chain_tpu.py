@@ -65,9 +65,13 @@ def _fold8_chunk() -> int:
     relaxes all 8 source rows against C-dst-row chunks as one
     (8, C, LANES) block + reduction.  Read ONCE at import (the jitted
     kernels cache on shapes only) — set MM2TPU_FOLD8_CHUNK before the
-    first import to override.  Default from on-chip measurement."""
+    first import to override.  Default from the on-chip sweep
+    (tools/kbench.py, 2026-08-19, best-of-6 fenced reps per mode):
+    C=8: 11.5, C=0: 10.3-10.8, C=16: 10.5-10.8, C=32: 9.9, C=64: 9.1,
+    C=128: 8.4 Gpairs/s — large blocks spill the (8, C, 128)
+    intermediates; C=8 keeps the reduction win without the spills."""
     import os
-    v = int(os.environ.get("MM2TPU_FOLD8_CHUNK", "32"))
+    v = int(os.environ.get("MM2TPU_FOLD8_CHUNK", "8"))
     if v not in (0, 8, 16, 32, 64, 128):
         raise ValueError(f"MM2TPU_FOLD8_CHUNK={v} not in 0/8/16/32/64/128")
     return v
