@@ -186,8 +186,9 @@ def _pair_score(xs, ys, ss, xp, yp, sp, fp,
     dq = ys - yp
     dr = xs - xp
     dd = jnp.abs(dr - dq)
-    valid = ((dq > 0) & (dq <= max_dist_x) & (dr != 0)
-             & (dq <= max_dist_y) & (dd <= bw))
+    valid = (dq > 0) & (dq <= max_dist_x) & (dr != 0) & (dd <= bw)
+    if max_dist_y != max_dist_x:   # statics: folds away when equal
+        valid &= dq <= max_dist_y
     dg = jnp.minimum(dr, dq)
     sc = jnp.minimum(sp, dg)
     lin = (_nofma(cg * dd.astype(jnp.float32))
