@@ -938,7 +938,10 @@ def exts2_batch_device(calls: list[FillCall], mat: np.ndarray, q: int,
                       useful_cells=int(plan.meta[:, 3, :].astype(
                           np.int64).sum()) * wbnd)
             pending.append((chunk, plan, sc2, ops_dev))
-            if len(pending) > 1:     # bound in-flight HBM to 2 chunks
+            if len(pending) > 2:     # bound in-flight HBM to 3 chunks
+                # (<= 1.5 GB at the 512 MB chunk budget; the extra chunk
+                # hides one more drain round trip behind device compute
+                # on the high-latency tunnel)
                 drain(pending.pop(0))
         while pending:
             drain(pending.pop(0))
@@ -1422,7 +1425,10 @@ def extd2_batch_device(calls: list[FillCall], mat: np.ndarray, q: int, e: int,
                       useful_cells=int(plan.meta[:, 3, :].astype(
                           np.int64).sum()) * wbnd)
             pending.append((chunk, plan, sc2, bt_dev))
-            if len(pending) > 1:     # bound in-flight HBM to 2 chunks
+            if len(pending) > 2:     # bound in-flight HBM to 3 chunks
+                # (<= 1.5 GB at the 512 MB chunk budget; the extra chunk
+                # hides one more drain round trip behind device compute
+                # on the high-latency tunnel)
                 drain(pending.pop(0))
         while pending:
             drain(pending.pop(0))
