@@ -283,7 +283,7 @@ def e2e_stage() -> None:
     if remaining() > 90.0:
         RESULT.update(e2ebench.run_config(
             "tpualign", ["--tpu-chain", "--tpu-align", "-c"], best_of=2,
-            **common))
+            cap_factor=20.0, **common))
     else:
         RESULT["e2e_align_skipped"] = "budget"
 

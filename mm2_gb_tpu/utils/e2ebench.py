@@ -43,7 +43,7 @@ def run_config(tag: str, extra: list[str], ref_fa: str, reads_fa: str,
                n_reads: int, threads: str = "1",
                remaining=lambda: 1e9, best_of: int = 4,
                breather: float = 5.0, ref_cache: dict | None = None,
-               env: dict | None = None) -> dict:
+               env: dict | None = None, cap_factor: float = 5.0) -> dict:
     """Best-of-N e2e run of one CLI config vs the reference binary.
 
     ``extra`` is the device flag set (e.g. ["--tpu-chain"]); ["-c"] in
@@ -71,17 +71,34 @@ def run_config(tag: str, extra: list[str], ref_fa: str, reads_fa: str,
     run_env = dict(os.environ, **(env or {}))
     best = None
     walls = []
-    for rep in range(best_of):
+    # Per-rep cap: the shared tunnel's device-wait for identical work
+    # spans 0.6-1000+ s; one storm-trapped rep must not eat the whole
+    # budget (a 386 s rep once consumed a 540 s driver bench).  Device
+    # configs are capped at cap_factor x the reference wall (floor 150 s
+    # covers first-rep executable loads; slow configs like --tpu-align
+    # pass a larger factor); a killed rep frees budget for a fresh
+    # attempt that re-rolls the tunnel queue.  Host-only configs don't
+    # queue on the device and need no cap.
+    cap = (max(cap_factor * rw1, 150.0) if extra else 1e9)
+    attempts = best_of + 2 if extra else best_of
+    n_to = 0
+    for rep in range(attempts):
+        if len(walls) >= best_of:
+            break
         if rep and remaining() < 30.0 + breather:
             break
         t0 = time.perf_counter()
         try:
             o = subprocess.run(cmd, capture_output=True, text=True,
                                env=run_env,
-                               timeout=max(remaining() - 10.0, 15.0))
+                               timeout=min(max(remaining() - 10.0, 15.0),
+                                           cap))
         except subprocess.TimeoutExpired:
-            out[f"e2e_{tag}_rep_timeout"] = rep + 1
-            break
+            n_to += 1
+            out[f"e2e_{tag}_rep_timeout"] = n_to
+            if remaining() < 45.0:
+                break
+            continue
         wall = time.perf_counter() - t0
         if o.returncode != 0:
             out[f"e2e_{tag}_error"] = o.stderr[-400:]

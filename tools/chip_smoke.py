@@ -271,17 +271,18 @@ def e2e_stage() -> None:
 
     threads = os.environ.get("MM2TPU_BENCH_THREADS", "1")
     ref_cache: dict = {}
-    for tag, extra, best_of in (
-            ("tpuchain", ["--tpu-chain"], 4),
-            ("host", [], 2),
-            ("tpualign", ["--tpu-chain", "--tpu-align", "-c"], 3)):
+    for tag, extra, best_of, capf in (
+            ("tpuchain", ["--tpu-chain"], 4, 5.0),
+            ("host", [], 2, 5.0),
+            ("tpualign", ["--tpu-chain", "--tpu-align", "-c"], 3, 20.0)):
         if remaining() < 120:
             RESULT[f"e2e_{tag}_skipped"] = "budget"
             flush()
             continue
         RESULT.update(e2ebench.run_config(
             tag, extra, ref_fa, reads_fa, n_reads, threads=threads,
-            remaining=remaining, best_of=best_of, ref_cache=ref_cache))
+            remaining=remaining, best_of=best_of, ref_cache=ref_cache,
+            cap_factor=capf))
         flush()
 
 
