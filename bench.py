@@ -195,10 +195,9 @@ def kernel_stage(ax, ay, bounds, mo, cg, rng) -> None:
             else np.nonzero(seg_maxrng <= W)[0]
         if sel.shape[0] == 0:
             continue
-        ntiles, start, X, Y, R, src, _, _, cstart = chain_tpu.pack_class(
+        ntiles, start, X, Y, R, src, _, _ = chain_tpu.pack_class(
             sel, seg_lens, seg_of, row_of, rng, x32, y32, W)
-        dev = [jax.device_put(v)
-               for v in (ntiles, start, X, Y, R, cstart)]
+        dev = [jax.device_put(v) for v in (ntiles, start, X, Y, R)]
         jax.block_until_ready(dev)
         classes.append((W, dev))
         total_pairs += int(rng[src].astype(np.int64).sum())
@@ -206,8 +205,7 @@ def kernel_stage(ax, ay, bounds, mo, cg, rng) -> None:
     kw = dict(span=span, max_dist_x=max_dist, max_dist_y=max_dist,
               bw=mo.bw, cg=cg, cs=0.0)
     for W, dev in classes:  # compile
-        f, p = chain_tpu.chain_packed_tpu(*dev[:5], cstart=dev[5],
-                                          W=W, **kw)
+        f, p = chain_tpu.chain_packed_tpu(*dev, W=W, **kw)
         jax.device_get(f[:1])
     RESULT["kernel_compiled_s"] = round(time.perf_counter() - T_START, 1)
     emit()
@@ -219,8 +217,7 @@ def kernel_stage(ax, ay, bounds, mo, cg, rng) -> None:
     best_dt = None
     for i in range(reps):
         t0 = time.perf_counter()
-        outs = [chain_tpu.chain_packed_tpu(*dev[:5], cstart=dev[5],
-                                           W=W, **kw)
+        outs = [chain_tpu.chain_packed_tpu(*dev, W=W, **kw)
                 for W, dev in classes]
         # force completion: the device stream executes in order, so one
         # readback of the last enqueued output fences the whole rep

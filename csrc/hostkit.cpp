@@ -414,38 +414,6 @@ void mmt_tile_starts(const int32_t* rmax, int64_t H, int64_t W,
     }
 }
 
-// Per-8-row-chunk window starts (roofline §5.1): like mmt_tile_starts
-// but at the granularity of the blocked fold8's destination chunks, so
-// a chunk at the top of a tile skips source blocks that only reach
-// later chunks.  `cstart[i*(tile/8)+c]` = first window offset (< W)
-// whose range reaches chunk c's first dst row, else W (empty trip).
-// Only phase-1 (window) sources count — intra-tile reach is phase 2's.
-// One forward scan per tile: starts are recorded per chunk at the first
-// row covering it (rows before the previous chunk's start cannot cover
-// a later chunk, because coverage is reach >= a growing target).
-void mmt_chunk_starts(const int32_t* rmax, int64_t H, int64_t W,
-                      int64_t tile, int64_t n_tiles, int32_t* cstart) {
-    const int64_t nch = tile / 8;
-    for (int64_t i = 0; i < n_tiles; ++i) {
-        const int64_t t0 = i * tile;
-        int32_t* out = cstart + i * nch;
-        for (int64_t c = 0; c < nch; ++c) out[c] = (int32_t)W;
-        const int64_t hi = t0 + W < H ? t0 + W : H;
-        int64_t next_c = 0;
-        for (int64_t r = t0; r < hi && next_c < nch; ++r) {
-            const int64_t reach =
-                r + (rmax[r] < W + tile ? rmax[r] : W + tile);
-            if (reach >= t0 + W + 8 * next_c) {
-                int64_t c_hi = (reach - t0 - W) / 8;
-                if (c_hi >= nch) c_hi = nch - 1;
-                for (int64_t c = next_c; c <= c_hi; ++c)
-                    out[c] = (int32_t)(r - t0);
-                next_c = c_hi + 1;
-            }
-        }
-    }
-}
-
 // LPT lane packing for the device chain kernel's [rows, lanes] layout
 // (chain_tpu._pack_lanes): longest segment first onto the currently
 // shortest lane; ties broken by lane index (== Python heapq (h, lane)

@@ -118,25 +118,6 @@ def compute_ranges(ax: np.ndarray, read_bounds: np.ndarray,
     return np.minimum(rng, max_iter).astype(np.int32)
 
 
-def _chunk_starts_py(rmax: np.ndarray, H: int, W: int, tile: int,
-                     n_tiles: int) -> np.ndarray:
-    """NumPy twin of native.chunk_starts (mmt_chunk_starts): per-8-dst-row
-    phase-1 window starts; sentinel W = no window source reaches the
-    chunk (intra-tile reach is phase 2's business)."""
-    nch = tile // 8
-    out = np.full(n_tiles * nch, W, np.int32)
-    reach = np.arange(H, dtype=np.int64) + np.minimum(rmax, W + tile)
-    for i in range(n_tiles):
-        t0 = i * tile
-        w = reach[t0:min(t0 + W, H)]
-        for c in range(nch):
-            can = np.nonzero(w >= t0 + W + 8 * c)[0]
-            if can.shape[0] == 0:
-                break
-            out[i * nch + c] = int(can[0])
-    return out
-
-
 def cut_segments(rng: np.ndarray) -> np.ndarray:
     """Segment start offsets (with trailing total).
 
@@ -238,7 +219,7 @@ def _pair_score(xs, ys, ss, xp, yp, sp, fp,
 TILE = 128
 
 
-def _chain_kernel(ntiles_ref, start_ref, cstart_ref,   # scalar prefetch
+def _chain_kernel(ntiles_ref, start_ref,      # scalar prefetch
                   x_hbm, y_hbm, r_hbm, f_in, p_in,
                   f_hbm, p_hbm,
                   xw, yw, rw, fw, acc_f, acc_p, sems, *,
@@ -272,10 +253,9 @@ def _chain_kernel(ntiles_ref, start_ref, cstart_ref,   # scalar prefetch
         def run():
             xt = xw[W:W + TILE, :]
             yt = yw[W:W + TILE, :]
+            acc_f[:, :] = jnp.full((TILE, LANES), span_i, jnp.int32)
+            acc_p[:, :] = jnp.zeros((TILE, LANES), jnp.int32)
             C = _FOLD8_CHUNK
-            if C == 0:  # blocked phase 1 writes every chunk row itself
-                acc_f[:, :] = jnp.full((TILE, LANES), span_i, jnp.int32)
-                acc_p[:, :] = jnp.zeros((TILE, LANES), jnp.int32)
             r8 = (jax.lax.broadcasted_iota(jnp.int32, (8, C, LANES), 0)
                   if C else None)
 
@@ -360,52 +340,17 @@ def _chain_kernel(ntiles_ref, start_ref, cstart_ref,   # scalar prefetch
 
             # phase 1: source blocks strictly before the tile; their f is
             # final in the window, so the 8 sub-relaxations fold as values
-            if C == 0:
-                def p1_block(b, _):
-                    s0 = b * 8
-                    sl = pl.ds(s0, 8)
-                    cur_f, cur_p = fold8(acc_f[:, :], acc_p[:, :],
-                                         xw[sl, :], yw[sl, :], rw[sl, :],
-                                         fw[sl, :], s0, False)
-                    acc_f[:, :] = cur_f
-                    acc_p[:, :] = cur_p
-                    return 0
+            def p1_block(b, _):
+                s0 = b * 8
+                sl = pl.ds(s0, 8)
+                cur_f, cur_p = fold8(acc_f[:, :], acc_p[:, :], xw[sl, :],
+                                     yw[sl, :], rw[sl, :], fw[sl, :], s0,
+                                     False)
+                acc_f[:, :] = cur_f
+                acc_p[:, :] = cur_p
+                return 0
 
-                jax.lax.fori_loop(start_ref[i] // 8, W // 8, p1_block, 0)
-            else:
-                # blocked: chunk-outer so each C-row dst chunk walks only
-                # the source blocks its per-chunk start says can reach it
-                # (cstart_ref, 8-row granularity — roofline §5.1), and the
-                # chunk's f/p accumulate in the fori carry (vregs) instead
-                # of round-tripping the acc scratch every source block.
-                # Skipping a block is value-neutral: every pair in it is
-                # d_off > rng masked, so the last-wins tie order over the
-                # evaluated candidates is unchanged.
-                for c0 in range(0, TILE, C):
-                    st = cstart_ref[i * (TILE // 8) + c0 // 8]
-                    for k in range(1, C // 8):
-                        st = jnp.minimum(
-                            st, cstart_ref[i * (TILE // 8) + c0 // 8 + k])
-                    xtc = xw[W + c0:W + c0 + C, :]
-                    ytc = yw[W + c0:W + c0 + C, :]
-                    base_c = (jax.lax.broadcasted_iota(
-                        jnp.int32, (C, LANES), 0) + jnp.int32(c0 + W))
-
-                    def p1c(b, cur, xtc=xtc, ytc=ytc, base_c=base_c):
-                        s0 = b * 8
-                        sl = pl.ds(s0, 8)
-                        return _fold8_chunk_rel(
-                            cur[0], cur[1], xtc, ytc, base_c - s0,
-                            xw[sl, :][:, None, :], yw[sl, :][:, None, :],
-                            rw[sl, :][:, None, :], fw[sl, :][:, None, :],
-                            False)
-
-                    cf, cp = jax.lax.fori_loop(
-                        st // 8, W // 8, p1c,
-                        (jnp.full((C, LANES), span_i, jnp.int32),
-                         jnp.zeros((C, LANES), jnp.int32)))
-                    acc_f[c0:c0 + C, :] = cf
-                    acc_p[c0:c0 + C, :] = cp
+            jax.lax.fori_loop(start_ref[i] // 8, W // 8, p1_block, 0)
 
             # phase 2: the tile's own 8-row blocks in order — resolve each
             # block internally (sequential micro-steps on an (8,128) value),
@@ -464,24 +409,19 @@ def _chain_kernel(ntiles_ref, start_ref, cstart_ref,   # scalar prefetch
 
 def _chain_packed_core(ntiles, start, x, y, rng, *, W, span,
                        max_dist_x, max_dist_y, bw, cg, cs,
-                       is_cdna=False, cstart=None):
+                       is_cdna=False):
     """Run the blocked chain kernel on W-padded [H, 128] int32 arrays.
 
     `ntiles` ([1] int32) is the dynamic tile trip; `start[i]` the first
-    window row (in [0, W+127]) with a predecessor that can reach tile i;
-    `cstart` (optional, (n_tiles * 16,)) the same at 8-dst-row chunk
-    granularity for the blocked fold8's per-chunk phase-1 trip — when
-    absent it degrades to the per-tile start (identical walk to r5).
+    window row (in [0, W+127]) with a predecessor that can reach tile i.
     Returns (f, p) over the same padded layout (p = predecessor distance).
     """
-    if cstart is None:
-        cstart = jnp.repeat(jnp.minimum(start, jnp.int32(W)), TILE // 8)
     kern = functools.partial(
         _chain_kernel, W=W, span=span, max_dist_x=max_dist_x,
         max_dist_y=max_dist_y, bw=bw, cg=float(cg), cs=float(cs),
         is_cdna=is_cdna)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=2,
         grid=(1,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 5,
         out_specs=(pl.BlockSpec(memory_space=pltpu.ANY),
@@ -503,10 +443,10 @@ def _chain_packed_core(ntiles, start, x, y, rng, *, W, span,
         grid_spec=grid_spec,
         out_shape=(jax.ShapeDtypeStruct(x.shape, jnp.int32),
                    jax.ShapeDtypeStruct(x.shape, jnp.int32)),
-        input_output_aliases={6: 0, 7: 1},
+        input_output_aliases={5: 0, 6: 1},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=_interpret(),
-    )(ntiles, start, cstart, x, y, rng, f0, p0)
+    )(ntiles, start, x, y, rng, f0, p0)
     return f, p.astype(jnp.int16)
 
 
@@ -518,7 +458,7 @@ chain_packed_tpu = functools.partial(jax.jit, static_argnames=(
 @functools.partial(jax.jit, static_argnames=(
     "H", "W", "n_pad", "s_pad", "span", "max_dist_x", "max_dist_y", "bw",
     "cg", "cs", "is_cdna"))
-def chain_compact_tpu(nmeta, start, cstart, flat, *, H, W, n_pad, s_pad,
+def chain_compact_tpu(nmeta, start, flat, *, H, W, n_pad, s_pad,
                       span, max_dist_x, max_dist_y, bw, cg, cs,
                       is_cdna=False):
     """Compact-transfer variant: ships ONE flat int32 operand laid out
@@ -555,8 +495,7 @@ def chain_compact_tpu(nmeta, start, cstart, flat, *, H, W, n_pad, s_pad,
     R = z.at[rows, cols].set(rng)
     f, p = _chain_packed_core(nmeta[:1], start, X, Y, R, W=W, span=span,
                               max_dist_x=max_dist_x, max_dist_y=max_dist_y,
-                              bw=bw, cg=cg, cs=cs, is_cdna=is_cdna,
-                              cstart=cstart)
+                              bw=bw, cg=cg, cs=cs, is_cdna=is_cdna)
     # p stays int16 on the wire (predecessor distance < W+128 <= 5248):
     # the downlink ships 6 B/anchor instead of 8 on a ~17-40 MB/s tunnel
     return f[rows, cols], p[rows, cols]
@@ -737,10 +676,9 @@ def dispatch_scores(ax: np.ndarray, ay: np.ndarray,
                 bounds, sel, off_of, x32, y32, rng, W, H, n_real, n_pad,
                 flat)
             start = native.tile_starts(rmax, H, W, TILE, tiles_real)
-            cstart = native.chunk_starts(rmax, H, W, TILE, tiles_real)
         else:
             (ntiles_a, start, H, src, rows, cols,
-             lane_of, off_of, cstart) = pack_class_meta(
+             lane_of, off_of) = pack_class_meta(
                 sel, seg_lens, seg_of, row_of, rng, W)
             n_real = int(src.shape[0])
             n_pad = _quant_size(n_real)
@@ -758,39 +696,27 @@ def dispatch_scores(ax: np.ndarray, ay: np.ndarray,
         H_alloc = W + tiles_alloc * TILE
         start_pad = np.full(tiles_alloc, W + TILE - 1, np.int32)
         start_pad[:tiles_real] = start
-        nch = TILE // 8
-        cstart_pad = np.full(tiles_alloc * nch, W, np.int32)
-        cstart_pad[:tiles_real * nch] = cstart
         if metrics is not None:
             metrics.t_pack += time.perf_counter() - t0
             metrics.cells_used += n_real
             metrics.cells_alloc += tiles_real * TILE * LANES
             metrics.n_dispatch += 1
-            # VPU slot work, mirroring the kernel's trips: phase 1 walks
-            # (W//8 - start//8) 8-row source blocks — per C-row dst chunk
-            # in blocked fold8 mode, per tile when serialized — phase 2
-            # the tile's own TILE rows against the full dst tile
-            # (see _chain_kernel)
+            # VPU slot work, mirroring the kernel's trips: per live tile
+            # phase 1 walks (W//8 - start//8) 8-row source blocks, phase
+            # 2 the tile's own TILE rows, each relaxing a (TILE, LANES)
+            # dst tile (see _chain_kernel)
             live = start < W + TILE - 1
-            C = _FOLD8_CHUNK
-            if C:
-                csl = cstart.reshape(tiles_real, nch)[live]
-                csC = csl.reshape(-1, TILE // C, C // 8).min(axis=2)
-                p1 = np.maximum((W // 8 - csC // 8) * 8, 0)
-                slots = int(p1.sum(dtype=np.int64)) * C * LANES
-                slots += int(live.sum()) * TILE * TILE * LANES
-            else:
-                p1 = np.maximum((W // 8 - start[live] // 8) * 8, 0)
-                slots = int((p1 + TILE).sum(dtype=np.int64)) * TILE * LANES
+            p1_rows = np.maximum((W // 8 - start[live] // 8) * 8, 0)
+            slots = int((p1_rows + TILE).sum(dtype=np.int64)) * TILE * LANES
             st = metrics.cls_work.setdefault(W, [0, 0])
             st[0] += slots
             st[1] += pairs
         t0 = time.perf_counter()
         if device is not None:
-            nmeta, start_pad, cstart_pad, flat = jax.device_put(
-                (nmeta, start_pad, cstart_pad, flat), device)
+            nmeta, start_pad, flat = jax.device_put(
+                (nmeta, start_pad, flat), device)
         dev_fp = chain_compact_tpu(
-            nmeta, start_pad, cstart_pad, flat, H=H_alloc, W=W, n_pad=n_pad,
+            nmeta, start_pad, flat, H=H_alloc, W=W, n_pad=n_pad,
             s_pad=s_pad, span=span,
             max_dist_x=max_dist_x, max_dist_y=max_dist_y, bw=bw,
             cg=cg, cs=cs, is_cdna=is_cdna)
@@ -904,9 +830,8 @@ def _warm_one(sig: tuple) -> None:
     # link traffic must be the executable load itself.
     nmeta = jnp.zeros(2, jnp.int32)
     start = jnp.full((tiles_alloc,), W + TILE - 1, jnp.int32)
-    cstart = jnp.full((tiles_alloc * (TILE // 8),), W, jnp.int32)
     flat = jnp.zeros(_flat_len(n_pad, s_pad), jnp.int32)
-    out = chain_compact_tpu(nmeta, start, cstart, flat,
+    out = chain_compact_tpu(nmeta, start, flat,
                             H=W + tiles_alloc * TILE, W=W, n_pad=n_pad,
                             s_pad=s_pad, span=span,
                             max_dist_x=max_dist_x, max_dist_y=max_dist_y,
@@ -1044,8 +969,7 @@ def pack_class_meta(sel, seg_lens, seg_of, row_of, rng, W):
     # reach into the tile decides how much of the window the kernel walks
     from mm2_gb_tpu.utils import native
     if native.available():
-        start, cstart = native.pack_meta2(rows, rng[src], H, W, TILE,
-                                          n_tiles)
+        start = native.pack_meta(rows, rng[src], H, W, TILE, n_tiles)
     else:
         rmax = np.zeros(H, np.int32)
         np.maximum.at(rmax, rows, rng[src])
@@ -1056,19 +980,16 @@ def pack_class_meta(sel, seg_lens, seg_of, row_of, rng, W):
             w = reach[t0:t0 + W + TILE - 1]
             can = np.nonzero(w >= t0 + W)[0]
             start[i] = int(can[0]) if can.shape[0] else W + TILE - 1
-        cstart = _chunk_starts_py(rmax, H, W, TILE, n_tiles)
     ntiles = np.array([n_tiles], np.int32)
-    return ntiles, start, H, src, rows, cols, lane_sel, off_sel, cstart
+    return ntiles, start, H, src, rows, cols, lane_sel, off_sel
 
 
 def pack_class(sel, seg_lens, seg_of, row_of, rng, x32, y32, W):
     """Densely pack the selected segments into the kernel's padded
     [W + tiles*128, 128] layout.  Returns (ntiles, start, X, Y, R) kernel
-    inputs plus (src, rows, cols) for scattering results back and the
-    per-chunk starts (chain_packed_tpu's optional cstart operand)."""
-    meta = pack_class_meta(sel, seg_lens, seg_of, row_of, rng, W)
-    ntiles, start, H, src, rows, cols = meta[:6]
-    cstart = meta[8]
+    inputs plus (src, rows, cols) for scattering results back."""
+    ntiles, start, H, src, rows, cols = pack_class_meta(
+        sel, seg_lens, seg_of, row_of, rng, W)[:6]
     shape = (H, LANES)
     X = np.zeros(shape, np.int32)
     Y = np.zeros(shape, np.int32)
@@ -1076,6 +997,6 @@ def pack_class(sel, seg_lens, seg_of, row_of, rng, x32, y32, W):
     X[rows, cols] = x32[src]
     Y[rows, cols] = y32[src]
     R[rows, cols] = rng[src]
-    return ntiles, start, X, Y, R, src, rows, cols, cstart
+    return ntiles, start, X, Y, R, src, rows, cols
 
 

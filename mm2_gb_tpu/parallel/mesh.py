@@ -117,7 +117,7 @@ def chain_batch_multichip(mesh: Mesh, ax: np.ndarray, ay: np.ndarray,
     YA = np.zeros_like(XA)
     RA = np.zeros_like(XA)
     for d, (pk, s, rng) in enumerate(packs):
-        ntiles, start, X, Y, R, src, rows, cols, _cstart = pk
+        ntiles, start, X, Y, R, src, rows, cols = pk
         nt = int(ntiles[0])
         NT[d, 0] = nt
         ST[d, :nt] = start
@@ -131,7 +131,7 @@ def chain_batch_multichip(mesh: Mesh, ax: np.ndarray, ay: np.ndarray,
                                 bw=bw, cg=cg, cs=cs)
     f, p = jax.device_get((f, p))
     for d, (pk, s, rng) in enumerate(packs):
-        _, _, X, _, _, src, rows, cols, _cstart = pk
+        _, _, X, _, _, src, rows, cols = pk
         f_out[s + src] = f[d][rows, cols]
         prel = p[d][rows, cols].astype(np.int64)
         p_out[s + src] = np.where(prel > 0, s + src - prel, -1)

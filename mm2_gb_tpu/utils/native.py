@@ -135,15 +135,6 @@ def _load():
         i32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int64, i32p,
     ]
-    try:  # tolerate a stale .so missing the newest symbols (the wrapper
-        #   has a NumPy fallback); never let one absence kill the loader
-        lib.mmt_chunk_starts.restype = None
-        lib.mmt_chunk_starts.argtypes = [
-            i32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-            ctypes.c_int64, i32p,
-        ]
-    except AttributeError:
-        pass
     lib.mmt_idx_lookup.restype = None
     lib.mmt_idx_lookup.argtypes = [
         u64p, i64p, i64p, ctypes.c_int64, i64p, ctypes.c_int64,
@@ -516,39 +507,6 @@ def pack_meta(rows: np.ndarray, rng_src: np.ndarray, H: int, W: int,
     lib.mmt_tile_starts(rmax.ctypes.data_as(p32), H, W, tile, n_tiles,
                         start.ctypes.data_as(p32))
     return start
-
-
-def pack_meta2(rows: np.ndarray, rng_src: np.ndarray, H: int, W: int,
-               tile: int, n_tiles: int) -> tuple[np.ndarray, np.ndarray]:
-    """pack_meta plus the per-8-row-chunk starts (same rmax scatter)."""
-    lib = _load()
-    rows = np.ascontiguousarray(rows, dtype=np.int64)
-    rng_src = np.ascontiguousarray(rng_src, dtype=np.int32)
-    rmax = np.zeros(H, np.int32)
-    p32 = ctypes.POINTER(ctypes.c_int32)
-    p64 = ctypes.POINTER(ctypes.c_int64)
-    lib.mmt_scatter_max(rmax.ctypes.data_as(p32),
-                        rows.ctypes.data_as(p64),
-                        rng_src.ctypes.data_as(p32), rows.shape[0])
-    start = np.empty(n_tiles, np.int32)
-    lib.mmt_tile_starts(rmax.ctypes.data_as(p32), H, W, tile, n_tiles,
-                        start.ctypes.data_as(p32))
-    return start, chunk_starts(rmax, H, W, tile, n_tiles)
-
-
-def chunk_starts(rmax: np.ndarray, H: int, W: int, tile: int,
-                 n_tiles: int) -> np.ndarray:
-    """Per-8-row-chunk phase-1 window starts (finer than tile_starts;
-    the blocked fold8 skips source blocks no row of its chunk can see)."""
-    lib = _load()
-    if lib is None or not hasattr(lib, "mmt_chunk_starts"):
-        from mm2_gb_tpu.ops.chain_tpu import _chunk_starts_py
-        return _chunk_starts_py(rmax, H, W, tile, n_tiles)
-    p32 = ctypes.POINTER(ctypes.c_int32)
-    out = np.empty(n_tiles * (tile // 8), np.int32)
-    lib.mmt_chunk_starts(rmax.ctypes.data_as(p32), H, W, tile, n_tiles,
-                         out.ctypes.data_as(p32))
-    return out
 
 
 def seed_mz_flt_mask(keys: np.ndarray, q_occ_max: int,

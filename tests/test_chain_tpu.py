@@ -62,43 +62,6 @@ def test_multi_segment_gaps():
     _device_vs_oracle(ax, ay)
 
 
-def test_chunk_starts_engage_and_match_oracle():
-    """Heterogeneous ranges inside one lane: the per-8-dst-row chunk
-    starts (roofline §5.1) must actually DIFFER from the per-tile
-    broadcast (the optimization engages) while scores/predecessors stay
-    bit-equal to the host oracle — skipping a source block is legal only
-    when every pair in it is masked."""
-    # one dense cluster early (long ranges), sparse tail (short ranges):
-    # late chunks of the first tile see earlier window starts than the
-    # tile-wide minimum would imply for the early chunks
-    rng = np.random.default_rng(11)
-    dense = np.sort(rng.integers(0, 800, 300)).astype(np.uint64)
-    dense = dense + np.arange(300, dtype=np.uint64)
-    sparse = dense[-1] + np.uint64(1) + np.cumsum(
-        rng.integers(400, 600, 200)).astype(np.uint64)
-    ax = np.concatenate([dense, sparse])
-    qpos = (ax.astype(np.int64) + rng.integers(-100, 100,
-                                               ax.shape[0])).clip(1)
-    ay = (np.uint64(15) << np.uint64(32)) | qpos.astype(np.uint64)
-    bounds = np.array([0, ax.shape[0]], np.int64)
-
-    r = chain_tpu.compute_ranges(ax, bounds, 5000, 5000)
-    cuts = chain_tpu.cut_segments(r)
-    seg_lens = np.diff(cuts)
-    seg_of = np.repeat(np.arange(seg_lens.shape[0]), seg_lens)
-    row_of = np.arange(ax.shape[0], dtype=np.int64) - \
-        np.repeat(cuts[:-1], seg_lens)
-    sel = np.arange(seg_lens.shape[0])
-    meta = chain_tpu.pack_class_meta(sel, seg_lens, seg_of, row_of, r, 768)
-    start, cstart = meta[1], meta[8]
-    n_tiles = start.shape[0]
-    broad = np.repeat(np.minimum(start, 768), 16)
-    assert cstart.shape == (n_tiles * 16,)
-    assert np.all(cstart >= broad)        # never walk MORE than r5 did
-    assert np.any(cstart > broad)         # and actually walk less
-    _device_vs_oracle(ax, ay)
-
-
 def test_dense_repeat_long_ranges():
     """A repeat cluster: many anchors within one window (flat-kernel path)."""
     rng = np.random.default_rng(7)
@@ -563,7 +526,7 @@ def test_fused_pack_matches_numpy_path():
     sel = np.arange(seg_lens.shape[0])
 
     (ntiles, start, H, src, rows, cols, lane_np,
-     off_np, cstart) = chain_tpu.pack_class_meta(
+     off_np) = chain_tpu.pack_class_meta(
         sel, seg_lens, seg_of, row_of, rng, W)
     n_real = int(src.shape[0])
     n_pad = max(1 << (n_real - 1).bit_length(), 2048)

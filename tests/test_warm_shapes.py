@@ -97,9 +97,8 @@ def test_warm_one_signature_matches_dispatch():
     seen = []
     orig = CT.chain_compact_tpu
 
-    def spy(nmeta, start, cstart, flat, **kw):
+    def spy(nmeta, start, flat, **kw):
         seen.append(((nmeta.shape, nmeta.dtype), (start.shape, start.dtype),
-                     (cstart.shape, cstart.dtype),
                      (flat.shape, flat.dtype), tuple(sorted(kw.items()))))
         return (np.zeros(kw["n_pad"], np.int32),
                 np.zeros(kw["n_pad"], np.int16))
@@ -119,7 +118,7 @@ def test_warm_one_signature_matches_dispatch():
         assert len(seen) == 1
         disp = seen.pop()
         tiles_alloc = disp[1][0][0]
-        kw = dict(disp[4])
+        kw = dict(disp[3])
         CT._warm_one((tiles_alloc, kw["n_pad"], kw["s_pad"], kw["W"],
                       kw["span"], kw["max_dist_x"], kw["max_dist_y"],
                       kw["bw"], kw["cg"], kw["cs"], kw["is_cdna"]))
